@@ -1,0 +1,94 @@
+"""JSON-in-binary-envelope ingestion ring (SURVEY.md §3 EP1/EP2).
+
+The reference's bronze layer is Event Hubs Capture Avro files whose
+``body`` column holds UTF-8 JSON bytes plus broker metadata
+(README.md:114-131; ETL/flight-silver-transformation (1).ipynb:574-578).
+Our engine reproduces the *data contract* — a DataFrame with a binary
+``body`` plus envelope metadata — storage-agnostically:
+
+- ``encode_envelope``: typed rows → ``to_json(struct(*))`` →  binary
+  body + partition/offset/enqueued_at metadata (what the producers +
+  broker did, kafka-eh/produce_to_eventhub.py:73-86).
+- ``write_envelope_bronze`` / ``read_envelope_bronze``: land/scan the
+  envelope frame as parquet; if the spark-avro datasource is on the
+  classpath we use ``format("avro")`` for byte-level bronze parity,
+  else parquet (same columns) — the silver transform is identical
+  either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "encode_envelope", "decode_envelope", "csv_to_envelope_batch",
+    "write_envelope_bronze", "read_envelope_bronze", "avro_available",
+]
+
+ENVELOPE_COLUMNS = ("body", "partition", "offset", "enqueued_at")
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro datasource is on the classpath (it is a
+    separate artifact not bundled with pip pyspark)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — classpath probe only
+        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+        return True
+    except Exception:
+        return False
+
+
+def encode_envelope(df: DataFrame, produced_at: bool = True) -> DataFrame:
+    """Typed rows → broker envelope.
+
+    Mirrors the producer: each row JSON-serialized
+    (kafka-eh/produce_to_eventhub.py:73 ``json.dumps(row)``), stamped
+    with ``produced_at`` epoch seconds
+    (kafka-eh/produce_send_rows.py:76), delivered with broker metadata.
+    Partition/offset are synthesized deterministically (hash / row
+    order) since there is no real broker locally.
+    """
+    payload = df
+    if produced_at:
+        payload = payload.withColumn(
+            "produced_at", F.unix_timestamp(F.current_timestamp()))
+    return payload.select(
+        F.encode(F.to_json(F.struct(*payload.columns)), "UTF-8").alias("body"),
+        (F.abs(F.hash(*df.columns)) % 32).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("enqueued_at"),
+    )
+
+
+def decode_envelope(df: DataFrame) -> DataFrame:
+    """Envelope → raw JSON string column ``body_str`` (repair applied
+    downstream in the silver transform)."""
+    from ..functions.core import decode_and_repair_body, find_column_ci
+    body_col = find_column_ci(df, "body")
+    return df.withColumn("body_str", decode_and_repair_body(F.col(body_col)))
+
+
+def csv_to_envelope_batch(spark: SparkSession, csv_path: str,
+                          delimiter: str = ",") -> DataFrame:
+    """CSV → envelope frame: the whole producer path (EP1) as one
+    declarative plan. All columns kept as strings — the reference
+    parses everything as string first and casts later (SURVEY.md §1
+    'semantic quirk')."""
+    raw = (spark.read.option("header", True).option("delimiter", delimiter)
+           .option("inferSchema", False).csv(csv_path))
+    return encode_envelope(raw)
+
+
+def write_envelope_bronze(df: DataFrame, path: str,
+                          fmt: str | None = None) -> None:
+    spark = df.sparkSession
+    fmt = fmt or ("avro" if avro_available(spark) else "parquet")
+    df.write.format(fmt).mode("overwrite").save(path)
+
+
+def read_envelope_bronze(spark: SparkSession, path: str,
+                         fmt: str | None = None) -> DataFrame:
+    fmt = fmt or ("avro" if avro_available(spark) else "parquet")
+    return spark.read.format(fmt).load(path)

@@ -1,0 +1,38 @@
+"""Table registry over the driver testdata (and any parquet lake).
+
+Maps the reference's mount/catalog plumbing (SURVEY.md §2.1 S6 —
+``dbutils.fs.mount`` of blob containers) onto plain paths: a table is
+``{dir}/{name}.parquet``. Column pruning and predicate pushdown reach
+the parquet scan for free because we return the raw ``spark.read``
+DataFrame and let callers compose filters declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+__all__ = ["TABLES", "load_table", "load_all", "register_views"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain ``spark.read.parquet`` — no caching, no
+    eager action, so Catalyst can prune columns/partitions per query."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries
+    (the reference's warehouse layer, SURVEY.md §2 EP3) run unchanged."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
