@@ -1,0 +1,48 @@
+"""Named query registry — the driver-facing surface.
+
+Every operator from SURVEY.md §2 (plus the [EXT] LLM-pipeline
+operators) is exposed as a named query over the driver testdata
+tables, each paired with an ANSI-SQL oracle for the DuckDB
+differential harness (SURVEY.md §5 strategy 1).
+
+Numeric-parity policy (why the decimal casts everywhere): Spark and
+DuckDB sum doubles in different orders, so raw double aggregates can
+drift in the last bits and break value-hash comparison. We therefore
+sum through ``DECIMAL(38,6)`` — casting the *same* input double to
+decimal rounds identically in both engines (no representable exact
+ties at the half-ulp), decimal addition is exact, and the final cast
+back to double is deterministic. Ratios of exact sums are then
+bit-identical too. Averages are computed as exact-sum/count, never via
+the engines' ``avg``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+    return deco
+
+
+def load_registry() -> dict[str, QuerySpec]:
+    """Import all query modules (side-effect: registration)."""
+    from . import relational  # noqa: F401
+    from . import llm_ext  # noqa: F401
+    return REGISTRY

@@ -1,0 +1,665 @@
+"""[EXT] LLM-training-data pipeline queries (SURVEY.md §0 north star,
+§7 step 7): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + LSH-bucketed ANN), and text analysis
+(token counting, quality scoring, language ID, fingerprinting) over
+the ``documents`` and ``embeddings`` tables.
+
+Everything is native-expression Spark (split / transform / aggregate /
+zip_with) — zero Python in the hot path. The DuckDB oracles mirror the
+exact same integer/double arithmetic so results are bit-identical:
+
+- token hash = first 15 hex digits of md5 → bigint (shared primitive
+  both engines can compute), reduced mod 2^32 so a*h+b stays in int64;
+- MinHash uses 16 universal-hash functions (a_i*h32+b_i) mod (2^61-1)
+  with constants pinned below;
+- SimHash is 32-bit over whitespace-token hashes;
+- cosine is computed in double with left-to-right accumulation in both
+  engines.
+
+At 100 TB: all of these are embarrassingly parallel per-row maps
+followed by hash-agg / bucketed self-joins on short keys (bands,
+simhash bytes, labels) — never an O(n²) cross join. LSH banding keeps
+candidate generation linear in data size; band-bucket skew is handled
+by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams, word_tokens
+from ..sources.registry import load_table
+from . import register
+
+# --- pinned constants (same values feed Spark exprs and oracle SQL) ---
+
+_P61 = (1 << 61) - 1        # MinHash modulus
+_FP_P = 2147483647          # fingerprint modulus (2^31-1, overflow-safe)
+_H32 = 1 << 32              # token-hash reduction
+
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30)) for _ in range(16)
+]
+_BANDS = 4  # 4 bands × 4 rows for LSH
+
+_rng2 = random.Random(7)
+HYPERPLANES: list[list[float]] = [
+    [round(_rng2.uniform(-1, 1), 6) for _ in range(64)] for _ in range(8)
+]
+
+STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it')"
+
+
+# --- shared expression builders (Spark side) ---
+
+def _h60(c: Column) -> Column:
+    """First 15 hex digits of md5 as bigint — portable 60-bit hash."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _h32(c: Column) -> Column:
+    return _h60(c) % F.lit(_H32)
+
+
+def _tok_sql(expr: str = "text") -> str:
+    """Oracle: whitespace tokens of lowercased text."""
+    return f"string_split_regex(trim(lower({expr})), '\\s+')"
+
+
+def _h32_sql(var: str) -> str:
+    return f"(('0x' || substr(md5({var}), 1, 15))::BIGINT % {_H32})"
+
+
+def _shingles_sql() -> str:
+    """Oracle: distinct word-3-gram shingles of lowercased text."""
+    return ("list_distinct([array_to_string(toks[i:i+2], ' ') "
+            "for i in range(1, len(toks) - 1)])")
+
+
+def _minhash_sql_cols() -> str:
+    """Oracle: the 16 MinHash aggregate expressions over a shingle
+    list column ``sh`` (hashed to hs)."""
+    cols = []
+    for i, (a, b) in enumerate(MINHASH_COEFFS):
+        cols.append(
+            f"list_aggregate([({a} * h + {b}) % {_P61} for h in hs], 'min') AS mh_{i}")
+    return ",\n           ".join(cols)
+
+
+def _uhash(a: int, b: int):
+    """Factory → 1-arg lambda (pyspark counts *all* params of a lambda
+    against the HOF arity, so default-arg closures break)."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P61)
+
+
+def minhash_signature_cols(shingles: Column) -> list[Column]:
+    """Spark: 16 MinHash values over a shingle array column."""
+    hs = F.transform(shingles, _h32)
+    return [
+        F.array_min(F.transform(hs, _uhash(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             length(text) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks)::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]'))::BIGINT AS n_tokens_bpe,
+           CASE WHEN n = 0 THEN 0.0 ELSE
+             (n - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / n::DOUBLE
+           END AS punct_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             len(list_filter(toks, x -> lower(x) IN {STOPWORDS_SQL}))::DOUBLE
+               / len(toks)::DOUBLE
+           END AS stopword_ratio
+    FROM t
+    """,
+    doc="Per-document text statistics: whitespace + BPE-ish token "
+        "counts, punctuation ratio, stopword ratio. Pure projection — "
+        "no shuffle, scales linearly.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import punct_ratio, token_count
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")))
+    return d.select(
+        "doc_id", "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        token_count(F.col("text"), "bpe").alias("n_tokens_bpe"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+         .otherwise(stop.cast("double") / F.size(toks).cast("double"))
+         .alias("stopword_ratio"),
+    )
+
+
+@register(
+    "quality_by_source",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             length(text) AS n, text
+      FROM documents
+    ), q AS (
+      SELECT source,
+        0.4 * least(1.0, len(toks)::DOUBLE / 64.0)
+        + 0.3 * (1.0 - CASE WHEN n = 0 THEN 0.0 ELSE
+            (n - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / n::DOUBLE END)
+        + 0.3 * least(1.0, 4.0 * CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+            len(list_filter(toks, x -> lower(x) IN {STOPWORDS_SQL}))::DOUBLE
+              / len(toks)::DOUBLE END) AS quality
+      FROM t
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) AS total_quality,
+           COUNT(CASE WHEN quality >= 0.8 THEN 1 END) AS n_high_quality
+    FROM q GROUP BY source
+    """,
+    doc="Quality scoring (length/punct/stopword heuristic in [0,1]) + "
+        "per-source rollup — the keep/drop gate of a pretraining "
+        "filter pipeline.",
+)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("source", quality_score(F.col("text")).alias("quality"))
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("quality").cast("decimal(38,6)")).cast("double")
+         .alias("total_quality"),
+        F.count(F.when(F.col("quality") >= 0.8, 1)).alias("n_high_quality"),
+    )
+
+
+def _langid_sql() -> str:
+    from ..functions.text import _LANG_MARKERS
+    score_cols, case_arms = [], []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        terms = " + ".join(
+            f"CASE WHEN strpos(lower(text), '{m}') > 0 THEN 1 ELSE 0 END"
+            for m in markers)
+        score_cols.append(f"({terms}) AS s_{lang}")
+    # tie-break = alphabetically-last language (struct-max semantics)
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        case_arms.append(f"WHEN s_{lang} = mx THEN '{lang}'")
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM documents),
+    p AS (SELECT lang, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx,
+                 s_de, s_en, s_es, s_fr, s_zh FROM s)
+    SELECT lang, CASE WHEN mx = 0 THEN 'und' {' '.join(case_arms)} END AS predicted,
+           COUNT(*) AS n_docs
+    FROM p GROUP BY 1, 2
+    """
+
+
+@register(
+    "lang_id_confusion",
+    None,  # oracle injected below via register-time call
+    doc="N-gram-marker language ID vs the labeled lang column — "
+        "confusion-matrix counts. Scoring is score-per-language + "
+        "struct-argmax, all JVM-side.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import lang_id_heuristic
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("lang", lang_id_heuristic(F.col("text")).alias("predicted"))
+             .groupBy("lang", "predicted").agg(F.count("*").alias("n_docs")))
+
+
+# patch in the generated oracle (needs _LANG_MARKERS import at def time)
+from . import REGISTRY as _REG  # noqa: E402
+from . import QuerySpec as _QS  # noqa: E402
+_REG["lang_id_confusion"] = _QS(
+    fn=_REG["lang_id_confusion"].fn, oracle=_langid_sql(),
+    doc=_REG["lang_id_confusion"].doc)
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::BIGINT[]
+                  ELSE [{_h32_sql('tok')} for tok in {_tok_sql()}] END AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN 0
+                ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                                 (acc, x) -> (acc * 31 + x) % {_FP_P})
+           END AS fingerprint
+    FROM t
+    """,
+    doc="Rolling-hash document fingerprint (fold over token hashes, "
+        "mod 2^31-1): order-sensitive, so reordered-token docs get "
+        "different prints (unlike MinHash). Single projection.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.transform(word_tokens(F.lower(F.col("text"))), _h32)
+    fp = F.aggregate(
+        hs, F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(_FP_P),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text), keep lowest doc_id. "
+        "One shuffle on the 128-bit hash (never on the raw text — at "
+        "100 TB the shuffle payload is 16 bytes/row, not the document).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _sig_cte_sql() -> str:
+    return f"""
+    base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_shingles_sql()} AS sh FROM base WHERE len(toks) >= 3
+    ),
+    hs AS (
+      SELECT doc_id, sh, [{_h32_sql('s')} for s in sh] AS hs FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, sh,
+           {_minhash_sql_cols()}
+      FROM hs
+    )"""
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_sig_cte_sql()}
+    SELECT doc_id, {', '.join(f'mh_{i}' for i in range(16))} FROM sig
+    """,
+    doc="MinHash signatures: distinct word-3-gram shingles → 16 "
+        "universal-hash minima. Per-row map, no shuffle; signature is "
+        "128 bytes regardless of document size.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sh = F.array_distinct(word_ngrams(F.col("text"), 3))
+    return (d.filter(F.size(toks) >= 3)
+             .select("doc_id", *minhash_signature_cols(sh)))
+
+
+_BAND_JOIN_SQL = " UNION ".join(
+    f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+        FROM sig a JOIN sig b
+          ON {' AND '.join(f'a.mh_{band * 4 + r} = b.mh_{band * 4 + r}' for r in range(4))}
+         AND a.doc_id < b.doc_id"""
+    for band in range(_BANDS))
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_sig_cte_sql()},
+    cand AS ({_BAND_JOIN_SQL})
+    SELECT doc_a, doc_b,
+           len(list_intersect(sh_a, sh_b))::DOUBLE
+             / len(list_distinct(sh_a || sh_b))::DOUBLE AS jaccard
+    FROM cand
+    WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+             / len(list_distinct(sh_a || sh_b))::DOUBLE >= 0.3
+    """,
+    doc="MinHash+LSH near-dup pairs: 4 bands × 4 rows; candidates from "
+        "band-bucket equality self-joins (linear, never O(n²)), then "
+        "exact shingle-Jaccard ≥ 0.3 verification. The canonical "
+        "fuzzy-dedup plan for pretraining corpora.",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sig = (d.filter(F.size(toks) >= 3)
+             .select("doc_id",
+                     F.array_distinct(word_ngrams(F.col("text"), 3)).alias("sh"),
+                     *minhash_signature_cols(
+                         F.array_distinct(word_ngrams(F.col("text"), 3)))))
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = None
+    for band in range(_BANDS):
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for r in range(4):
+            cond = cond & (F.col(f"a.mh_{band * 4 + r}") == F.col(f"b.mh_{band * 4 + r}"))
+        pair = a.join(b, cond).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        cands = pair if cands is None else cands.union(pair)
+    cands = cands.dropDuplicates(["doc_a", "doc_b"])
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")).cast("double"))
+    return (cands.select("doc_a", "doc_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= 0.3))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, {_shingles_sql()} AS sh FROM base WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.3
+    """,
+    doc="Exact n-gram Jaccard with language blocking — the brute "
+        "baseline the LSH plan approximates. Blocking keys bound the "
+        "pair count; at scale replace lang with LSH bands (above).",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sh = (d.filter(F.size(toks) >= 3)
+            .select("doc_id", "lang",
+                    F.array_distinct(word_ngrams(F.col("text"), 3)).alias("sh")))
+    a, b = sh.alias("a"), sh.alias("b")
+    j = a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+    jac = (F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+           / F.size(F.array_union("a.sh", "b.sh")).cast("double"))
+    return (j.select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"), jac.alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.3))
+
+
+_SIMHASH_BITS = 32
+
+
+def _bit_vote(b: int):
+    """Factory → 2-arg merge lambda for the per-bit ±1 majority sum."""
+    return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
+
+
+def _simhash_expr(text: Column) -> Column:
+    hs = F.transform(word_tokens(F.lower(text)), _h32)
+    total = F.lit(0).cast("bigint")
+    for b in range(_SIMHASH_BITS):
+        bit_sum = F.aggregate(hs, F.lit(0).cast("bigint"), _bit_vote(b))
+        total = total + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return total
+
+
+def _simhash_sql() -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_sum([((h >> {b}) & 1) * 2 - 1 for h in hs]) > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::BIGINT[]
+                  ELSE [{_h32_sql('tok')} for tok in {_tok_sql()}] END AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN 0 ELSE CAST({bits} AS BIGINT) END AS simhash
+    FROM t
+    """
+
+
+@register(
+    "simhash_docs",
+    None,
+    doc="32-bit SimHash per document over whitespace-token hashes — "
+        "per-bit majority vote, computed as 32 array-aggregates in one "
+        "projection (no explode, no shuffle).",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sh = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")) \
+          .otherwise(_simhash_expr(F.col("text")))
+    return d.select("doc_id", sh.alias("simhash"))
+
+
+_REG["simhash_docs"] = _QS(fn=_REG["simhash_docs"].fn, oracle=_simhash_sql(),
+                           doc=_REG["simhash_docs"].doc)
+
+
+@register(
+    "simhash_dup_pairs",
+    None,
+    doc="SimHash near-dup candidates: block on any equal 8-bit band "
+        "(4 self-joins on 1-byte keys), verify hamming(simhash) <= 3 "
+        "(pigeonhole: with 4 bands, any pair within distance 3 shares "
+        "at least one band, so candidate recall is exact).",
+)
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    base = d.filter(F.size(toks) > 0).select(
+        "doc_id", _simhash_expr(F.col("text")).alias("simhash"))
+    base = base.withColumns({
+        f"band_{j}": F.shiftright(F.col("simhash"), 8 * j) % 256
+        for j in range(4)
+    })
+    a, b = base.alias("a"), base.alias("b")
+    pairs = None
+    for j in range(4):
+        p = a.join(b, (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        pairs = p if pairs is None else pairs.union(p)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.select("doc_a", "doc_b", ham.alias("hamming"))
+                 .filter(F.col("hamming") <= 3))
+
+
+def _simhash_pairs_sql() -> str:
+    band_joins = " UNION ".join(
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+            FROM s a JOIN s b ON ((a.simhash >> {8 * j}) & 255) = ((b.simhash >> {8 * j}) & 255)
+             AND a.doc_id < b.doc_id"""
+        for j in range(4))
+    return f"""
+    WITH sraw AS ({_simhash_sql().replace('FROM t', 'FROM t')}),
+    s AS (SELECT doc_id, simhash FROM sraw WHERE simhash <> 0 OR doc_id IN
+          (SELECT doc_id FROM documents WHERE length(trim(text)) > 0)),
+    cand AS ({band_joins})
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+_REG["simhash_dup_pairs"] = _QS(fn=_REG["simhash_dup_pairs"].fn,
+                                oracle=_simhash_pairs_sql(),
+                                doc=_REG["simhash_dup_pairs"].doc)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Left-to-right double cosine, mirroring functions.vectors."""
+    return (f"(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> p[1]::DOUBLE * p[2]::DOUBLE)) "
+            f"/ (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {a}])) "
+            f"* sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {b}]))))")
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.qv', 'e.embedding')} AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT q_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-k (the exact baseline): broadcast the "
+        "query set, one scan over the corpus, per-query heap via "
+        "window-rank. zip_with/aggregate keeps the dot product JVM-side.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import cosine_similarity
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")))
+    sims = (e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+              .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                      cosine_similarity(F.col("qv"), F.col("embedding"))
+                      .alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 10)
+                .select("q_id", "neighbor_id", "rank",
+                        F.round("cosine", 6).alias("cosine")))
+
+
+def _hyperplane_sql(vec: str) -> str:
+    """Oracle: 8-bit random-hyperplane bucket for a vector expr."""
+    bits = []
+    for j, hp in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(f"{v!r}" for v in hp) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(list_zip({vec}, {lit}), "
+            f"p -> p[1]::DOUBLE * p[2])) > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _hyperplane_bucket(vec: Column) -> Column:
+    bucket = F.lit(0)
+    for j, hp in enumerate(HYPERPLANES):
+        lit = F.array(*[F.lit(v) for v in hp])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, h: x.cast("double") * h),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_hyperplane_sql('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.qv', 'e.embedding')} AS cosine
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT q_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="LSH-bucketed ANN (the scale path): 8 random hyperplanes → "
+        "256 sign buckets; candidates only from the query's bucket, so "
+        "cost is corpus/256 per query instead of the full corpus. "
+        "Equi-join on bucket → plain hash join, AQE handles bucket skew.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import cosine_similarity
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding",
+                   _hyperplane_bucket(F.col("embedding")).alias("bucket"))
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
+                  F.col("bucket").alias("q_bucket")))
+    sims = (e.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket"))
+                   & (F.col("vec_id") != F.col("q_id")))
+              .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                      cosine_similarity(F.col("qv"), F.col("embedding"))
+                      .alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3)
+                .select("q_id", "neighbor_id", "rank",
+                        F.round("cosine", 6).alias("cosine")))
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs with label blocking — the "
+        "embedding variant of fuzzy dedup. At scale the blocking key "
+        "becomes the LSH bucket (previous query) instead of label.",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    j = a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (j.select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"), cos.alias("cosine"))
+             .filter(F.col("cosine") >= 0.45)
+             .withColumn("cosine", F.round("cosine", 6)))

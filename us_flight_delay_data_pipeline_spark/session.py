@@ -61,6 +61,10 @@ def get_spark(app_name: str = "us-flight-delay-pipeline-spark",
         .config("spark.sql.ansi.enabled", "false")
         # Keep timestamps session-timezone-stable for oracle parity.
         .config("spark.sql.session.timeZone", "UTC")
+        # The testdata events table stores TIMESTAMP(NANOS) parquet,
+        # which Spark has no native type for — read as long nanos and
+        # convert at the source layer (registry.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -23,8 +23,18 @@ __all__ = ["TABLES", "load_table", "load_all", "register_views"]
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` — no caching, no
-    eager action, so Catalyst can prune columns/partitions per query."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    eager action, so Catalyst can prune columns/partitions per query.
+
+    The ``events`` table stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields long
+    nanos, converted here to a micros timestamp (floor-truncation —
+    same as DuckDB's nanos→micros read, so oracles agree)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
