@@ -1,0 +1,12 @@
+from .binary_ops import (
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    decode_image_batch,
+    extract_image_features,
+    sample_video_frames,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA", "attach_media_metadata", "decode_image_batch",
+    "extract_image_features", "sample_video_frames",
+]

@@ -1,0 +1,61 @@
+"""As-of join [EXT] (SURVEY.md §2.3): match each left row to the
+latest right row at-or-before its timestamp (direction='backward') or
+earliest at-or-after (direction='forward'), within an entity key.
+
+Implementation: equi-join on the entity key with the time bound as a
+post-join filter, then ``max_by``/``min_by`` per left row — the join
+stays a hash join (never nested-loop), and ties break deterministically
+on the full (time, tiebreak) struct. For very wide time ranges at
+100 TB, pre-bucket both sides by coarse time (e.g. day) and join on
+(key, bucket) ± 1 to bound the fan-out before the argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_time: str, right_time: str,
+              value_cols: list[str], direction: str = "backward",
+              tolerance: str | None = None,
+              tiebreak: str | None = None) -> DataFrame:
+    """Returns left's columns + the as-of matched ``value_cols``.
+
+    ``tolerance``: optional SQL interval literal (e.g. "INTERVAL 7
+    DAYS") bounding how far back/forward a match may be — also the
+    scale lever, since it lets Catalyst drop unmatchable rows early.
+    ``tiebreak``: right column for deterministic ordering among equal
+    timestamps (defaults to the first value col).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    tb = tiebreak or value_cols[0]
+
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}"))
+    if direction == "backward":
+        cond = cond & (rt <= lt)
+        if tolerance:
+            cond = cond & (rt >= lt - F.expr(tolerance))
+        pick = F.max_by(
+            F.struct(*[F.col(f"r.{c}") for c in value_cols]),
+            F.struct(rt, F.col(f"r.{tb}")))
+    else:
+        cond = cond & (rt >= lt)
+        if tolerance:
+            cond = cond & (rt <= lt + F.expr(tolerance))
+        pick = F.min_by(
+            F.struct(*[F.col(f"r.{c}") for c in value_cols]),
+            F.struct(rt, F.col(f"r.{tb}")))
+
+    l, r = left.alias("l"), right.alias("r")
+    joined = l.join(r, cond)
+    grouped = (joined.groupBy(*[F.col(f"l.{c}") for c in left.columns])
+                     .agg(pick.alias("_asof")))
+    return grouped.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols])

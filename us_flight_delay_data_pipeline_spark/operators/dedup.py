@@ -1,0 +1,161 @@
+"""Deduplication operators over arbitrary DataFrames — exact,
+MinHash+LSH, SimHash, and exact n-gram Jaccard (the [EXT]
+LLM-pipeline surface, SURVEY.md §7 step 7).
+
+Design for 100 TB:
+- shuffles carry hashes/signatures, never document text;
+- candidate generation is always bucketed self-join (linear), the
+  O(pairs) work happens only inside buckets;
+- signature tables are persisted before band joins (each band join
+  references the table twice; 4 bands → 8 subplan scans otherwise);
+- Jaccard verification intersects 8-byte hashed shingles and derives
+  |A∪B| = na+nb-|A∩B| (no union array materialization), with the
+  exact size-ratio prefilter J(A,B) <= min(n)/max(n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams, word_tokens
+from .hashing import band_key, h32, minhash_signature, rolling_fingerprint, simhash32
+
+__all__ = [
+    "dedup_exact", "dedup_fingerprint", "minhash_signatures",
+    "minhash_lsh_duplicate_pairs", "simhash_64", "simhash_duplicate_pairs",
+    "ngram_jaccard_pairs",
+]
+
+DEFAULT_MINHASH_COEFFS: list[tuple[int, int]] | None = None  # set by queries
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(text), keep the lowest id.
+    The shuffle payload is the 16-byte hash, not the document."""
+    return df.groupBy(
+        F.md5(F.col(text_col).cast("binary")).alias("text_hash")).agg(
+        F.min(id_col).alias(f"keep_{id_col}"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per row (cheap
+    near-exact dedup: whitespace/case normalization folded in)."""
+    fp = rolling_fingerprint(word_tokens(F.lower(F.col(text_col))))
+    return df.select(id_col, fp.alias("fingerprint"))
+
+
+def _shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles (array<bigint>)."""
+    return F.array_distinct(F.transform(word_ngrams(text, n), h32))
+
+
+def minhash_signatures(df: DataFrame, coeffs: list[tuple[int, int]],
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ngram: int = 3) -> DataFrame:
+    """(id, hsd: hashed shingle set, sig: MinHash signature) —
+    persisted, ready for band joins."""
+    toks = word_tokens(F.lower(F.col(text_col)))
+    sh = word_ngrams(F.col(text_col), ngram)
+    return (df.filter(F.size(toks) >= ngram)
+              .select(F.col(id_col),
+                      _shingle_hashes(F.col(text_col), ngram).alias("hsd"),
+                      minhash_signature(sh, coeffs).alias("sig"))
+              .persist())
+
+
+def _verified_jaccard_pairs(cands: DataFrame, threshold: float) -> DataFrame:
+    common = F.size(F.array_intersect("h_a", "h_b"))
+    jac = (common.cast("double")
+           / (F.size("h_a") + F.size("h_b") - common).cast("double"))
+    return (cands.select("doc_a", "doc_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_duplicate_pairs(df: DataFrame, coeffs: list[tuple[int, int]],
+                                text_col: str = "text", id_col: str = "doc_id",
+                                bands: int = 4, rows_per_band: int = 4,
+                                threshold: float = 0.3) -> DataFrame:
+    """LSH banding + exact-Jaccard verification: the canonical fuzzy
+    dedup for pretraining corpora. Candidates from band-bucket equality
+    self-joins (linear in data size), verified on hashed shingles."""
+    sig = minhash_signatures(df, coeffs, text_col, id_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = None
+    for band in range(bands):
+        cond = ((band_key(F.col("a.sig"), band, rows_per_band)
+                 == band_key(F.col("b.sig"), band, rows_per_band))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        pair = a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))
+        cands = pair if cands is None else cands.union(pair)
+    return _verified_jaccard_pairs(
+        cands.dropDuplicates(["doc_a", "doc_b"]), threshold)
+
+
+def simhash_64(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-row 32-bit SimHash (name kept generic; width is 32 — see
+    hashing.SIMHASH_BITS). Zero for token-less rows."""
+    toks = word_tokens(F.lower(F.col(text_col)))
+    sh = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")) \
+          .otherwise(simhash32(toks))
+    return df.select(id_col, sh.alias("simhash"))
+
+
+def simhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: block on any equal 8-bit band (4
+    self-joins on 1-byte keys), verify hamming <= max_hamming.
+    Pigeonhole: with 4 bands any pair within distance 3 shares a band,
+    so recall is exact for max_hamming <= 3."""
+    toks = word_tokens(F.lower(F.col(text_col)))
+    base = (df.filter(F.size(toks) > 0)
+              .select(F.col(id_col), simhash32(toks).alias("simhash"))
+              .withColumns({f"band_{j}": F.shiftright(F.col("simhash"), 8 * j) % 256
+                            for j in range(4)})
+              .persist())
+    a, b = base.alias("a"), base.alias("b")
+    pairs = None
+    for j in range(4):
+        p = a.join(b, (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        pairs = p if pairs is None else pairs.union(p)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.dropDuplicates(["doc_a", "doc_b"])
+                 .select("doc_a", "doc_b", ham.alias("hamming"))
+                 .filter(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(df: DataFrame, block_col: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ngram: int = 3, threshold: float = 0.3) -> DataFrame:
+    """Exact n-gram Jaccard within a blocking key — the brute baseline
+    LSH approximates (quadratic within a block by design). Exact cost
+    cuts: size-ratio prefilter (no false negatives) and derived union
+    size."""
+    toks = word_tokens(F.lower(F.col(text_col)))
+    sh = (df.filter(F.size(toks) >= ngram)
+            .select(F.col(id_col), F.col(block_col),
+                    _shingle_hashes(F.col(text_col), ngram).alias("hsd"))
+            .withColumn("n", F.size("hsd"))
+            .persist())
+    a, b = sh.alias("a"), sh.alias("b")
+    size_ok = (F.least(F.col("a.n"), F.col("b.n")).cast("double")
+               >= threshold * F.greatest(F.col("a.n"), F.col("b.n")).cast("double"))
+    j = a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_ok)
+    cands = j.select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"),
+                     F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))
+    return _verified_jaccard_pairs(cands, threshold)

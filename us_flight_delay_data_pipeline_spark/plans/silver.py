@@ -28,20 +28,26 @@ from .flight_schema import FLIGHT_PAYLOAD_SCHEMA, SILVER_CASTS
 __all__ = ["silver_transform", "write_silver"]
 
 
-def silver_transform(bronze: DataFrame) -> DataFrame:
+def silver_transform(bronze: DataFrame,
+                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Envelope frame (binary ``body`` + metadata) → typed silver table.
 
     Corrupt handling contract: truncated JSON is trimmed to its last
     ``'}'``; anything that still fails ``from_json`` parses to a NULL
     struct and dies at the null-drop on ``year`` — identical to the
     reference's failure path.
+
+    ``keep_cols``: envelope columns to carry through the parse (the
+    reference drops all broker metadata at ``select("data.*")``; the
+    streaming layer needs ``enqueued_at`` for event-time windows).
     """
     body_col = find_column_ci(bronze, "body")  # case-insensitive, raises if absent
     parsed = (
         bronze
         .withColumn("body_str", decode_and_repair_body(F.col(body_col)))
-        .select(F.from_json(F.col("body_str"), FLIGHT_PAYLOAD_SCHEMA).alias("data"))
-        .select("data.*")
+        .select(F.from_json(F.col("body_str"), FLIGHT_PAYLOAD_SCHEMA).alias("data"),
+                *keep_cols)
+        .select("data.*", *keep_cols)
         .na.drop(subset=["year"])
     )
     return try_cast_columns(parsed, SILVER_CASTS)

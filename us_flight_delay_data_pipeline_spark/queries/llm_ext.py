@@ -56,15 +56,6 @@ STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it')"
 
 # --- shared expression builders (Spark side) ---
 
-def _h60(c: Column) -> Column:
-    """First 15 hex digits of md5 as bigint — portable 60-bit hash."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
-
-
-def _h32(c: Column) -> Column:
-    return _h60(c) % F.lit(_H32)
-
-
 def _tok_sql(expr: str = "text") -> str:
     """Oracle: whitespace tokens of lowercased text."""
     return f"string_split_regex(trim(lower({expr})), '\\s+')"
@@ -80,29 +71,13 @@ def _shingles_sql() -> str:
             "for i in range(1, len(toks) - 1)])")
 
 
-def _minhash_sql_cols() -> str:
-    """Oracle: the 16 MinHash aggregate expressions over a shingle
-    list column ``sh`` (hashed to hs)."""
-    cols = []
-    for i, (a, b) in enumerate(MINHASH_COEFFS):
-        cols.append(
-            f"list_aggregate([({a} * h + {b}) % {_P61} for h in hs], 'min') AS mh_{i}")
-    return ",\n           ".join(cols)
-
-
-def _uhash(a: int, b: int):
-    """Factory → 1-arg lambda (pyspark counts *all* params of a lambda
-    against the HOF arity, so default-arg closures break)."""
-    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P61)
-
-
-def minhash_signature_cols(shingles: Column) -> list[Column]:
-    """Spark: 16 MinHash values over a shingle array column."""
-    hs = F.transform(shingles, _h32)
-    return [
-        F.array_min(F.transform(hs, _uhash(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
+def _minhash_sql_list() -> str:  # noqa: D103
+    """Oracle: the 16-element MinHash signature list over a hashed-
+    shingle list column ``hs``."""
+    exprs = ", ".join(
+        f"list_aggregate([({a} * h + {b}) % {_P61} for h in hs], 'min')"
+        for a, b in MINHASH_COEFFS)
+    return f"[{exprs}]"
 
 
 # ---------------------------------------------------------------------------
@@ -256,13 +231,8 @@ _REG["lang_id_confusion"] = _QS(
         "different prints (unlike MinHash). Single projection.",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    hs = F.transform(word_tokens(F.lower(F.col("text"))), _h32)
-    fp = F.aggregate(
-        hs, F.lit(0).cast("bigint"),
-        lambda acc, x: (acc * F.lit(31) + x) % F.lit(_FP_P),
-    )
-    return d.select("doc_id", fp.alias("fingerprint"))
+    from ..operators.dedup import dedup_fingerprint
+    return dedup_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -282,14 +252,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB the shuffle payload is 16 bytes/row, not the document).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count("*").alias("n_copies"),
-    )
+    from ..operators.dedup import dedup_exact as op
+    return op(load_table(spark, sf_dir, "documents"))
 
 
 def _sig_cte_sql() -> str:
+    """Oracle CTEs: hashed distinct shingles ``hsd`` + signature list
+    ``sig`` per doc (mirrors :func:`_signature_table`)."""
     return f"""
     base AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -299,37 +268,48 @@ def _sig_cte_sql() -> str:
       SELECT doc_id, {_shingles_sql()} AS sh FROM base WHERE len(toks) >= 3
     ),
     hs AS (
-      SELECT doc_id, sh, [{_h32_sql('s')} for s in sh] AS hs FROM sh
+      SELECT doc_id, list_distinct([{_h32_sql('s')} for s in sh]) AS hs FROM sh
     ),
     sig AS (
-      SELECT doc_id, sh,
-           {_minhash_sql_cols()}
-      FROM hs
+      SELECT doc_id, hs AS hsd, {_minhash_sql_list()} AS sig FROM hs
     )"""
+
+
+def _signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures as op
+    return op(load_table(spark, sf_dir, "documents"), MINHASH_COEFFS)
 
 
 @register(
     "minhash_signatures",
     f"""
     WITH {_sig_cte_sql()}
-    SELECT doc_id, {', '.join(f'mh_{i}' for i in range(16))} FROM sig
+    SELECT doc_id, sig FROM sig
     """,
     doc="MinHash signatures: distinct word-3-gram shingles → 16 "
-        "universal-hash minima. Per-row map, no shuffle; signature is "
-        "128 bytes regardless of document size.",
+        "universal-hash minima, computed in a single array-aggregate "
+        "pass (md5 once per shingle). Per-row map, no shuffle; the "
+        "signature is 128 bytes regardless of document size.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hashing import minhash_signature
     d = load_table(spark, sf_dir, "documents")
     toks = word_tokens(F.lower(F.col("text")))
-    sh = F.array_distinct(word_ngrams(F.col("text"), 3))
+    sh = word_ngrams(F.col("text"), 3)
     return (d.filter(F.size(toks) >= 3)
-             .select("doc_id", *minhash_signature_cols(sh)))
+             .select("doc_id", minhash_signature(sh, MINHASH_COEFFS).alias("sig")))
+
+
+def _band_key(sig: Column, band: int) -> Column:
+    return F.concat_ws(",", F.transform(
+        F.slice(sig, band * 4 + 1, 4), lambda v: v.cast("string")))
 
 
 _BAND_JOIN_SQL = " UNION ".join(
-    f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+    f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hsd AS h_a, b.hsd AS h_b
         FROM sig a JOIN sig b
-          ON {' AND '.join(f'a.mh_{band * 4 + r} = b.mh_{band * 4 + r}' for r in range(4))}
+          ON array_to_string(a.sig[{band * 4 + 1}:{band * 4 + 4}], ',')
+             = array_to_string(b.sig[{band * 4 + 1}:{band * 4 + 4}], ',')
          AND a.doc_id < b.doc_id"""
     for band in range(_BANDS))
 
@@ -340,40 +320,22 @@ _BAND_JOIN_SQL = " UNION ".join(
     WITH {_sig_cte_sql()},
     cand AS ({_BAND_JOIN_SQL})
     SELECT doc_a, doc_b,
-           len(list_intersect(sh_a, sh_b))::DOUBLE
-             / len(list_distinct(sh_a || sh_b))::DOUBLE AS jaccard
+           len(list_intersect(h_a, h_b))::DOUBLE
+             / (len(h_a) + len(h_b) - len(list_intersect(h_a, h_b)))::DOUBLE AS jaccard
     FROM cand
-    WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
-             / len(list_distinct(sh_a || sh_b))::DOUBLE >= 0.3
+    WHERE len(list_intersect(h_a, h_b))::DOUBLE
+             / (len(h_a) + len(h_b) - len(list_intersect(h_a, h_b)))::DOUBLE >= 0.3
     """,
     doc="MinHash+LSH near-dup pairs: 4 bands × 4 rows; candidates from "
         "band-bucket equality self-joins (linear, never O(n²)), then "
-        "exact shingle-Jaccard ≥ 0.3 verification. The canonical "
+        "exact hashed-shingle Jaccard ≥ 0.3 verification. The canonical "
         "fuzzy-dedup plan for pretraining corpora.",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    sig = (d.filter(F.size(toks) >= 3)
-             .select("doc_id",
-                     F.array_distinct(word_ngrams(F.col("text"), 3)).alias("sh"),
-                     *minhash_signature_cols(
-                         F.array_distinct(word_ngrams(F.col("text"), 3)))))
-    a, b = sig.alias("a"), sig.alias("b")
-    cands = None
-    for band in range(_BANDS):
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
-        for r in range(4):
-            cond = cond & (F.col(f"a.mh_{band * 4 + r}") == F.col(f"b.mh_{band * 4 + r}"))
-        pair = a.join(b, cond).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
-        cands = pair if cands is None else cands.union(pair)
-    cands = cands.dropDuplicates(["doc_a", "doc_b"])
-    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-           / F.size(F.array_union("sh_a", "sh_b")).cast("double"))
-    return (cands.select("doc_a", "doc_b", jac.alias("jaccard"))
-                 .filter(F.col("jaccard") >= 0.3))
+    from ..operators.dedup import minhash_lsh_duplicate_pairs
+    return minhash_lsh_duplicate_pairs(
+        load_table(spark, sf_dir, "documents"), MINHASH_COEFFS,
+        bands=_BANDS, threshold=0.3)
 
 
 @register(
@@ -385,49 +347,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT doc_id, lang, {_shingles_sql()} AS sh FROM base WHERE len(toks) >= 3
-    )
+    ),
+    hs AS (
+      SELECT doc_id, lang, list_distinct([{_h32_sql('s')} for s in sh]) AS hsd
+      FROM sh
+    ),
+    hn AS (SELECT doc_id, lang, hsd, len(hsd) AS n FROM hs)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.3
+           len(list_intersect(a.hsd, b.hsd))::DOUBLE
+             / (a.n + b.n - len(list_intersect(a.hsd, b.hsd)))::DOUBLE AS jaccard
+    FROM hn a JOIN hn b ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND least(a.n, b.n)::DOUBLE >= 0.3 * greatest(a.n, b.n)::DOUBLE
+    WHERE len(list_intersect(a.hsd, b.hsd))::DOUBLE
+             / (a.n + b.n - len(list_intersect(a.hsd, b.hsd)))::DOUBLE >= 0.3
     """,
     doc="Exact n-gram Jaccard with language blocking — the brute "
-        "baseline the LSH plan approximates. Blocking keys bound the "
-        "pair count; at scale replace lang with LSH bands (above).",
+        "baseline the LSH plan approximates (quadratic within a block "
+        "by design). Two exact cost cuts: a size-ratio prefilter "
+        "(J(A,B) <= min/max of the set sizes, so pairs failing the "
+        "ratio can never reach the threshold — no false negatives) and "
+        "|A∪B| = na+nb-|A∩B| so only the intersection is materialized. "
+        "Shingles compared as 8-byte hashes, not strings.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    sh = (d.filter(F.size(toks) >= 3)
-            .select("doc_id", "lang",
-                    F.array_distinct(word_ngrams(F.col("text"), 3)).alias("sh")))
-    a, b = sh.alias("a"), sh.alias("b")
-    j = a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-    jac = (F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-           / F.size(F.array_union("a.sh", "b.sh")).cast("double"))
-    return (j.select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"), jac.alias("jaccard"))
-             .filter(F.col("jaccard") >= 0.3))
+    from ..operators.dedup import ngram_jaccard_pairs as op
+    return op(load_table(spark, sf_dir, "documents"), block_col="lang",
+              threshold=0.3)
 
 
 _SIMHASH_BITS = 32
-
-
-def _bit_vote(b: int):
-    """Factory → 2-arg merge lambda for the per-bit ±1 majority sum."""
-    return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
-
-
-def _simhash_expr(text: Column) -> Column:
-    hs = F.transform(word_tokens(F.lower(text)), _h32)
-    total = F.lit(0).cast("bigint")
-    for b in range(_SIMHASH_BITS):
-        bit_sum = F.aggregate(hs, F.lit(0).cast("bigint"), _bit_vote(b))
-        total = total + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return total
 
 
 def _simhash_sql() -> str:
@@ -456,11 +404,8 @@ def _simhash_sql() -> str:
         "projection (no explode, no shuffle).",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    sh = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")) \
-          .otherwise(_simhash_expr(F.col("text")))
-    return d.select("doc_id", sh.alias("simhash"))
+    from ..operators.dedup import simhash_64
+    return simhash_64(load_table(spark, sf_dir, "documents"))
 
 
 _REG["simhash_docs"] = _QS(fn=_REG["simhash_docs"].fn, oracle=_simhash_sql(),
@@ -476,26 +421,9 @@ _REG["simhash_docs"] = _QS(fn=_REG["simhash_docs"].fn, oracle=_simhash_sql(),
         "at least one band, so candidate recall is exact).",
 )
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    base = d.filter(F.size(toks) > 0).select(
-        "doc_id", _simhash_expr(F.col("text")).alias("simhash"))
-    base = base.withColumns({
-        f"band_{j}": F.shiftright(F.col("simhash"), 8 * j) % 256
-        for j in range(4)
-    })
-    a, b = base.alias("a"), base.alias("b")
-    pairs = None
-    for j in range(4):
-        p = a.join(b, (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-        pairs = p if pairs is None else pairs.union(p)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.select("doc_a", "doc_b", ham.alias("hamming"))
-                 .filter(F.col("hamming") <= 3))
+    from ..operators.dedup import simhash_duplicate_pairs
+    return simhash_duplicate_pairs(load_table(spark, sf_dir, "documents"),
+                                   max_hamming=3)
 
 
 def _simhash_pairs_sql() -> str:
@@ -555,20 +483,11 @@ def _cosine_sql(a: str, b: str) -> str:
         "window-rank. zip_with/aggregate keeps the dot product JVM-side.",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import brute_force_topk
     e = load_table(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 10)
-          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")))
-    sims = (e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-              .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                      cosine_similarity(F.col("qv"), F.col("embedding"))
-                      .alias("cosine")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= 10)
-                .select("q_id", "neighbor_id", "rank",
-                        F.round("cosine", 6).alias("cosine")))
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return brute_force_topk(e, q, k=10)
 
 
 def _hyperplane_sql(vec: str) -> str:
@@ -582,15 +501,6 @@ def _hyperplane_sql(vec: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _hyperplane_bucket(vec: Column) -> Column:
-    bucket = F.lit(0)
-    for j, hp in enumerate(HYPERPLANES):
-        lit = F.array(*[F.lit(v) for v in hp])
-        dot = F.aggregate(
-            F.zip_with(vec, lit, lambda x, h: x.cast("double") * h),
-            F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
 
 
 @register(
@@ -619,24 +529,10 @@ def _hyperplane_bucket(vec: Column) -> Column:
         "Equi-join on bucket → plain hash join, AQE handles bucket skew.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-    from ..functions.vectors import cosine_similarity
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "embedding",
-                   _hyperplane_bucket(F.col("embedding")).alias("bucket"))
-    q = (e.filter(F.col("vec_id") < 10)
-          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
-                  F.col("bucket").alias("q_bucket")))
-    sims = (e.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket"))
-                   & (F.col("vec_id") != F.col("q_id")))
-              .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                      cosine_similarity(F.col("qv"), F.col("embedding"))
-                      .alias("cosine")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= 3)
-                .select("q_id", "neighbor_id", "rank",
-                        F.round("cosine", 6).alias("cosine")))
+    from ..operators.similarity import lsh_bucketed_topk
+    return lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"),
+                             HYPERPLANES, k=3,
+                             query_filter=F.col("vec_id") < 10)
 
 
 @register(
@@ -653,13 +549,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "becomes the LSH bucket (previous query) instead of label.",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine_similarity
-    e = load_table(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    j = a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (j.select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"), cos.alias("cosine"))
-             .filter(F.col("cosine") >= 0.45)
-             .withColumn("cosine", F.round("cosine", 6)))
+    from ..operators.similarity import embedding_near_duplicates
+    return embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"),
+                                     block_col="label", threshold=0.45)

@@ -30,11 +30,14 @@ ENVELOPE_COLUMNS = ("body", "partition", "offset", "enqueued_at")
 
 
 def avro_available(spark: SparkSession) -> bool:
-    """True if the spark-avro datasource is on the classpath (it is a
-    separate artifact not bundled with pip pyspark)."""
+    """True if the spark-avro datasource is registered (it is a
+    separate artifact not bundled with pip pyspark — a bare classpath
+    probe is not enough, Spark 4 ships some sql.avro classes in core
+    without registering the source)."""
     try:
-        jvm = spark._jvm  # noqa: SLF001 — classpath probe only
-        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+        jvm = spark._jvm  # noqa: SLF001 — datasource-registry probe only
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf())
         return True
     except Exception:
         return False

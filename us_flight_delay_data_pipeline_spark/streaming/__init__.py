@@ -1,0 +1,11 @@
+from .ingest import (
+    stream_envelope_source,
+    stream_silver,
+    stream_silver_foreach_batch,
+    stream_hourly_kpis,
+)
+
+__all__ = [
+    "stream_envelope_source", "stream_silver",
+    "stream_silver_foreach_batch", "stream_hourly_kpis",
+]
