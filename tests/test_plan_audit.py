@@ -1,0 +1,93 @@
+"""Physical-plan audits (the 100 TB posture, SURVEY.md §4): these
+assert the *plan shapes* that make the engine scale — filter/column
+pushdown into the parquet scan, broadcast joins for dimension chains,
+TakeOrderedAndProject for top-k, partial+final hash aggregation, and
+no shuffle on row-grain projections. A regression here is a
+performance bug even if results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from us_flight_delay_data_pipeline_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    m = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(m)
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+    return run
+
+
+def test_filter_and_column_pushdown(q):
+    p = plan(q("filtered_projection"))
+    assert "PushedFilters:" in p
+    # the equality and range predicates reach the scan
+    assert "EqualTo(l_returnflag,N)" in p.replace(" ", "")
+    # column pruning: the scan reads only the needed columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_chain_is_all_broadcast(q):
+    p = plan(q("region_revenue"), "simple")
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+
+
+def test_topk_uses_take_ordered(q):
+    p = plan(q("topk_orders"), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort node
+
+
+def test_agg_is_partial_then_final(q):
+    p = plan(q("monthly_trend"), "simple")
+    # map-side combine: two HashAggregate levels around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert "partial" in plan(q("monthly_trend"), "formatted").lower()
+
+
+def test_row_grain_projection_has_no_shuffle(q):
+    p = plan(q("master_derive"), "simple")
+    assert "Exchange" not in p
+
+
+def test_semi_and_anti_join_plans(q):
+    assert "LeftSemi" in plan(q("customers_with_open_orders"), "extended")
+    assert "LeftAnti" in plan(q("customers_without_orders"), "extended")
+
+
+def test_asof_join_is_hash_not_nested_loop(q):
+    p = plan(q("asof_latest_order"), "simple")
+    # the equi key keeps it a hash join; range bound is post-join filter
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_on_silver_shapes(q):
+    # the flagship path must stay inside codegen (no BatchEvalPython);
+    # AQE hides codegen stages in the static plan, so use codegen mode
+    for name in ("monthly_trend", "master_derive", "flag_shares"):
+        assert "BatchEvalPython" not in plan(q(name), "simple")
+        assert "WholeStageCodegen" in plan(q(name), "codegen")
+
+
+def test_no_python_udfs_in_any_query(q):
+    """Every registered query must stay JVM-side — zero Python worker
+    round-trips in the hot path (SURVEY.md §2.9 contract)."""
+    for name in REGISTRY:
+        p = plan(q(name), "simple")
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name

@@ -45,4 +45,5 @@ def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side-effect: registration)."""
     from . import relational  # noqa: F401
     from . import llm_ext  # noqa: F401
+    from . import functions_coverage  # noqa: F401
     return REGISTRY

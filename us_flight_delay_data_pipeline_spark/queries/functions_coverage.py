@@ -1,0 +1,277 @@
+"""Scalar-function and silver-path coverage queries (SURVEY.md §2.8).
+
+``envelope_silver_roundtrip`` is the important one: it runs the ENTIRE
+silver contract (JSON-envelope encode → binary → decode+truncation
+repair → from_json → null-drop → try-cast → aggregate) under the
+driver's DuckDB oracle gate, including corrupt bodies — the oracle
+mirrors the byte-level repair semantics (trim to last '}').
+
+Numeric-function coverage sticks to operations with exactly-defined
+IEEE semantics (abs/ceil/floor/round/sqrt/mod) — exp/ln/pow are
+platform-library dependent in the last bit and would flake the
+value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+from .relational import DEC, dsum, _osum
+
+
+@register(
+    "envelope_silver_roundtrip",
+    f"""
+    WITH payload AS (
+      SELECT to_json(struct_pack(
+               orderkey := o_orderkey::VARCHAR,
+               status := o_orderstatus,
+               custkey := o_custkey::VARCHAR,
+               totalprice := printf('%.2f', o_totalprice)))
+             || CASE WHEN o_orderkey % 3 = 0 THEN 'TRAILING-GARBAGE' ELSE '' END
+             AS s
+      FROM orders
+    ),
+    repaired AS (
+      SELECT CASE WHEN strpos(reverse(s), '}}') > 0
+                  THEN s[1 : length(s) - strpos(reverse(s), '}}') + 1]
+                  ELSE s END AS body_str
+      FROM payload
+    ),
+    parsed AS (
+      SELECT TRY_CAST(json_extract_string(body_str, '$.orderkey') AS BIGINT) AS orderkey,
+             json_extract_string(body_str, '$.status') AS status,
+             TRY_CAST(json_extract_string(body_str, '$.custkey') AS BIGINT) AS custkey,
+             TRY_CAST(json_extract_string(body_str, '$.totalprice') AS DOUBLE) AS totalprice
+      FROM repaired
+    )
+    SELECT status, COUNT(*) AS n_orders,
+           {_osum('totalprice')} AS total_price,
+           CAST(max(custkey) AS BIGINT) AS max_custkey
+    FROM parsed WHERE orderkey IS NOT NULL
+    GROUP BY status
+    """,
+    doc="The full silver contract (EP2) under the oracle gate: "
+        "JSON-in-binary envelope with deliberate trailing corruption on "
+        "1/3 of rows → native decode + trim-to-last-'}}' repair "
+        "(ETL/…ipynb:1194-1206 semantics, zero Python UDFs) → "
+        "from_json → null-drop → try-cast → aggregate.",
+)
+def envelope_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+    from ..functions.core import decode_and_repair_body
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.to_json(F.struct(
+            F.col("o_orderkey").cast("string").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_custkey").cast("string").alias("custkey"),
+            F.format_string("%.2f", F.col("o_totalprice")).alias("totalprice"),
+        )),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("TRAILING-GARBAGE"))
+         .otherwise(F.lit("")),
+    )
+    bronze = o.select(F.encode(payload, "UTF-8").alias("body"))
+    schema = StructType([StructField(f, StringType(), True)
+                         for f in ("orderkey", "status", "custkey", "totalprice")])
+    silver = (bronze
+              .withColumn("body_str", decode_and_repair_body(F.col("body")))
+              .select(F.from_json("body_str", schema).alias("data"))
+              .select("data.*")
+              .na.drop(subset=["orderkey"])
+              .withColumns({"orderkey": F.col("orderkey").try_cast("bigint"),
+                            "custkey": F.col("custkey").try_cast("bigint"),
+                            "totalprice": F.col("totalprice").try_cast("double")}))
+    return silver.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        dsum("totalprice").alias("total_price"),
+        F.max("custkey").alias("max_custkey"),
+    )
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           replace(c_mktsegment, 'URE', '*') AS seg_replaced,
+           lpad(c_custkey::VARCHAR, 8, '0') AS key_padded,
+           concat(c_mktsegment, '#', c_custkey::VARCHAR) AS seg_key,
+           (c_name LIKE '%er%') AS has_er,
+           trim('  ' || c_mktsegment || ' ') AS seg_trimmed
+    FROM customer
+    """,
+    doc="String-function surface: upper/substr/length/replace/lpad/"
+        "concat/LIKE/trim — all whole-stage-codegen expressions.",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("URE"), F.lit("*")).alias("seg_replaced"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.concat("c_mktsegment", F.lit("#"),
+                 F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.col("c_name").like("%er%").alias("has_er"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" ")))
+         .alias("seg_trimmed"),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           (o_orderdate + INTERVAL 30 DAY)::DATE AS due_date,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER)
+             AS days_to_2002,
+           last_day(o_orderdate::DATE) AS month_end
+    FROM orders
+    """,
+    doc="Date/time surface: year/quarter/month/day parts, day-of-week "
+        "(Spark 1=Sunday convention; oracle shifted to match), interval "
+        "arithmetic, datediff, last_day.",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0) AS abs_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           floor(l_discount * l_extendedprice * 100.0 + 0.5) / 100.0 AS discount_amt,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS dev_sign,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+    doc="Math surface restricted to exactly-defined IEEE ops "
+        "(abs/ceil/floor/round/sqrt/mod/sign/greatest/least) — "
+        "transcendentals are platform-dependent in the last bit and "
+        "would flake cross-engine value hashes; 2-dp rounding is spelled "
+        "as floor(x*100+0.5)/100 because both round() and double->decimal "
+        "casts resolve representation-boundary ties differently across "
+        "engines.",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("abs_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        (F.floor(F.col("l_discount") * F.col("l_extendedprice") * 100.0
+                 + 0.5) / 100.0).alias("discount_amt"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("dev_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(nullif(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+             AS n_nonzero_k,
+           CAST(SUM(coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT),
+                             -1)) AS BIGINT) AS sum_k_or_neg1,
+           CAST(SUM(CASE WHEN value > 50 THEN 1 WHEN value > 10 THEN 2 ELSE 3 END)
+             AS BIGINT) AS case_weighted
+    FROM events GROUP BY event_type
+    """,
+    doc="Conditional surface: coalesce / nullif / multi-arm CASE over "
+        "permissively-parsed JSON (null-on-malformed).",
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.nullif(k, F.lit(0))).alias("n_nonzero_k"),
+        F.sum(F.coalesce(k, F.lit(-1))).alias("sum_k_or_neg1"),
+        F.sum(F.when(F.col("value") > 50, 1)
+               .when(F.col("value") > 10, 2)
+               .otherwise(3)).alias("case_weighted"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_counts",
+    f"""
+    SELECT user_id % 10 AS user_bucket,
+           {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id % 10
+    """,
+    doc="Pivot (wide aggregation): event counts per user bucket × "
+        "type. Fixed pivot values → single-pass hash-agg, no second "
+        "distinct scan.",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = (e.withColumn("user_bucket", F.col("user_id") % 10)
+          .groupBy("user_bucket")
+          .pivot("event_type", list(_EVENT_TYPES))
+          .count())
+    # pivot yields NULL for empty cells; the oracle's COUNT(CASE) yields 0
+    return p.select("user_bucket",
+                    *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+                      for t in _EVENT_TYPES])
+
+
+@register(
+    "scalar_subquery_filter",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 0.9 * (SELECT max(o_totalprice) FROM orders)
+    """,
+    doc="Scalar subquery in a predicate (Catalyst plans the subquery "
+        "as a one-row broadcast; the outer scan stays a single pass).",
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_ssq_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM _ssq_orders
+        WHERE o_totalprice >= 0.9 * (SELECT max(o_totalprice) FROM _ssq_orders)
+    """)
