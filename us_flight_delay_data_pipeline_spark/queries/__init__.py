@@ -46,4 +46,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import llm_ext  # noqa: F401
     from . import functions_coverage  # noqa: F401
+    from . import sessions_and_ann  # noqa: F401
     return REGISTRY

@@ -1,0 +1,243 @@
+"""Sessionization, IVF-style ANN, and exact percentiles.
+
+Sessionization runs twice under the oracle gate: once via Spark's
+native ``session_window`` (gap-merge) and once via the classic
+lag/cumsum formulation — for *point* events the two are provably the
+same partitioning (a session breaks exactly when the gap to the
+previous event exceeds the threshold), so one DuckDB oracle
+(lag/cumsum, the only form ANSI SQL can express) checks both.
+
+IVF: a training-free coarse quantizer — a fixed set of corpus vectors
+acts as centroids, every vector is assigned to its max-cosine
+centroid (deterministic tie-break), queries probe their own cell.
+This is the other standard ANN layout next to hyperplane-LSH
+(ann_lsh_topk); at 100 TB the cell id becomes the partition key so a
+probe touches one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+from .relational import dsum, _osum
+
+SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM e
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           {_osum('value')} AS total_value
+    FROM s GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "sessionize_events",
+    _SESSION_ORACLE,
+    doc="Gap-based sessionization (lag + cumulative new-session flags): "
+        "one window shuffle on user_id, then a hash-agg on "
+        "(user, session). The streaming twin is session_window/"
+        "applyInPandasWithState in streaming/.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > gap_us),
+        1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.withColumn("new_sess", new_sess) \
+         .withColumn("session_idx", F.sum("new_sess").over(cum).cast("bigint"))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "session_window_native",
+    f"""
+    WITH base AS ({_SESSION_ORACLE})
+    SELECT user_id, n_events, session_start,
+           session_end + INTERVAL {SESSION_GAP_MIN} MINUTE AS window_end,
+           total_value
+    FROM base
+    """,
+    doc="Spark-native session_window (gap-merge aggregation). For "
+        "point events this partitions identically to the lag/cumsum "
+        "form; window_end = last event + gap by definition, which is "
+        "what the oracle reconstructs.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("user_id",
+                      F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts").alias("session_start"),
+                  dsum("value").alias("total_value"))
+             .select("user_id", "n_events", "session_start",
+                     F.col("session_window.end").alias("window_end"),
+                     "total_value"))
+
+
+_IVF_CENTROID_IDS = tuple(range(0, 320, 20))  # 16 fixed corpus vectors
+
+
+def _ivf_assign_sql() -> str:
+    """Oracle: cell = argmax-cosine centroid (tie → lowest centroid id)."""
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    return f"""
+    cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.c_id,
+             list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                                     p -> p[1] * p[2]))
+               / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding]))
+                  * sqrt(list_sum([x * x for x in c.cv]))) AS sim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, c_id) AS rn
+      FROM scored
+    )"""
+
+
+@register(
+    "ann_ivf_cells",
+    f"""
+    WITH {_ivf_assign_sql()}
+    SELECT c_id AS cell, COUNT(*) AS n_vectors
+    FROM assigned WHERE rn = 1 GROUP BY c_id
+    """,
+    doc="IVF coarse quantization: assign every vector to its "
+        "max-cosine centroid (16 fixed corpus vectors as a "
+        "training-free codebook). The cell histogram is the load-"
+        "balance diagnostic an IVF index needs before choosing nlist.",
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assign(spark, sf_dir)
+    return assigned.groupBy(F.col("c_id").alias("cell")).agg(
+        F.count("*").alias("n_vectors"))
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import vec_dot, vec_norm
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.filter(F.col("vec_id").isin(*_IVF_CENTROID_IDS))
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("cv"),
+                     vec_norm(F.col("embedding")).alias("cnrm")))
+    scored = (e.select("vec_id", "embedding",
+                       vec_norm(F.col("embedding")).alias("nrm"))
+                .crossJoin(F.broadcast(cent))
+                .withColumn("sim",
+                            vec_dot(F.col("embedding"), F.col("cv"))
+                            / (F.col("nrm") * F.col("cnrm"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("vec_id", "embedding", "c_id"))
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_ivf_assign_sql()},
+    cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, c_id AS q_cell
+          FROM cells WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.qv::DOUBLE[], c.embedding::DOUBLE[]),
+                                     p -> p[1] * p[2]))
+               / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in q.qv]))
+                  * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in c.embedding]))) AS cosine
+      FROM q JOIN cells c ON c.c_id = q.q_cell AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sims)
+    WHERE rank <= 3
+    """,
+    doc="IVF probe: top-k within the query's own cell (nprobe=1). "
+        "Complements hyperplane-LSH: data-adaptive cells vs oblivious "
+        "hyperplanes. At 100 TB the corpus is partitioned by cell, so "
+        "one probe = one partition read.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import vec_dot, vec_norm
+    cells = _ivf_assign(spark, sf_dir) \
+        .withColumn("nrm", vec_norm(F.col("embedding"))).persist()
+    q = (cells.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("qv"),
+                      F.col("c_id").alias("q_cell"),
+                      F.col("nrm").alias("qnrm")))
+    sims = (cells.join(F.broadcast(q), (F.col("c_id") == F.col("q_cell"))
+                       & (F.col("vec_id") != F.col("q_id")))
+                 .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                         (vec_dot(F.col("qv"), F.col("embedding"))
+                          / (F.col("qnrm") * F.col("nrm"))).alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3)
+                .select("q_id", "neighbor_id", "rank",
+                        F.round("cosine", 6).alias("cosine")))
+
+
+@register(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99,
+           CAST(max(l_quantity) AS DOUBLE) AS p100
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile`"
+        " == SQL quantile_cont: both linear-interpolate the sorted "
+        "values). Exact percentile is a sort-based aggregate — at "
+        "100 TB prefer approx_percentile (t-digest) and accept the "
+        "error bound; this query is the exactness baseline.",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+        F.percentile("l_quantity", 0.99).alias("p99"),
+        F.max("l_quantity").cast("double").alias("p100"),
+    )
