@@ -139,21 +139,47 @@ def simhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
-                        ngram: int = 3, threshold: float = 0.3) -> DataFrame:
+                        ngram: int = 3, threshold: float = 0.3,
+                        n_buckets: int = 32) -> DataFrame:
     """Exact n-gram Jaccard within a blocking key — the brute baseline
     LSH approximates (quadratic within a block by design). Exact cost
     cuts: size-ratio prefilter (no false negatives) and derived union
-    size."""
+    size.
+
+    The blocking key is low-cardinality (languages), so a plain
+    self-join on it serializes each block's O(n²) verification into
+    one task — AQE can't split it because the skew is CPU-quadratic,
+    not shuffle-bytes. We bucket-parallelize instead: side B keys on
+    ``pmod(xxhash64(id), n_buckets)``, side A is replicated across all
+    buckets, and the join key becomes (block, bucket) — every pair is
+    still compared exactly once (A meets B only in B's bucket), but
+    the quadratic work fans out over block×bucket tasks. Replication
+    multiplies A's shuffle volume by n_buckets; that is the standard
+    trade for an all-pairs join and stays linear in corpus size."""
     toks = word_tokens(F.lower(F.col(text_col)))
     sh = (df.filter(F.size(toks) >= ngram)
             .select(F.col(id_col), F.col(block_col),
                     _shingle_hashes(F.col(text_col), ngram).alias("hsd"))
             .withColumn("n", F.size("hsd"))
             .persist())
-    a, b = sh.alias("a"), sh.alias("b")
+    # Explicit numPartitions on both sides: the pairs are tiny in
+    # bytes, so AQE's byte-based coalescing would otherwise squash the
+    # quadratic-CPU join back into one task. A user-specified
+    # repartition is exempt from coalescing, and hash-partitioning
+    # both sides on the join keys co-partitions them (no extra
+    # shuffle at the join).
+    n_part = max(n_buckets, df.sparkSession.sparkContext.defaultParallelism)
+    a = (sh.withColumn(
+             "_bkt", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))))
+           .repartition(n_part, block_col, "_bkt").alias("a"))
+    b = (sh.withColumn(
+             "_bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+                      .cast("int"))
+           .repartition(n_part, block_col, "_bkt").alias("b"))
     size_ok = (F.least(F.col("a.n"), F.col("b.n")).cast("double")
                >= threshold * F.greatest(F.col("a.n"), F.col("b.n")).cast("double"))
     j = a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+               & (F.col("a._bkt") == F.col("b._bkt"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_ok)
     cands = j.select(F.col(f"a.{id_col}").alias("doc_a"),
                      F.col(f"b.{id_col}").alias("doc_b"),
