@@ -16,8 +16,23 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "safe_div", "year_month", "rowwise_total", "try_cast_columns",
-    "decode_and_repair_body", "normalize_columns_lower",
+    "decode_and_repair_body", "normalize_columns_lower", "rebalance",
 ]
+
+
+def rebalance(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism before a
+    CPU-heavy projection.
+
+    Text/JSON-per-row pipelines are often compute-bound on inputs that
+    are small in *bytes* — the file scan's byte-based splitting (and
+    AQE's byte-based coalescing) then runs the whole projection in one
+    or two tasks. One cheap shuffle of raw rows buys full-width
+    compute. At 100 TB the scan is already wide, so this degrades to a
+    proportionally tiny rebalance; an explicit numPartitions keeps AQE
+    from re-coalescing it."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 def safe_div(num: Column, den: Column) -> Column:

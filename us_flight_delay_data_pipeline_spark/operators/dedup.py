@@ -18,8 +18,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.core import rebalance
 from ..functions.text import word_ngrams, word_tokens
 from .hashing import band_key, h32, minhash_signature, rolling_fingerprint, simhash32
+from .skew import all_pairs_within_block
 
 __all__ = [
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
@@ -28,6 +30,9 @@ __all__ = [
 ]
 
 DEFAULT_MINHASH_COEFFS: list[tuple[int, int]] | None = None  # set by queries
+
+
+_spread = rebalance  # CPU-heavy projections need width, not bytes
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
@@ -61,7 +66,7 @@ def minhash_signatures(df: DataFrame, coeffs: list[tuple[int, int]],
     persisted, ready for band joins."""
     toks = word_tokens(F.lower(F.col(text_col)))
     sh = word_ngrams(F.col(text_col), ngram)
-    return (df.filter(F.size(toks) >= ngram)
+    return (_spread(df.filter(F.size(toks) >= ngram))
               .select(F.col(id_col),
                       _shingle_hashes(F.col(text_col), ngram).alias("hsd"),
                       minhash_signature(sh, coeffs).alias("sig"))
@@ -106,7 +111,7 @@ def simhash_64(df: DataFrame, text_col: str = "text",
     toks = word_tokens(F.lower(F.col(text_col)))
     sh = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")) \
           .otherwise(simhash32(toks))
-    return df.select(id_col, sh.alias("simhash"))
+    return _spread(df).select(id_col, sh.alias("simhash"))
 
 
 def simhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
@@ -117,7 +122,7 @@ def simhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     Pigeonhole: with 4 bands any pair within distance 3 shares a band,
     so recall is exact for max_hamming <= 3."""
     toks = word_tokens(F.lower(F.col(text_col)))
-    base = (df.filter(F.size(toks) > 0)
+    base = (_spread(df.filter(F.size(toks) > 0))
               .select(F.col(id_col), simhash32(toks).alias("simhash"))
               .withColumns({f"band_{j}": F.shiftright(F.col("simhash"), 8 * j) % 256
                             for j in range(4)})
@@ -144,43 +149,19 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     """Exact n-gram Jaccard within a blocking key — the brute baseline
     LSH approximates (quadratic within a block by design). Exact cost
     cuts: size-ratio prefilter (no false negatives) and derived union
-    size.
-
-    The blocking key is low-cardinality (languages), so a plain
-    self-join on it serializes each block's O(n²) verification into
-    one task — AQE can't split it because the skew is CPU-quadratic,
-    not shuffle-bytes. We bucket-parallelize instead: side B keys on
-    ``pmod(xxhash64(id), n_buckets)``, side A is replicated across all
-    buckets, and the join key becomes (block, bucket) — every pair is
-    still compared exactly once (A meets B only in B's bucket), but
-    the quadratic work fans out over block×bucket tasks. Replication
-    multiplies A's shuffle volume by n_buckets; that is the standard
-    trade for an all-pairs join and stays linear in corpus size."""
+    size. The quadratic verification fans out over block×bucket tasks
+    via :func:`all_pairs_within_block` (a plain block self-join would
+    serialize each language's O(n²) work into one AQE-coalesced
+    task)."""
     toks = word_tokens(F.lower(F.col(text_col)))
-    sh = (df.filter(F.size(toks) >= ngram)
+    sh = (_spread(df.filter(F.size(toks) >= ngram))
             .select(F.col(id_col), F.col(block_col),
                     _shingle_hashes(F.col(text_col), ngram).alias("hsd"))
             .withColumn("n", F.size("hsd"))
             .persist())
-    # Explicit numPartitions on both sides: the pairs are tiny in
-    # bytes, so AQE's byte-based coalescing would otherwise squash the
-    # quadratic-CPU join back into one task. A user-specified
-    # repartition is exempt from coalescing, and hash-partitioning
-    # both sides on the join keys co-partitions them (no extra
-    # shuffle at the join).
-    n_part = max(n_buckets, df.sparkSession.sparkContext.defaultParallelism)
-    a = (sh.withColumn(
-             "_bkt", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))))
-           .repartition(n_part, block_col, "_bkt").alias("a"))
-    b = (sh.withColumn(
-             "_bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
-                      .cast("int"))
-           .repartition(n_part, block_col, "_bkt").alias("b"))
     size_ok = (F.least(F.col("a.n"), F.col("b.n")).cast("double")
                >= threshold * F.greatest(F.col("a.n"), F.col("b.n")).cast("double"))
-    j = a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-               & (F.col("a._bkt") == F.col("b._bkt"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_ok)
+    j = all_pairs_within_block(sh, block_col, id_col, n_buckets).filter(size_ok)
     cands = j.select(F.col(f"a.{id_col}").alias("doc_a"),
                      F.col(f"b.{id_col}").alias("doc_b"),
                      F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))

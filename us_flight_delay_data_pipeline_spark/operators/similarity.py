@@ -100,12 +100,13 @@ def embedding_near_duplicates(corpus: DataFrame, block_col: str,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (label,
-    LSH bucket, ...). The embedding variant of fuzzy dedup."""
+    LSH bucket, ...). The embedding variant of fuzzy dedup. The
+    quadratic dot-product work is bucket-parallelized — see
+    :func:`..operators.skew.all_pairs_within_block`."""
+    from .skew import all_pairs_within_block
     e = corpus.select(id_col, block_col, vec_col,
                       vec_norm(F.col(vec_col)).alias("_nrm"))
-    a, b = e.alias("a"), e.alias("b")
-    j = a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    j = all_pairs_within_block(e, block_col, id_col)
     denom = F.col("a._nrm") * F.col("b._nrm")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(
         vec_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / denom)

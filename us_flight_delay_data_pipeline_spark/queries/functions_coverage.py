@@ -62,8 +62,10 @@ from .relational import DEC, dsum, _osum
 )
 def envelope_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import StringType, StructField, StructType
-    from ..functions.core import decode_and_repair_body
-    o = load_table(spark, sf_dir, "orders")
+    from ..functions.core import decode_and_repair_body, rebalance
+    # per-row JSON encode→decode→parse is compute-bound on small
+    # bytes: spread it across the cluster first
+    o = rebalance(load_table(spark, sf_dir, "orders"))
     payload = F.concat(
         F.to_json(F.struct(
             F.col("o_orderkey").cast("string").alias("orderkey"),

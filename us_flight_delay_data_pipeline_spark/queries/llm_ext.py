@@ -288,15 +288,17 @@ def _signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="MinHash signatures: distinct word-3-gram shingles → 16 "
         "universal-hash minima, computed in a single array-aggregate "
-        "pass (md5 once per shingle). Per-row map, no shuffle; the "
-        "signature is 128 bytes regardless of document size.",
+        "pass (md5 once per shingle). One round-robin rebalance before "
+        "the projection (compute-bound on small bytes); the signature "
+        "is 128 bytes regardless of document size.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread
     from ..operators.hashing import minhash_signature
     d = load_table(spark, sf_dir, "documents")
     toks = word_tokens(F.lower(F.col("text")))
     sh = word_ngrams(F.col("text"), 3)
-    return (d.filter(F.size(toks) >= 3)
+    return (_spread(d.filter(F.size(toks) >= 3))
              .select("doc_id", minhash_signature(sh, MINHASH_COEFFS).alias("sig")))
 
 
