@@ -47,4 +47,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import llm_ext  # noqa: F401
     from . import functions_coverage  # noqa: F401
     from . import sessions_and_ann  # noqa: F401
+    from . import multimodal_media  # noqa: F401
     return REGISTRY

@@ -1,0 +1,121 @@
+"""Multimodal-column queries under the driver's oracle gate.
+
+The testdata has no real media, so a deterministic synthetic media
+table is derived from ``documents``: ``content`` is the UTF-8 encoding
+of ``repeat(md5(text), 1 + doc_id % 5)`` — ASCII by construction, so
+byte offsets and character offsets coincide and DuckDB (which has no
+BLOB substring) can mirror Spark's byte-level chunking exactly. The
+point is not the fake payload; it is that the *Spark-side mechanics*
+the multimodal module ships (BinaryType envelope + typed metadata,
+native-expression fingerprinting, mapInPandas Arrow fan-out) run under
+the same differential harness as every relational operator.
+
+``media_image_features`` is rows-only (no oracle): the byte-histogram
+fake stands in for a vision encoder, and float-array outputs are not
+hash-stable across engines anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+
+_KINDS = ("image", "audio", "video")
+
+_MEDIA_CTE = """
+    media AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             repeat(md5(text), 1 + (doc_id % 5)::INT) AS payload
+      FROM documents
+    )
+"""
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic media envelope (media_id, kind, content)."""
+    d = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    payload = F.repeat(F.md5(F.col("text").cast("binary")),
+                       (F.col("doc_id") % 5 + 1).cast("int"))
+    return d.select(F.col("doc_id").alias("media_id"),
+                    kind.alias("kind"),
+                    F.encode(payload, "UTF-8").alias("content"))
+
+
+@register(
+    "media_metadata",
+    f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, kind,
+           octet_length(encode(payload)) AS n_bytes,
+           sha256(payload) AS sha_hex
+    FROM media
+    """,
+    doc="Opaque-binary media envelope + native-expression metadata "
+        "(byte size, sha2-256 fingerprint) — the cheap pre-decode "
+        "stage: at 100 TB media dedup happens on sha_hex BEFORE any "
+        "codec runs. No Python anywhere in this plan.",
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import attach_media_metadata
+    return attach_media_metadata(_media_table(spark, sf_dir)) \
+        .select("media_id", "kind", "n_bytes", "sha_hex")
+
+
+@register(
+    "media_frame_fanout",
+    f"""
+    WITH {_MEDIA_CTE},
+    vids AS (
+      SELECT media_id, payload,
+             octet_length(encode(payload)) AS n FROM media
+      WHERE kind = 'video'
+    ),
+    frames AS (
+      SELECT v.media_id, g.j::INT AS frame_idx,
+             substring(v.payload, 1 + 32 * g.j::INT, 16) AS frame_s
+      FROM vids v,
+           LATERAL (SELECT unnest(range(0, ((v.n + 15) // 16 + 1) // 2)) AS j) g
+    )
+    SELECT media_id, frame_idx,
+           length(frame_s)::BIGINT AS frame_bytes,
+           md5(frame_s) AS frame_md5
+    FROM frames
+    """,
+    doc="Video frame sampling as a 1-to-N mapInPandas fan-out (one "
+        "Arrow batch in, a different number of rows out — the shape a "
+        "scalar UDF cannot express). Fake codec chunks the payload "
+        "into 16-byte 'frames', keeping every 2nd; the oracle mirrors "
+        "the byte math on the ASCII payload. Frames are projected to "
+        "(bytes, md5) for engine-portable value hashing.",
+)
+def media_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import sample_video_frames
+    vids = _media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = sample_video_frames(vids, every_n=2, fake_decode=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register(
+    "media_image_features",
+    None,
+    doc="image binary → float feature vector via mapInPandas "
+        "(deterministic byte-histogram fake standing in for a vision "
+        "encoder; real codec is stubbed behind NotImplementedError). "
+        "Rows-only check: float-array outputs are not hash-portable.",
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import extract_image_features
+    imgs = _media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    return extract_image_features(imgs, dim=8, fake_decode=True)

@@ -4,8 +4,10 @@ from .ingest import (
     stream_silver_foreach_batch,
     stream_hourly_kpis,
 )
+from .sessions import sessionize_stream
 
 __all__ = [
     "stream_envelope_source", "stream_silver",
     "stream_silver_foreach_batch", "stream_hourly_kpis",
+    "sessionize_stream",
 ]
