@@ -1,0 +1,212 @@
+"""Second relational-coverage wave: distinct aggregation, rank-variant
+windows, first/last-value windows, unpivot, order-canonical array
+aggregation, correlated EXISTS through the SQL entry point, and exact
+moment statistics.
+
+Determinism notes (everything here must value-hash identically in
+DuckDB):
+- window tiebreaks always extend the ORDER BY to a unique key;
+- collected arrays are sorted (collect_set order is engine-defined);
+- variance is computed from exact decimal sums with an explicit
+  IEEE-defined final expression, never the engines' ``stddev`` (their
+  accumulation orders differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+from .relational import DEC, _osum, dsum
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT date_trunc('month', o_orderdate::DATE)) AS n_months,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregation (two distinct columns + plain count in "
+        "one pass). Catalyst plans distinct-aggs as a double-expand + "
+        "two-stage HashAggregate; at 100 TB prefer approx_count_"
+        "distinct when ±2% is acceptable — this is the exact baseline.",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        ).alias("n_months"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "window_rank_variants",
+    """
+    SELECT p_brand, p_partkey,
+           dense_rank() OVER w AS price_dense_rank,
+           percent_rank() OVER w AS price_pct_rank,
+           ntile(4) OVER w AS price_quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    QUALIFY dense_rank() OVER w <= 5
+    """,
+    doc="Ranking-window family beyond row_number: dense_rank, "
+        "percent_rank, ntile — one shuffle on the partition key, "
+        "in-partition sort, single Window operator evaluates all "
+        "three. Unique tiebreak (partkey) keeps ntile assignment "
+        "engine-portable.",
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (p.select(
+                "p_brand", "p_partkey",
+                F.dense_rank().over(w).alias("price_dense_rank"),
+                F.percent_rank().over(w).alias("price_pct_rank"),
+                F.ntile(4).over(w).alias("price_quartile"))
+             .filter(F.col("price_dense_rank") <= 5))
+
+
+@register(
+    "first_last_window",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           first_value(ts) OVER w AS first_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value over an unbounded frame (entry/exit "
+        "event per user). The full-frame spec matters: the default "
+        "frame ends at CURRENT ROW, which makes last_value a no-op — "
+        "a classic window-semantics trap both engines share.",
+)
+def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (e.select(
+                "user_id",
+                F.first("event_type").over(w).alias("first_type"),
+                F.last("event_type").over(w).alias("last_type"),
+                F.first("ts").over(w).alias("first_ts"))
+             .distinct())
+
+
+@register(
+    "unpivot_order_measures",
+    f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate::DATE) AS INTEGER) AS year,
+             {_osum('o_totalprice')} AS total_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY 1
+    )
+    SELECT year, measure, value FROM m
+    UNPIVOT (value FOR measure IN (total_price, n_orders, n_customers))
+    """,
+    doc="Wide-to-long unpivot (the inverse of pivot_event_counts): "
+        "DataFrame.unpivot == SQL UNPIVOT/stack. Pure per-row "
+        "expansion — no shuffle beyond the feeding aggregate.",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("year")).agg(
+        dsum("o_totalprice").alias("total_price"),
+        F.count("*").cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"))
+    return m.unpivot("year", ["total_price", "n_orders", "n_customers"],
+                     "measure", "value")
+
+
+@register(
+    "collect_sorted_sets",
+    """
+    SELECT p_brand,
+           list_sort(list_distinct(list(p_type))) AS types,
+           list_sort(list_distinct(list(p_size))) AS sizes
+    FROM part GROUP BY p_brand
+    """,
+    doc="Array aggregation with canonical ordering: collect_set's "
+        "order is engine- and partitioning-defined, so results are "
+        "array_sort-ed before comparison — the only portable contract "
+        "for set-valued aggregates.",
+)
+def collect_sorted_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_sort(F.collect_set("p_type")).alias("types"),
+        F.array_sort(F.collect_set("p_size")).alias("sizes"),
+    )
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > 10 * c.c_acctbal AND c.c_acctbal > 0)
+"""
+
+
+@register(
+    "exists_correlated",
+    _EXISTS_SQL,
+    doc="Correlated EXISTS with a non-equi correlated predicate, "
+        "submitted through spark.sql over registered views — Catalyst "
+        "decorrelates it into a left-semi join with the inequality in "
+        "the join condition (no per-row subquery execution).",
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+@register(
+    "quantity_variance_exact",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {_osum('l_quantity')} AS s1,
+             {_osum('l_quantity * l_quantity')} AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+    FROM s
+    """,
+    doc="Exact sample variance/stddev from decimal-exact power sums "
+        "(engines' native stddev accumulates doubles in "
+        "partition-dependent order). The two-pass-free sum/sumsq "
+        "formulation is also the map-side-combinable one — what a "
+        "100 TB aggregate needs.",
+)
+def quantity_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("l_quantity").alias("s1"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
+         .cast("double").alias("s2"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
+        / (F.col("n") - 1)
+    return s.select("l_returnflag", "n", var.alias("var_samp"),
+                    F.sqrt(var).alias("stddev_samp"))
