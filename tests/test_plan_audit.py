@@ -84,6 +84,50 @@ def test_whole_stage_codegen_on_silver_shapes(q):
         assert "WholeStageCodegen" in plan(q(name), "codegen")
 
 
+def test_sessionize_single_shuffle(q):
+    """Both windows (lag, cumsum) and the (user, session) aggregate
+    must reuse ONE hash partitioning on user_id — the group keys are a
+    superset of the partition key, so no second exchange is legal."""
+    p = plan(q("sessionize_events"), "simple")
+    assert p.count("Exchange") == 1
+
+
+def test_all_pairs_join_is_bucketed(q):
+    """The quadratic dedup joins must show the explicit bucketed
+    repartition (exempt from AQE coalescing) and never degenerate to a
+    nested-loop/cartesian plan."""
+    for name in ("ngram_jaccard_pairs", "embedding_neardup_pairs"):
+        p = plan(q(name), "simple")
+        assert "_bkt" in p, name
+        assert "REPARTITION_BY_NUM" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_exists_decorrelates_to_semi_join(q):
+    """Correlated EXISTS must decorrelate into a semi join with the
+    inequality in the join condition — no per-row subquery."""
+    p = plan(q("exists_correlated"), "simple")
+    assert "LeftSemi" in p
+    assert "Subquery" not in p
+
+
+def test_distinct_agg_and_unpivot_use_expand(q):
+    assert "Expand" in plan(q("distinct_counts"), "simple")
+    assert "Expand" in plan(q("unpivot_order_measures"), "simple")
+
+
+def test_media_fanout_is_arrow_batched(q):
+    """Media decode plumbing: one MapInPandas (Arrow-batched, 1-to-N
+    capable), with column pruning and filters still reaching the scan
+    beneath it."""
+    p = plan(q("media_frame_fanout"), "simple")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read_schema  # only doc_id + text are read
+
+
 def test_no_python_udfs_in_any_query(q):
     """Every registered query must stay JVM-side — zero Python worker
     round-trips in the hot path (SURVEY.md §2.9 contract)."""
