@@ -1,0 +1,96 @@
+"""IVF partitioned-index tests: layout correctness, static partition
+pruning for a literal cell, and dynamic partition pruning for a
+joined query table — the ANN scale path (scan cost per probe =
+corpus/nlist, not corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_flight_delay_data_pipeline_spark.operators.similarity import (
+    assign_ivf_cells, build_ivf_index, probe_ivf_index)
+from us_flight_delay_data_pipeline_spark.sources.registry import load_table
+
+CENTROID_IDS = list(range(0, 160, 20))  # 8 fixed corpus vectors
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return (e.filter(F.col("vec_id").isin(CENTROID_IDS))
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("cv")))
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, centroids, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(load_table(spark, sf_dir, "embeddings"),
+                    centroids, path)
+    return path
+
+
+def test_layout_partitioned_by_cell(spark, index_path):
+    df = spark.read.parquet(index_path)
+    assert "cell" in df.columns
+    # every vector in exactly one cell; all 8 cells or fewer present
+    n_vecs = df.count()
+    assert df.select("vec_id").distinct().count() == n_vecs
+    assert df.select("cell").distinct().count() <= len(CENTROID_IDS)
+
+
+def test_static_cell_filter_prunes_partitions(spark, index_path):
+    df = spark.read.parquet(index_path).filter(F.col("cell") == CENTROID_IDS[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan.replace("#", "")[:10000] \
+        or "PartitionFilters" in plan
+    # the cell predicate must be a partition filter, not a data filter
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "cell" in pf_line
+
+
+def test_probe_uses_dynamic_partition_pruning(spark, sf_dir, centroids,
+                                              index_path):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = assign_ivf_cells(
+        e.filter(F.col("vec_id") < 5), centroids) \
+        .select(F.col("vec_id").alias("q_id"), "embedding", "cell")
+    probe = probe_ivf_index(spark, index_path, queries, k=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_probe_matches_in_cell_bruteforce(spark, sf_dir, centroids,
+                                          index_path):
+    from us_flight_delay_data_pipeline_spark.functions.vectors import (
+        vec_dot, vec_norm)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = assign_ivf_cells(
+        e.filter(F.col("vec_id") < 5), centroids) \
+        .select(F.col("vec_id").alias("q_id"), "embedding", "cell")
+    got = probe_ivf_index(spark, index_path, queries, k=3).collect()
+
+    # reference: per query, rank all same-cell vectors by cosine
+    cells = assign_ivf_cells(e, centroids).collect()
+    by_cell: dict[int, list] = {}
+    for r in cells:
+        by_cell.setdefault(r["cell"], []).append(r)
+    import math
+    want = {}
+    for q in queries.collect():
+        sims = []
+        for r in by_cell[q["cell"]]:
+            if r["vec_id"] == q["q_id"]:
+                continue
+            dot = sum(float(a) * float(b)
+                      for a, b in zip(q["embedding"], r["embedding"]))
+            na = math.sqrt(sum(float(a) ** 2 for a in q["embedding"]))
+            nb = math.sqrt(sum(float(b) ** 2 for b in r["embedding"]))
+            sims.append((r["vec_id"], dot / (na * nb)))
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        want[q["q_id"]] = [v for v, _ in sims[:3]]
+    got_by_q: dict[int, list] = {}
+    for row in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
+        got_by_q.setdefault(row["q_id"], []).append(row["neighbor_id"])
+    assert got_by_q == want
