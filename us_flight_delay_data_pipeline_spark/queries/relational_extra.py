@@ -210,3 +210,43 @@ def quantity_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n") - 1)
     return s.select("l_returnflag", "n", var.alias("var_samp"),
                     F.sqrt(var).alias("stddev_samp"))
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1996-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape — selective dimension filter -> fact join -> "
+        "revenue aggregate -> top-k. The segment filter reaches the "
+        "customer scan, the date filters reach orders/lineitem "
+        "(partition-prunable at scale), customer broadcasts, and the "
+        "final ORDER BY+LIMIT plans TakeOrderedAndProject.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .select("l_orderkey", "revenue", "o_orderdate",
+                      "o_orderpriority")
+              .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+              .limit(10))
