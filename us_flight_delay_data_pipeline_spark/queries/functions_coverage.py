@@ -79,10 +79,17 @@ def envelope_silver_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze = o.select(F.encode(payload, "UTF-8").alias("body"))
     schema = StructType([StructField(f, StringType(), True)
                          for f in ("orderkey", "status", "custkey", "totalprice")])
-    silver = (bronze
+    # persist() = the silver materialization point, and deliberately an
+    # optimizer barrier: without it Catalyst pushes the null-drop
+    # filter (which references the parsed struct) down through the
+    # rebalance exchange, dragging the whole encode->decode->from_json
+    # chain into the single-task scan stage — measured 4x slower.
+    parsed = (bronze
               .withColumn("body_str", decode_and_repair_body(F.col("body")))
               .select(F.from_json("body_str", schema).alias("data"))
               .select("data.*")
+              .persist())
+    silver = (parsed
               .na.drop(subset=["orderkey"])
               .withColumns({"orderkey": F.col("orderkey").try_cast("bigint"),
                             "custkey": F.col("custkey").try_cast("bigint"),
