@@ -45,6 +45,10 @@ def main() -> None:
             t0 = time.time()
             materialize(spec.fn(spark, sf_dir))
             runs.append(time.time() - t0)
+        # queries may persist() intermediates (signature tables, silver
+        # materialization); drop them so later queries are measured
+        # cold and the session doesn't accumulate 60+ caches
+        spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
         print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})",
               file=sys.stderr)
