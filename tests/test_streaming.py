@@ -83,3 +83,27 @@ def test_windowed_kpis(spark, bronze_dir, tmp_path):
     # but the schema contract must hold.
     assert sorted(got.columns) == sorted(
         ["window_start", "carrier", "total_arr_flights", "total_arr_del15"])
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    """At-least-once redelivery: the same bodies arrive twice across
+    micro-batches; the watermarked dedup emits each exactly once."""
+    from us_flight_delay_data_pipeline_spark.streaming.ingest import (
+        stream_dedup_envelopes)
+    src_dir = str(tmp_path / "src")
+    bodies = encode_bodies(make_clean_rows(40))
+    rows = [(b, "0", i, None) for i, b in enumerate(bodies)]
+    df = spark.createDataFrame(rows, ENVELOPE_SCHEMA) \
+              .withColumn("enqueued_at", F.current_timestamp())
+    df.write.mode("overwrite").parquet(src_dir)
+    df.write.mode("append").parquet(src_dir)  # the replay
+
+    src = stream_envelope_source(spark, src_dir, max_files_per_trigger=2)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (stream_dedup_envelopes(src).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == len(bodies)
+    assert got.select("body_md5").distinct().count() == len(bodies)

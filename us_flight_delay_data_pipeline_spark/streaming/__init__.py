@@ -3,11 +3,12 @@ from .ingest import (
     stream_silver,
     stream_silver_foreach_batch,
     stream_hourly_kpis,
+    stream_dedup_envelopes,
 )
 from .sessions import sessionize_stream
 
 __all__ = [
     "stream_envelope_source", "stream_silver",
     "stream_silver_foreach_batch", "stream_hourly_kpis",
-    "sessionize_stream",
+    "stream_dedup_envelopes", "sessionize_stream",
 ]

@@ -121,3 +121,16 @@ def stream_hourly_kpis(envelopes: DataFrame, out_path: str, checkpoint: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def stream_dedup_envelopes(envelopes: DataFrame,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop envelope replays (at-least-once
+    sources redeliver) keyed on the body hash, with state bounded by
+    the event-time watermark — ``dropDuplicatesWithinWatermark`` keeps
+    a key in state only until the watermark passes it, so an unbounded
+    stream can't grow unbounded dedup state. The batch twin is
+    ``operators.dedup.dedup_exact`` (same md5-of-body key)."""
+    keyed = envelopes.withColumn("body_md5", F.md5(F.col("body"))) \
+                     .withWatermark("enqueued_at", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["body_md5"])
