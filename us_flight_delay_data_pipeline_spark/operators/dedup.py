@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from ..functions.core import rebalance
 from ..functions.text import word_ngrams, word_tokens
 from .hashing import band_key, h32, minhash_signature, rolling_fingerprint, simhash32
-from .skew import all_pairs_within_block
 
 __all__ = [
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
@@ -149,20 +148,40 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     """Exact n-gram Jaccard within a blocking key — the brute baseline
     LSH approximates (quadratic within a block by design). Exact cost
     cuts: size-ratio prefilter (no false negatives) and derived union
-    size. The quadratic verification fans out over block×bucket tasks
-    via :func:`all_pairs_within_block` (a plain block self-join would
-    serialize each language's O(n²) work into one AQE-coalesced
-    task)."""
+    size.
+
+    Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin
+    family): with shingle sets sorted in one global order (hash asc),
+    two sets with J >= t must share an element within each set's first
+    ``n - ceil(t*n) + 1`` elements — so candidates come from an
+    inverted-index equi-join on prefix shingles instead of an O(n²)
+    block self-join. Join key cardinality is the shingle space, so
+    parallelism is natural and the candidate count scales with shared
+    rare shingles, not block size². Exact: prefix filtering has no
+    false negatives; every candidate is then verified on the full
+    sets. (The quadratic fallback for tiny corpora is
+    :func:`all_pairs_within_block`.)"""
     toks = word_tokens(F.lower(F.col(text_col)))
     sh = (_spread(df.filter(F.size(toks) >= ngram))
             .select(F.col(id_col), F.col(block_col),
-                    _shingle_hashes(F.col(text_col), ngram).alias("hsd"))
+                    F.sort_array(_shingle_hashes(F.col(text_col), ngram))
+                     .alias("hsd"))
             .withColumn("n", F.size("hsd"))
             .persist())
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1) \
+        .cast("int")
+    pref = sh.select(id_col, block_col, "n", "hsd",
+                     F.explode(F.slice("hsd", F.lit(1), prefix_len))
+                      .alias("_h"))
+    a, b = pref.alias("a"), pref.alias("b")
     size_ok = (F.least(F.col("a.n"), F.col("b.n")).cast("double")
                >= threshold * F.greatest(F.col("a.n"), F.col("b.n")).cast("double"))
-    j = all_pairs_within_block(sh, block_col, id_col, n_buckets).filter(size_ok)
-    cands = j.select(F.col(f"a.{id_col}").alias("doc_a"),
-                     F.col(f"b.{id_col}").alias("doc_b"),
-                     F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))
+    cands = (a.join(b, (F.col("a._h") == F.col("b._h"))
+                    & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                    & size_ok)
+              .select(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"),
+                      F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))
+              .dropDuplicates(["doc_a", "doc_b"]))
     return _verified_jaccard_pairs(cands, threshold)
