@@ -93,15 +93,20 @@ def test_sessionize_single_shuffle(q):
 
 
 def test_all_pairs_join_is_bucketed(q):
-    """The quadratic dedup joins must show the explicit bucketed
-    repartition (exempt from AQE coalescing) and never degenerate to a
-    nested-loop/cartesian plan."""
-    for name in ("ngram_jaccard_pairs", "embedding_neardup_pairs"):
-        p = plan(q(name), "simple")
-        assert "_bkt" in p, name
-        assert "REPARTITION_BY_NUM" in p, name
-        assert "CartesianProduct" not in p, name
-        assert "BroadcastNestedLoopJoin" not in p, name
+    """The quadratic embedding near-dup join must show the explicit
+    bucketed repartition (exempt from AQE coalescing); the ngram
+    Jaccard join must show the prefix-filter inverted-index shape
+    (explode of the sorted prefix, equi-join, no quadratic
+    degeneration). Neither may plan a nested-loop/cartesian join."""
+    p = plan(q("embedding_neardup_pairs"), "simple")
+    assert "_bkt" in p
+    assert "REPARTITION_BY_NUM" in p
+    pj = plan(q("ngram_jaccard_pairs"), "simple")
+    assert "Generate explode" in pj  # prefix inverted index
+    assert "sort_array" in pj        # canonical global order
+    for s in (p, pj):
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoopJoin" not in s
 
 
 def test_exists_decorrelates_to_semi_join(q):
