@@ -143,8 +143,8 @@ def simhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
-                        ngram: int = 3, threshold: float = 0.3,
-                        n_buckets: int = 32) -> DataFrame:
+                        ngram: int = 3,
+                        threshold: float = 0.3) -> DataFrame:
     """Exact n-gram Jaccard within a blocking key — the brute baseline
     LSH approximates (quadratic within a block by design). Exact cost
     cuts: size-ratio prefilter (no false negatives) and derived union
