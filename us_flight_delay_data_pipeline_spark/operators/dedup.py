@@ -85,22 +85,28 @@ def minhash_lsh_duplicate_pairs(df: DataFrame, coeffs: list[tuple[int, int]],
                                 bands: int = 4, rows_per_band: int = 4,
                                 threshold: float = 0.3) -> DataFrame:
     """LSH banding + exact-Jaccard verification: the canonical fuzzy
-    dedup for pretraining corpora. Candidates from band-bucket equality
-    self-joins (linear in data size), verified on hashed shingles."""
+    dedup for pretraining corpora.
+
+    All bands join in ONE shuffle: each row explodes to ``bands`` rows
+    keyed (band_idx, band_key) and a single equi-join on that pair
+    replaces ``bands`` separate self-joins + union — 1 exchange per
+    side instead of 2×bands, same candidate set."""
     sig = minhash_signatures(df, coeffs, text_col, id_col)
-    a, b = sig.alias("a"), sig.alias("b")
-    cands = None
-    for band in range(bands):
-        cond = ((band_key(F.col("a.sig"), band, rows_per_band)
-                 == band_key(F.col("b.sig"), band, rows_per_band))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        pair = a.join(b, cond).select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))
-        cands = pair if cands is None else cands.union(pair)
-    return _verified_jaccard_pairs(
-        cands.dropDuplicates(["doc_a", "doc_b"]), threshold)
+    banded = sig.select(
+        id_col, "hsd",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_key(F.col("sig"), b, rows_per_band).alias("key"))
+            for b in range(bands)])).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"),
+                      F.col("a.hsd").alias("h_a"),
+                      F.col("b.hsd").alias("h_b"))
+              .dropDuplicates(["doc_a", "doc_b"]))
+    return _verified_jaccard_pairs(cands, threshold)
 
 
 def simhash_64(df: DataFrame, text_col: str = "text",
@@ -123,18 +129,23 @@ def simhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     toks = word_tokens(F.lower(F.col(text_col)))
     base = (_spread(df.filter(F.size(toks) > 0))
               .select(F.col(id_col), simhash32(toks).alias("simhash"))
-              .withColumns({f"band_{j}": F.shiftright(F.col("simhash"), 8 * j) % 256
-                            for j in range(4)})
               .persist())
-    a, b = base.alias("a"), base.alias("b")
-    pairs = None
-    for j in range(4):
-        p = a.join(b, (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))).select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-        pairs = p if pairs is None else pairs.union(p)
+    # one shuffle for all 4 bands: explode to (band_idx, band_byte)
+    # keys and equi-join once (vs 4 self-joins + union)
+    banded = base.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     (F.shiftright(F.col("simhash"), 8 * j) % 256)
+                     .alias("key"))
+            for j in range(4)])).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"),
+                      F.col("a.simhash").alias("sh_a"),
+                      F.col("b.simhash").alias("sh_b")))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.dropDuplicates(["doc_a", "doc_b"])
                  .select("doc_a", "doc_b", ham.alias("hamming"))
