@@ -51,3 +51,23 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     a = check_oracle.normalize(srows, scols)
     b = check_oracle.normalize(drows, dcols)
     assert check_oracle.rows_equal(a, b), f"value mismatch in {name}"
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """Sketch results must land within their advertised error of the
+    exact answers (HLL++ rsd=2%; approx_percentile accuracy=1000)."""
+    from pyspark.sql import functions as F
+    from us_flight_delay_data_pipeline_spark.queries import load_registry
+    from us_flight_delay_data_pipeline_spark.sources.registry import load_table
+    reg = load_registry()
+    got = {r["l_returnflag"]: r for r in
+           reg["approx_distinct_and_quantiles"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r for r in
+             li.groupBy("l_returnflag").agg(
+                 F.countDistinct("l_orderkey").alias("n"),
+                 F.percentile("l_quantity", 0.5).alias("p50")).collect()}
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["approx_orders"] - e["n"]) <= max(3, 0.06 * e["n"])
+        assert abs(g["approx_median_qty"] - e["p50"]) <= 2.0

@@ -250,3 +250,23 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "o_orderpriority")
               .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
               .limit(10))
+
+
+@register(
+    "approx_distinct_and_quantiles",
+    None,
+    doc="Sketch aggregates for the 100 TB path: approx_count_distinct "
+        "(HyperLogLog++) and approx_percentile per group — one pass, "
+        "mergeable partial states, fixed memory per group, no sort. "
+        "Rows-only under the driver gate (sketch results are not "
+        "bit-portable across engines); tests/test_queries_oracle "
+        "bounds them against the exact answers instead.",
+)
+def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02)
+         .alias("approx_orders"),
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000))
+         .alias("approx_median_qty"),
+    )

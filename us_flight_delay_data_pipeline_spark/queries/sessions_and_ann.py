@@ -241,3 +241,52 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.99).alias("p99"),
         F.max("l_quantity").cast("double").alias("p100"),
     )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    depth AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NULL THEN 0
+                  WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                  WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                  ELSE 3 END AS funnel_depth
+      FROM firsts
+    )
+    SELECT funnel_depth, COUNT(*) AS n_users
+    FROM depth GROUP BY funnel_depth
+"""
+
+
+@register(
+    "event_funnel",
+    _FUNNEL_ORACLE,
+    doc="Ordered-funnel depth (view -> click -> purchase, each step "
+        "strictly after the previous step's FIRST occurrence): one "
+        "conditional-min aggregate per user, then a depth projection — "
+        "a single shuffle on user_id, no joins, no window sort. The "
+        "standard sequence-analytics shape that MATCH_RECOGNIZE "
+        "engines special-case, expressed in plain aggregates.",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(*[
+        F.min(F.when(F.col("event_type") == s, F.col("ts")))
+         .alias(f"t_{s}") for s in _FUNNEL_STEPS])
+    depth = F.when(F.col("t_view").isNull(), 0) \
+             .when(F.col("t_click").isNull()
+                   | (F.col("t_click") <= F.col("t_view")), 1) \
+             .when(F.col("t_purchase").isNull()
+                   | (F.col("t_purchase") <= F.col("t_click")), 2) \
+             .otherwise(3)
+    return (firsts.select("user_id", depth.alias("funnel_depth"))
+                  .groupBy("funnel_depth")
+                  .agg(F.count("*").alias("n_users")))
