@@ -125,3 +125,19 @@ def test_repartition_invariance(silver):
     b = agg_monthly(kpi.repartition(17)).agg(
         F.sum("total_arr_delay_minutes")).collect()[0][0]
     assert abs(a - b) < 1e-5
+
+
+def test_gold_write_partition_pruning(spark, silver, tmp_path):
+    """The gold sink's partitionBy(carrier,year,month) must give the
+    dashboard's per-carrier filter Hive partition pruning: the carrier
+    predicate shows up as a PartitionFilter on the scan, not a data
+    filter over all files."""
+    from us_flight_delay_data_pipeline_spark.plans.gold import write_gold
+    path = str(tmp_path / "gold_carrier")
+    carrier_tbl = agg_carrier(derive_kpis(silver))
+    write_gold(carrier_tbl, path)
+    one = spark.read.parquet(path).filter(F.col("carrier") == "AA")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "carrier" in pf
+    assert one.count() == carrier_tbl.filter(F.col("carrier") == "AA").count()
