@@ -14,7 +14,16 @@ from .similarity import (
     lsh_bucketed_topk,
     embedding_near_duplicates,
     hyperplane_bucket,
+    assign_ivf_cells,
+    build_ivf_index,
+    probe_ivf_index,
 )
+from .skew import (
+    salted_groupby_agg,
+    replicate_for_salted_join,
+    all_pairs_within_block,
+)
+from .upsert import merge_upsert, upsert_partitioned_parquet
 
 __all__ = [
     "asof_join",
@@ -24,5 +33,9 @@ __all__ = [
     "band_key", "h32", "h60", "minhash_signature", "rolling_fingerprint",
     "simhash32",
     "brute_force_topk", "lsh_bucketed_topk", "embedding_near_duplicates",
-    "hyperplane_bucket",
+    "hyperplane_bucket", "assign_ivf_cells", "build_ivf_index",
+    "probe_ivf_index",
+    "salted_groupby_agg", "replicate_for_salted_join",
+    "all_pairs_within_block",
+    "merge_upsert", "upsert_partitioned_parquet",
 ]

@@ -290,3 +290,38 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (firsts.select("user_id", depth.alias("funnel_depth"))
                   .groupBy("funnel_depth")
                   .agg(F.count("*").alias("n_users")))
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts))::DATE AS cohort_month
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_month,
+             date_trunc('month', e.ts)::DATE AS active_month
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_month, active_month, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_month, active_month
+    """,
+    doc="Cohort retention matrix: users bucketed by first-activity "
+        "month, counted per subsequent active month. Two aggregations "
+        "on user_id-clustered data plus one broadcastable join of the "
+        "per-user cohort table back onto events — the behavioral-"
+        "analytics companion to sessionization and funnels.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date")
+         .alias("cohort_month"))
+    activity = (e.join(F.broadcast(firsts), "user_id")
+                 .select("user_id", "cohort_month",
+                         F.date_trunc("month", F.col("ts"))
+                          .cast("date").alias("active_month"))
+                 .distinct())
+    return activity.groupBy("cohort_month", "active_month").agg(
+        F.count("*").alias("n_active_users"))
