@@ -554,3 +554,92 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_duplicates
     return embedding_near_duplicates(load_table(spark, sf_dir, "embeddings"),
                                      block_col="label", threshold=0.45)
+
+
+@register(
+    "deterministic_sample",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END AS pct,
+             {_h32_sql("doc_id::VARCHAR")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM rated WHERE bucket < pct GROUP BY lang
+    """,
+    doc="Reproducible per-stratum sampling: keep a doc iff "
+        "h32(doc_id) % 100 < rate[lang]. Unlike rand()/sampleBy, the "
+        "same row set survives any re-run, repartition, or engine — "
+        "the property a training-data pipeline needs for auditable "
+        "mixes. Pure map-side filter; the only shuffle is the "
+        "diagnostic count.",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hashing import h32
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.when(F.col("lang") == "en", 50) \
+           .when(F.col("lang") == "zh", 20).otherwise(10)
+    bucket = h32(F.col("doc_id").cast("string")) % 100
+    return (d.filter(bucket < pct)
+             .groupBy("lang")
+             .agg(F.count("*").alias("n_sampled"),
+                  F.min("doc_id").alias("min_doc"),
+                  F.max("doc_id").alias("max_doc")))
+
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, g.i::INT AS chunk_idx,
+             toks[(g.i::INT * {_CHUNK_STRIDE} + 1):
+                  (g.i::INT * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})] AS chunk
+      FROM sized,
+           LATERAL (SELECT unnest(range(0,
+                      greatest(1, ceil((n - {_CHUNK_TOKENS}) /
+                                       {_CHUNK_STRIDE}.0)::BIGINT + 1))) AS i) g
+    )
+    SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks WHERE len(chunk) > 0
+    """,
+    doc="Sliding-window document chunking (64-token windows, stride "
+        "48 = 16-token overlap) — the pretraining segmentation step. "
+        "Pure per-row explode (no shuffle); chunks are projected to "
+        "(count, md5) for portable hashing. At 100 TB chunking "
+        "multiplies rows ~n/stride x, so it runs AFTER dedup/filter "
+        "and before tokenize-and-pack.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sized = d.select("doc_id", toks.alias("toks")) \
+             .withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n") - F.lit(_CHUNK_TOKENS))
+               / F.lit(float(_CHUNK_STRIDE))).cast("bigint") + 1)
+    chunks = sized.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+         .alias("chunk_idx"))
+    chunk = F.slice("toks", F.col("chunk_idx") * _CHUNK_STRIDE + 1,
+                    F.lit(_CHUNK_TOKENS))
+    return (chunks.select("doc_id", "chunk_idx",
+                          F.size(chunk).cast("bigint").alias("n_tokens"),
+                          F.md5(F.concat_ws(" ", chunk).cast("binary"))
+                           .alias("chunk_md5"))
+                  .filter(F.col("n_tokens") > 0))
