@@ -59,3 +59,51 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return grouped.select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols])
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
+                       left_time: str, right_time: str,
+                       value_cols: list[str], tolerance_sec: int,
+                       tiebreak: str | None = None,
+                       strict: bool = False) -> DataFrame:
+    """Backward as-of join with a hard tolerance, joined on coarse
+    TIME BUCKETS — the 100 TB formulation promised above.
+
+    Bucket width = tolerance: a right row at-or-before the left time
+    and within tolerance lies in the left row's bucket or the one
+    before, so the left side explodes to exactly 2 bucket keys and the
+    join becomes pure equi on (entity, bucket). Per-task fan-out is
+    bounded by rows-per-(entity, bucket) instead of the entity's whole
+    history — the difference between a bounded merge and an unbounded
+    one when an entity has years of events. Each matching pair appears
+    in exactly one bucket (the right row's own), so no dedup is
+    needed before the argmax."""
+    tb = tiebreak or value_cols[0]
+    width = int(tolerance_sec)
+    # The right side is RENAMED (not just aliased): with self-as-of
+    # the two sides share lineage, and string alias resolution
+    # ("l.x" / "r.x") can silently bind to the wrong side after
+    # Spark's join dedup — renaming makes every reference unambiguous
+    # by construction.
+    r2 = right.select(*[F.col(c).alias(f"_r_{c}") for c in right.columns])
+    lt = F.col(left_time).cast("timestamp")
+    rt = F.col(f"_r_{right_time}").cast("timestamp")
+    lbucket = F.floor(F.unix_timestamp(lt) / width)
+    rbucket = F.floor(F.unix_timestamp(rt) / width)
+    l2 = left.withColumn("_bkt", F.explode(F.array(lbucket, lbucket - 1)))
+    r2 = r2.withColumn("_r_bkt", rbucket)
+    # strict=True: "latest BEFORE", excluding simultaneous rows —
+    # what self-as-of (previous row of the same entity) needs
+    cond = ((F.col(on) == F.col(f"_r_{on}"))
+            & (F.col("_bkt") == F.col("_r_bkt"))
+            & ((rt < lt) if strict else (rt <= lt))
+            & (rt >= lt - F.expr(f"INTERVAL {width} SECONDS")))
+    pick = F.max_by(F.struct(*[F.col(f"_r_{c}").alias(c)
+                               for c in value_cols]),
+                    F.struct(rt, F.col(f"_r_{tb}")))
+    grouped = (l2.join(r2, cond)
+                 .groupBy(*left.columns)
+                 .agg(pick.alias("_asof")))
+    return grouped.select(
+        *left.columns,
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols])

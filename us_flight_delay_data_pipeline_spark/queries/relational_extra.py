@@ -270,3 +270,43 @@ def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000))
          .alias("approx_median_qty"),
     )
+
+
+_ASOF_90D = 90 * 24 * 3600
+
+
+@register(
+    "asof_prev_part_shipment",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_partkey, l_shipdate FROM lineitem
+    )
+    SELECT l_partkey, l_shipdate, prev_shipdate
+    FROM (
+      SELECT a.l_partkey, a.l_shipdate,
+             b.l_shipdate AS prev_shipdate,
+             row_number() OVER (PARTITION BY a.l_partkey, a.l_shipdate
+                                ORDER BY b.l_shipdate DESC) AS rn
+      FROM li a JOIN li b
+        ON b.l_partkey = a.l_partkey AND b.l_shipdate < a.l_shipdate
+       AND b.l_shipdate >= a.l_shipdate - INTERVAL {_ASOF_90D} SECONDS
+    ) WHERE rn = 1
+    """,
+    doc="Self as-of with strict ordering on coarse time buckets "
+        "(width = tolerance = 90 days): for each shipment, the latest "
+        "STRICTLY earlier shipment of the same part within 90 days. "
+        "The left side explodes to 2 bucket keys, making the join "
+        "pure equi on (part, bucket) — per-task fan-out bounded by "
+        "rows per bucket, not the part's full history. The scale "
+        "formulation of asof_latest_order.",
+)
+def asof_prev_part_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_bucketed
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_shipdate").distinct()
+    out = asof_join_bucketed(
+        li, li, on="l_partkey", left_time="l_shipdate",
+        right_time="l_shipdate", value_cols=["l_shipdate"],
+        tolerance_sec=_ASOF_90D, strict=True)
+    return out.select("l_partkey", "l_shipdate",
+                      F.col("asof_l_shipdate").alias("prev_shipdate"))
