@@ -643,3 +643,108 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.md5(F.concat_ws(" ", chunk).cast("binary"))
                            .alias("chunk_md5"))
                   .filter(F.col("n_tokens") > 0))
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_tok_sql()}) AS term FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, rank FROM (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: token explode -> per-doc "
+        "term counts -> corpus document frequencies joined back -> "
+        "windowed top-k. The DF table is vocabulary-sized (small "
+        "relative to the corpus) so the score join broadcasts at "
+        "scale; the idf uses the smoothed ln((N+1)/(df+1)) form. "
+        "Output omits the float score (ln is libm-dependent in the "
+        "last bit) — rank with a term tiebreak is portable.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+             .select("doc_id",
+                     F.explode(word_tokens(F.lower(F.col("text"))))
+                      .alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.select("doc_id").distinct().count()
+    scored = (tf.join(F.broadcast(df), "term")
+                .withColumn("tfidf",
+                            F.col("tf") * F.log((n_docs + 1.0)
+                                                / (F.col("df") + 1.0))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 3)
+                  .select("doc_id", "term", "rank"))
+
+
+_PACK_LEN = 256
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len({_tok_sql()}) AS n_tokens FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT (cum_tokens - 1) // {_PACK_LEN} AS pack_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY 1
+    """,
+    doc="Sequence packing (the tokenize-and-pack step): documents in "
+        "deterministic order, cumulative token count, pack boundary "
+        "every {_PACK_LEN} tokens. The global running sum is one "
+        "single-partition window over (doc_id, n_tokens) pairs — "
+        "16 bytes/doc, fine at any corpus size; the heavy token "
+        "counting stays fully parallel before it. Same "
+        "streamed-boundary structure as Megatron-style sample "
+        "packing.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sized = (d.filter(F.length(F.trim("text")) > 0)
+              .select("doc_id", F.size(toks).cast("bigint")
+                      .alias("n_tokens")))
+    w = Window.orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("cum_tokens") - 1) / _PACK_LEN).cast("bigint")
+    return (cum.select(pack.alias("pack_id"), "doc_id", "n_tokens")
+               .groupBy("pack_id")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.min("doc_id").alias("first_doc"),
+                    F.max("doc_id").alias("last_doc")))
