@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .components import connected_components
 from .dedup import (
     dedup_exact,
     dedup_fingerprint,
@@ -27,6 +28,7 @@ from .upsert import merge_upsert, upsert_partitioned_parquet
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
     "minhash_lsh_duplicate_pairs", "simhash_64", "simhash_duplicate_pairs",
     "ngram_jaccard_pairs",

@@ -49,4 +49,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import sessions_and_ann  # noqa: F401
     from . import multimodal_media  # noqa: F401
     from . import relational_extra  # noqa: F401
+    from . import text_pipeline  # noqa: F401
     return REGISTRY

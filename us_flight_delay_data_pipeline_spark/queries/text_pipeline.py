@@ -1,0 +1,214 @@
+"""[EXT] third text-pipeline wave: dedup CLUSTERING (connected
+components over near-dup pairs — pair emission alone under-deletes),
+corpus vocabulary coverage, stopword scrubbing, and boilerplate
+n-gram detection.
+
+Oracle notes: the connected-components oracle is a DuckDB recursive
+CTE computing min-reachable-node — exact transitive closure, feasible
+because the sf0.01 pair graph is small; the Spark side is the real
+distributed algorithm (``operators/components.py``). Everything else
+follows the registry's decimal-exact-sum determinism policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import STOPWORDS, word_ngrams, word_tokens
+from ..sources.registry import load_table
+from . import register
+from .llm_ext import STOPWORDS_SQL, _shingles_sql, _tok_sql
+
+# Shared CTE: the ngram-Jaccard near-dup pair list (same constants as
+# the ngram_jaccard_pairs query: lang blocking, threshold 0.3).
+_PAIRS_CTE = f"""
+    base AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, {_shingles_sql()} AS sh FROM base WHERE len(toks) >= 3
+    ),
+    hs AS (
+      SELECT doc_id, lang,
+             list_distinct([('0x' || substr(md5(s), 1, 15))::BIGINT % 4294967296
+                            for s in sh]) AS hsd
+      FROM sh
+    ),
+    hn AS (SELECT doc_id, lang, hsd, len(hsd) AS n FROM hs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hn a JOIN hn b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND least(a.n, b.n)::DOUBLE >= 0.3 * greatest(a.n, b.n)::DOUBLE
+      WHERE len(list_intersect(a.hsd, b.hsd))::DOUBLE
+               / (a.n + b.n - len(list_intersect(a.hsd, b.hsd)))::DOUBLE >= 0.3
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+    """,
+    doc="Fuzzy-dedup clustering: near-dup pairs (exact n-gram Jaccard "
+        ">= 0.3, lang-blocked) grouped into connected components by "
+        "iterative min-label propagation "
+        "(operators/components.py::connected_components). Each doc in "
+        "the pair graph gets its cluster id (min doc_id in component) "
+        "and a canonical flag — keep canonicals, drop the rest. The "
+        "oracle computes the same closure with a recursive CTE.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.3) \
+        .select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_tok_sql()}) AS term FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    counts AS (SELECT term, COUNT(*) AS n_occurrences FROM toks GROUP BY term),
+    total AS (SELECT SUM(n_occurrences) AS total FROM counts),
+    ranked AS (
+      SELECT term, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, term) AS rank,
+             SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, term
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    )
+    SELECT term, n_occurrences, rank,
+           cum::DOUBLE / total::DOUBLE AS coverage
+    FROM ranked CROSS JOIN total WHERE rank <= 50
+    """,
+    doc="Corpus vocabulary coverage: global term counts, rank by "
+        "frequency, cumulative share of all tokens covered by the top "
+        "k terms — the Zipf curve a tokenizer/vocab decision needs. "
+        "The token explode + count is fully parallel; the running sum "
+        "runs on the vocabulary (already aggregated, orders of "
+        "magnitude smaller than the corpus), where a single-partition "
+        "window is fine even at 100 TB of input text.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(word_tokens(F.col("text"))).alias("term")))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("total"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    ranked = counts.select(
+        "term", "n_occurrences",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n_occurrences")
+         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+         .alias("cum"))
+    return (ranked.filter(F.col("rank") <= 50)
+                  .crossJoin(F.broadcast(total))
+                  .select("term", "n_occurrences", "rank",
+                          (F.col("cum").cast("double")
+                           / F.col("total").cast("double")).alias("coverage")))
+
+
+@register(
+    "stopword_scrub",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             list_filter(toks, x -> x NOT IN {STOPWORDS_SQL}) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens_before,
+           len(kept)::BIGINT AS n_tokens_after,
+           md5(array_to_string(kept, ' ')) AS scrubbed_md5
+    FROM s
+    """,
+    doc="Stopword scrubbing (text cleaning): drop stopword tokens, "
+        "report before/after counts and the md5 of the scrubbed text. "
+        "Pure projection (filter over the token array inside codegen) "
+        "— no shuffle, linear scale. The md5 makes the transform's "
+        "full output oracle-checkable without hauling text around.",
+)
+def stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    kept = F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "boilerplate_shingles",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_shingles_sql()}) AS shingle
+      FROM base WHERE len(toks) >= 3
+    ),
+    df AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+    )
+    SELECT shingle, n_docs,
+           row_number() OVER (ORDER BY n_docs DESC, shingle) AS rank
+    FROM df QUALIFY rank <= 20
+    """,
+    doc="Boilerplate detection: word-3-gram shingles ranked by "
+        "document frequency — shingles appearing in many documents "
+        "are template/boilerplate candidates to strip before "
+        "training. Distinct-shingles-per-doc explode -> count -> "
+        "top-k; the count table is shingle-vocabulary-sized, the "
+        "explode is map-side.",
+)
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sh = (d.filter(F.size(toks) >= 3)
+           .select(F.explode(F.array_distinct(word_ngrams(F.col("text"), 3)))
+                    .alias("shingle")))
+    df = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("shingle"))
+    return (df.select("shingle", "n_docs",
+                      F.row_number().over(w).alias("rank"))
+              .filter(F.col("rank") <= 20))
