@@ -50,4 +50,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import multimodal_media  # noqa: F401
     from . import relational_extra  # noqa: F401
     from . import text_pipeline  # noqa: F401
+    from . import relational_wave3  # noqa: F401
     return REGISTRY

@@ -1,0 +1,214 @@
+"""Third relational-coverage wave — the classic TPC-H query shapes
+the harness tables support without partsupp: groupwise-min join (Q2),
+share-of-global-total (Q11/Q8), HAVING-gated re-join (Q18),
+conditional-aggregate ratio (Q14), and excluded-set distinct counting
+(Q16). SURVEY.md §2.3-§2.4 relational completeness.
+
+All aggregates follow the registry's decimal-exact-sum policy; every
+ratio is a division of two deterministic doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.registry import load_table
+from . import register
+from .relational import DEC, _osum, dsum
+
+_Q2_SIZES = (15, 25, 35)
+
+
+@register(
+    "min_cost_part_supplier",
+    f"""
+    SELECT p_partkey, p_brand, p_size, t.s_suppkey, s_name, n_name, min_price
+    FROM (
+      SELECT p.p_partkey, p.p_brand, p.p_size,
+             l.l_suppkey AS s_suppkey, l.l_extendedprice AS min_price,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY l.l_extendedprice, l.l_suppkey) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size IN {_Q2_SIZES}
+    ) t
+    JOIN supplier s ON t.s_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE rn = 1
+    """,
+    doc="TPC-H Q2 shape (groupwise minimum): for each part of the "
+        "selected sizes, the supplier offering the cheapest lineitem "
+        "price (tie-break lowest suppkey), enriched with supplier and "
+        "nation names. The size filter reaches the part scan, part "
+        "broadcasts into the fact join, the per-part argmin is one "
+        "windowed shuffle on partkey, and both enrichment joins "
+        "broadcast — no sort-merge anywhere.",
+)
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_size").isin(*_Q2_SIZES)) \
+        .select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_partkey") \
+              .orderBy("l_extendedprice", "l_suppkey")
+    best = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1))
+    return (best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+                .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .select("p_partkey", "p_brand", "p_size",
+                        F.col("l_suppkey").alias("s_suppkey"),
+                        "s_name", "n_name",
+                        F.col("l_extendedprice").alias("min_price")))
+
+
+@register(
+    "nation_revenue_share",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name, {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS total FROM rev)
+    SELECT n_name, revenue, revenue / total AS share
+    FROM rev CROSS JOIN tot
+    WHERE revenue / total > 0.02
+    """,
+    doc="TPC-H Q11 shape (share of global total): per-nation revenue "
+        "vs the grand total, keeping nations above a 2% share. The "
+        "grand total is a single-row re-aggregate of the 25-row "
+        "nation rollup, broadcast back — the corpus-sized data is "
+        "scanned exactly once however large it gets.",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_expr = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.sum(rev_expr).cast("double").alias("revenue")))
+    tot = rev.agg(F.sum(F.col("revenue").cast(DEC)).cast("double")
+                   .alias("total"))
+    share = F.col("revenue") / F.col("total")
+    return (rev.crossJoin(F.broadcast(tot))
+               .filter(share > 0.02)
+               .select("n_name", "revenue", share.alias("share")))
+
+
+_Q18_QTY = 200
+
+
+@register(
+    "large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {_osum('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > {_Q18_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (HAVING-gated re-join): orders whose total "
+        "quantity exceeds the threshold, joined back to orders and "
+        "customer, top-20 by quantity. The heavy aggregate runs "
+        "first and its survivors (a tiny set) broadcast into the "
+        "enrichment joins; ORDER BY+LIMIT plans TakeOrderedAndProject.",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(dsum("l_quantity").alias("total_qty"))
+             .filter(F.col("total_qty") > _Q18_QTY))
+    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                     "o_totalprice", "total_qty")
+             .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+             .limit(20))
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(year(l.l_shipdate) AS INTEGER) AS year,
+           CAST(month(l.l_shipdate) AS INTEGER) AS month,
+           {_osum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_revenue,
+           {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           100.0 * {_osum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q14 shape (conditional-aggregate ratio): monthly share "
+        "of revenue from PROMO-type parts. One fact scan, part "
+        "broadcasts, the CASE folds into the partial aggregate — the "
+        "ratio costs nothing beyond the single group-by.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    out = j.groupBy(
+        F.year("l_shipdate").alias("year"),
+        F.month("l_shipdate").alias("month")).agg(
+        F.sum(promo.cast(DEC)).cast("double").alias("promo_revenue"),
+        F.sum(rev.cast(DEC)).cast("double").alias("total_revenue"))
+    return out.select(
+        "year", "month", "promo_revenue", "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"))
+        .alias("promo_pct"))
+
+
+_Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+@register(
+    "brand_size_supplier_counts",
+    f"""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#15' AND p.p_size IN {_Q16_SIZES}
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape (excluded-set distinct counting): distinct "
+        "suppliers per (brand, size) over an anti-filtered part set. "
+        "The exclusion predicates push to the part scan; the distinct "
+        "aggregate is Catalyst's expand + two-stage HashAggregate, "
+        "shuffling (brand,size,suppkey) triples only.",
+)
+def brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#15")
+                 & F.col("p_size").isin(*_Q16_SIZES))
+         .select("p_partkey", "p_brand", "p_size"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+                   F.count("*").alias("n_lineitems")))
