@@ -51,17 +51,22 @@ def connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
                            .groupBy(F.col("a").alias("node"))
-                           .agg(F.min("component").alias("component")))
-        new_labels = (labels.unionByName(neighbor_min)
-                            .groupBy("node")
-                            .agg(F.min("component").alias("component"))
-                            .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") < F.col("o.component"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
+                           .agg(F.min("component").alias("neighbor_min")))
+        # Fold the neighbor minimum in with a left join and carry a
+        # per-node `changed` flag, so convergence detection is a
+        # cheap count over the already-checkpointed round output
+        # instead of an extra shuffle join against the old labels.
+        new_state = (labels.join(neighbor_min, "node", "left")
+                           .select("node",
+                                   F.least("component",
+                                           F.coalesce("neighbor_min",
+                                                      "component"))
+                                    .alias("component"),
+                                   (F.col("neighbor_min")
+                                    < F.col("component")).alias("changed"))
+                           .localCheckpoint(eager=True))
+        labels = new_state.select("node", "component")
+        if new_state.filter("changed").count() == 0:
             break
     sym.unpersist()
     return labels

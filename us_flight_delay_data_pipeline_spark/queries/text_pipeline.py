@@ -202,9 +202,10 @@ def stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode is map-side.",
 )
 def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import rebalance
     d = load_table(spark, sf_dir, "documents")
     toks = word_tokens(F.lower(F.col("text")))
-    sh = (d.filter(F.size(toks) >= 3)
+    sh = (rebalance(d.filter(F.size(toks) >= 3))
            .select(F.explode(F.array_distinct(word_ngrams(F.col("text"), 3)))
                     .alias("shingle")))
     df = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
