@@ -140,3 +140,36 @@ def test_no_python_udfs_in_any_query(q):
         p = plan(q(name), "simple")
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
+
+
+def test_q2_shape_broadcasts_all_dimensions(q):
+    """min_cost_part_supplier: part/supplier/nation all broadcast;
+    the only shuffle is the windowed argmin on partkey."""
+    p = plan(q("min_cost_part_supplier"), "simple")
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q18_survivor_set_broadcasts(q):
+    """large_orders: the HAVING-gated aggregate output broadcasts into
+    the enrichment joins and top-k plans TakeOrderedAndProject."""
+    p = plan(q("large_orders"), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_share_of_total_scans_facts_once(q):
+    """nation_revenue_share: the grand total must come from
+    re-aggregating the 25-row nation rollup (broadcast back), never a
+    second scan of lineitem."""
+    p = plan(q("nation_revenue_share"), "simple")
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("FileScan parquet") == 4  # lineitem/orders/customer/nation
+
+
+def test_promo_filter_reaches_part_scan(q):
+    p = plan(q("brand_size_supplier_counts"))
+    flat = p.replace(" ", "")
+    assert "Not(EqualTo(p_brand,Brand#15))" in flat
+    assert "In(p_size" in flat

@@ -100,12 +100,14 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .groupBy("n_name")
              .agg(F.sum(rev_expr).cast("double").alias("revenue")))
-    tot = rev.agg(F.sum(F.col("revenue").cast(DEC)).cast("double")
-                   .alias("total"))
-    share = F.col("revenue") / F.col("total")
-    return (rev.crossJoin(F.broadcast(tot))
-               .filter(share > 0.02)
-               .select("n_name", "revenue", share.alias("share")))
+    # grand total as a window over the 25-row rollup: one plan subtree
+    # (a self-join/crossJoin formulation would scan lineitem twice —
+    # Catalyst does not dedupe repeated DataFrame subplans)
+    total = F.sum(F.col("revenue").cast(DEC)) \
+             .over(Window.partitionBy()).cast("double")
+    share = F.col("revenue") / total
+    return (rev.select("n_name", "revenue", share.alias("share"))
+               .filter(F.col("share") > 0.02))
 
 
 _Q18_QTY = 200
