@@ -9,6 +9,7 @@ from .dedup import (
     simhash_duplicate_pairs,
     ngram_jaccard_pairs,
 )
+from .maintenance import compact_parquet, table_file_stats
 from .hashing import band_key, h32, h60, minhash_signature, rolling_fingerprint, simhash32
 from .similarity import (
     brute_force_topk,
@@ -32,6 +33,7 @@ __all__ = [
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
     "minhash_lsh_duplicate_pairs", "simhash_64", "simhash_duplicate_pairs",
     "ngram_jaccard_pairs",
+    "compact_parquet", "table_file_stats",
     "band_key", "h32", "h60", "minhash_signature", "rolling_fingerprint",
     "simhash32",
     "brute_force_topk", "lsh_bucketed_topk", "embedding_near_duplicates",

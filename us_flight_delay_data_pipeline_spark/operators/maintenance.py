@@ -1,0 +1,75 @@
+"""Table maintenance: small-file compaction and range-clustered
+(sorted) layout — the operational half of a 100 TB lakehouse that the
+reference delegates to Databricks/Snowflake (OPTIMIZE / clustering
+keys) and never implements.
+
+Why it matters at scale: streaming ingestion (5-minute Capture
+windows, README.md:107) produces thousands of small files; scan cost
+is dominated by per-file open/footer overhead and scheduling, not
+bytes. Compaction rewrites partitions into ~target-sized files.
+Range-clustering additionally sorts rows across files on chosen keys
+so parquet min/max footer stats make selective scans skip whole
+files (poor-man's Z-order for a single key prefix).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["table_file_stats", "compact_parquet"]
+
+
+def table_file_stats(spark: SparkSession, path: str) -> dict:
+    """File-count/byte stats for a parquet table (the before/after
+    observability for compaction). Uses the Hadoop FileSystem API so
+    it works on any supported storage, not just local paths."""
+    df = spark.read.parquet(path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    sizes = []
+    for uri in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(hconf)
+        sizes.append(fs.getFileStatus(p).getLen())
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "avg_file_bytes": total // max(1, len(sizes)),
+    }
+
+
+def compact_parquet(spark: SparkSession, in_path: str, out_path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    sort_cols: list[str] | None = None,
+                    partition_by: list[str] | None = None) -> dict:
+    """Rewrite a parquet table into ~``target_file_bytes`` files.
+
+    - default: round-robin ``repartition`` (even file sizes);
+    - with ``sort_cols``: ``repartitionByRange`` + ``sortWithin
+      Partitions`` — globally range-clustered output whose per-file
+      min/max footers are disjoint on the leading key, enabling
+      file-level skipping for selective predicates;
+    - with ``partition_by``: Hive-style directory partitioning on top.
+
+    Returns before/after file stats. The file-count estimate assumes
+    parquet re-encodes to roughly the input's compressed density —
+    good enough for maintenance sizing (AQE cannot help here: the
+    write fan-in is decided by the explicit repartition).
+    """
+    before = table_file_stats(spark, in_path)
+    df: DataFrame = spark.read.parquet(in_path)
+    n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    if sort_cols:
+        df = (df.repartitionByRange(n_files, *sort_cols)
+                .sortWithinPartitions(*sort_cols))
+    else:
+        df = df.repartition(n_files)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
+    after = table_file_stats(spark, out_path)
+    return {"before": before, "after": after}
