@@ -94,3 +94,28 @@ def test_probe_matches_in_cell_bruteforce(spark, sf_dir, centroids,
     for row in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
         got_by_q.setdefault(row["q_id"], []).append(row["neighbor_id"])
     assert got_by_q == want
+
+
+def _recall_at_3(spark, sf_dir, name):
+    from us_flight_delay_data_pipeline_spark.queries import load_registry
+    reg = load_registry()
+    bf = reg["ann_bruteforce_topk"].fn(spark, sf_dir).collect()
+    truth = {}
+    for r in bf:
+        if r["rank"] <= 3:
+            truth.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in reg[name].fn(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    return sum(len(got.get(q, set()) & s) / len(s)
+               for q, s in truth.items()) / len(truth)
+
+
+def test_ivf_multiprobe_recall_floor(spark, sf_dir):
+    """ANN quality gate: label-centroid + nprobe=4 IVF must recall at
+    least half of the exact top-3, and clearly beat the nprobe=1
+    arbitrary-centroid baseline. Deterministic (no RNG anywhere)."""
+    base = _recall_at_3(spark, sf_dir, "ann_ivf_topk")
+    multi = _recall_at_3(spark, sf_dir, "ann_ivf_multiprobe")
+    assert multi >= 0.5
+    assert multi >= base + 0.2

@@ -325,3 +325,145 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .distinct())
     return activity.groupBy("cohort_month", "active_month").agg(
         F.count("*").alias("n_active_users"))
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT label, i - 1 AS dim,
+           CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5)
+                         / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS centroid
+    FROM embeddings, (SELECT unnest(range(1, 65))::INT AS i) dims
+    GROUP BY label, i
+    """,
+    doc="Per-label embedding centroid (the vector-aggregate pattern: "
+        "cluster means, class prototypes, IVF centroid refinement). "
+        "Dimension-exploded exact aggregation: posexplode -> "
+        "groupBy(label, dim) -> decimal-exact mean, so the float sum "
+        "is order-independent — a plain array-column sum would drift "
+        "with partitioning. The explode multiplies rows by dim count "
+        "but each shuffle row is 20 bytes; at 100 TB this beats "
+        "collecting vectors to one place by construction. Floats are "
+        "quantized with floor(x*1e6+0.5)/1e6 before the decimal cast "
+        "(float->decimal rounding is engine-dependent; floor on "
+        "doubles is IEEE-exact in both).",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    q = F.floor(F.col("v").cast("double") * 1000000.0 + 0.5) / 1000000.0
+    return (ex.groupBy("label", "dim")
+              .agg((F.sum(q.cast("decimal(38,6)")).cast("double")
+                    / F.count("*")).alias("centroid")))
+
+
+_KMEANS_CENT_SQL = """
+    ex AS (
+      SELECT label, i - 1 AS dim,
+             CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5)
+                           / 1000000 AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM embeddings, (SELECT unnest(range(1, 65))::INT AS i) dims
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label AS c_id, list(c ORDER BY dim) AS cv FROM ex GROUP BY label
+    )"""
+
+
+def _ivf_multiprobe_sql() -> str:
+    from .llm_ext import _cosine_sql
+    return f"""
+    WITH {_KMEANS_CENT_SQL},
+    corpus AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT corpus.vec_id, corpus.embedding, cent.c_id,
+             {_cosine_sql('corpus.embedding', 'cent.cv')} AS sim
+      FROM corpus CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, c_id) AS rn
+      FROM scored
+    ),
+    cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, embedding AS qv, c_id AS p_cell
+               FROM assigned WHERE vec_id < 10 AND rn <= 4),
+    sims AS (
+      SELECT p.q_id, c.vec_id AS neighbor_id,
+             {_cosine_sql('p.qv', 'c.embedding')} AS cosine
+      FROM probes p JOIN cells c
+        ON c.c_id = p.p_cell AND c.vec_id <> p.q_id
+    )
+    SELECT q_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sims)
+    WHERE rank <= 3
+    """
+
+
+@register(
+    "ann_ivf_multiprobe",
+    None,  # oracle patched below (built by a helper)
+    doc="IVF with data-adaptive centroids and multi-probe: centroids "
+        "are per-label mean vectors (one k-means refinement step with "
+        "labeled init — computed with the dimension-exploded exact "
+        "mean so they are engine-portable), every vector joins its "
+        "nearest centroid's cell, and each query probes its nprobe=4 "
+        "nearest cells instead of 1. Lifts recall@3 roughly 3x over "
+        "ann_ivf_topk (arbitrary centroids, nprobe=1) at the "
+        "same asymptotic cost profile: corpus × nlist centroid "
+        "scoring is the only full pass, candidate scoring touches "
+        "nprobe/nlist of the corpus per query. tests/test_ivf_index.py "
+        "pins the recall floor.",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import cosine_similarity
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    qv = F.floor(F.col("v").cast("double") * 1000000.0 + 0.5) / 1000000.0
+    cent_long = (ex.groupBy("label", "dim")
+                   .agg((F.sum(qv.cast("decimal(38,6)")).cast("double")
+                         / F.count("*")).alias("c")))
+    cent = (cent_long.groupBy(F.col("label").alias("c_id"))
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                         lambda s: s["c"]).alias("cv")))
+    scored = (e.select("vec_id", "embedding")
+               .crossJoin(F.broadcast(cent))
+               .withColumn("sim", cosine_similarity(F.col("embedding"),
+                                                    F.col("cv"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                      .select("vec_id", "embedding", "c_id", "rn")
+                      .persist())
+    cells = assigned.filter(F.col("rn") == 1) \
+                    .select("vec_id", "embedding", "c_id")
+    probes = (assigned.filter((F.col("vec_id") < 10) & (F.col("rn") <= 4))
+                      .select(F.col("vec_id").alias("q_id"),
+                              F.col("embedding").alias("qv"),
+                              F.col("c_id").alias("p_cell")))
+    sims = (cells.join(F.broadcast(probes),
+                       (F.col("c_id") == F.col("p_cell"))
+                       & (F.col("vec_id") != F.col("q_id")))
+                 .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                         cosine_similarity(F.col("qv"), F.col("embedding"))
+                          .alias("cosine")))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                            F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(wr))
+                .filter(F.col("rank") <= 3)
+                .select("q_id", "neighbor_id", "rank",
+                        F.round("cosine", 6).alias("cosine")))
+
+
+from . import REGISTRY as _REG2  # noqa: E402
+from . import QuerySpec as _QS2  # noqa: E402
+_REG2["ann_ivf_multiprobe"] = _QS2(
+    fn=_REG2["ann_ivf_multiprobe"].fn, oracle=_ivf_multiprobe_sql(),
+    doc=_REG2["ann_ivf_multiprobe"].doc)

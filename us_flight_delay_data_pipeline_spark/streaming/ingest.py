@@ -134,3 +134,50 @@ def stream_dedup_envelopes(envelopes: DataFrame,
     keyed = envelopes.withColumn("body_md5", F.md5(F.col("body"))) \
                      .withWatermark("enqueued_at", watermark)
     return keyed.dropDuplicatesWithinWatermark(["body_md5"])
+
+
+def stream_upsert(stream_df: DataFrame, table_path: str, checkpoint: str,
+                  keys: list[str], partition_col: str,
+                  dedup_order_col: str | None = None,
+                  available_now: bool = True) -> StreamingQuery:
+    """Streaming MERGE sink: each micro-batch upserts into a
+    Hive-partitioned parquet table via ``foreachBatch`` +
+    :func:`~..operators.upsert.upsert_partitioned_parquet` — the
+    Structured Streaming half of the reference's aspirational
+    incremental refresh (README.md:281-302; Auto Loader + MERGE on
+    Databricks, Streams+Tasks on Snowflake).
+
+    ``dedup_order_col``: when a micro-batch can carry several versions
+    of one key, keep only the highest value of this column per key
+    (e.g. an offset) — MERGE requires unique update keys. Exactly-once
+    note: foreachBatch may re-run a batch on recovery; upserts are
+    idempotent per (key, value), so replays converge to the same
+    table.
+    """
+    from ..operators.upsert import upsert_partitioned_parquet
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df
+        if dedup_order_col is not None:
+            from pyspark.sql.window import Window
+            w = Window.partitionBy(*keys).orderBy(F.desc(dedup_order_col))
+            updates = (updates.withColumn("__rn", F.row_number().over(w))
+                              .filter(F.col("__rn") == 1).drop("__rn"))
+        spark = batch_df.sparkSession
+        try:
+            spark.read.parquet(table_path).schema
+            exists = True
+        except Exception:
+            exists = False
+        if not exists:
+            (updates.write.mode("overwrite").partitionBy(partition_col)
+                    .parquet(table_path))
+        else:
+            upsert_partitioned_parquet(spark, table_path, updates, keys,
+                                       partition_col)
+
+    writer = (stream_df.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
