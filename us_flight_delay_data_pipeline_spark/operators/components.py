@@ -45,8 +45,11 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
             .persist())
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-                 .withColumn("component", F.col("node"))
+    # Round 1 needs no join: every node's first label is
+    # min(self, neighbors), computable straight off the edge list.
+    labels = (sym.groupBy(F.col("a").alias("node"))
+                 .agg(F.min("b").alias("nmin"))
+                 .select("node", F.least("node", "nmin").alias("component"))
                  .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
