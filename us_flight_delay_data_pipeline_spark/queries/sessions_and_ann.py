@@ -467,3 +467,95 @@ from . import QuerySpec as _QS2  # noqa: E402
 _REG2["ann_ivf_multiprobe"] = _QS2(
     fn=_REG2["ann_ivf_multiprobe"].fn, oracle=_ivf_multiprobe_sql(),
     doc=_REG2["ann_ivf_multiprobe"].doc)
+
+
+@register(
+    "hourly_anomaly_flags",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT event_type, hour, n_events,
+             CAST(SUM(n_events) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n_events, moving_avg,
+           n_events > 1.5 * moving_avg AS is_spike
+    FROM ma WHERE moving_avg IS NOT NULL
+    """,
+    doc="Time-series anomaly flagging: hourly counts per event type, "
+        "trailing 6-hour moving average (frame excludes the current "
+        "row), spike = count > 1.5x the trailing mean. One aggregate "
+        "plus one window over the already-hour-grained series — the "
+        "window input is |types|x|hours|, tiny relative to the event "
+        "stream at any scale. The moving average divides integer "
+        "sums (exact), so the doubles are engine-portable.",
+)
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("hour"))
+               .agg(F.count("*").alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-6, -1))
+    ma = (F.sum("n_events").over(w).cast("double")
+          / F.count("*").over(w).cast("double"))
+    return (hourly.withColumn("moving_avg", ma)
+                  .filter(F.col("moving_avg").isNotNull())
+                  .select("event_type", "hour", "n_events", "moving_avg",
+                          (F.col("n_events") > 1.5 * F.col("moving_avg"))
+                           .alias("is_spike")))
+
+
+@register(
+    "customer_value_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT *, ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS segment
+      FROM cust
+    )
+    SELECT segment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS segment_revenue,
+           CAST(SUM(n_orders) AS BIGINT) AS segment_orders,
+           max(last_order) AS latest_order
+    FROM tiled GROUP BY segment
+    """,
+    doc="RFM-style customer segmentation: per-customer revenue "
+        "profile, quartile assignment by ntile over the revenue "
+        "ranking (unique tiebreak on custkey keeps tile edges "
+        "engine-portable), then per-segment rollup. The global ntile "
+        "sorts the per-customer aggregate (1 row/customer), not the "
+        "fact table; at extreme customer counts swap ntile for "
+        "percentile_approx cutpoints to avoid the single-partition "
+        "sort — this query is the exact formulation.",
+)
+def customer_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+        F.max("o_orderdate").alias("last_order"))
+    seg = F.ntile(4).over(
+        Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+    return (cust.withColumn("segment", seg)
+                .groupBy("segment")
+                .agg(F.count("*").alias("n_customers"),
+                     F.sum(F.col("revenue").cast("decimal(38,6)"))
+                      .cast("double").alias("segment_revenue"),
+                     F.sum("n_orders").alias("segment_orders"),
+                     F.max("last_order").alias("latest_order")))
