@@ -51,4 +51,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import relational_extra  # noqa: F401
     from . import text_pipeline  # noqa: F401
     from . import relational_wave3  # noqa: F401
+    from . import data_quality  # noqa: F401
     return REGISTRY

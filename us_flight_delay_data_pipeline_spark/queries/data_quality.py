@@ -1,0 +1,119 @@
+"""Data-quality surface: one-pass column profiling (the ANALYZE-style
+statistics a pipeline publishes per table version) and an
+expectations gate (violation counts for declared constraints) — the
+keep/ship decision points of a production ingest, complementing the
+reference's defensive guards (na.drop / TRY_CAST / ON_ERROR=CONTINUE,
+SURVEY.md §2.2 P3, §2.8 F5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"]
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "table_profile",
+    _profile_sql(),
+    doc="Column profiling in ONE scan: per column row/null/distinct "
+        "counts and min/max (stringified for a uniform schema). The "
+        "Spark side computes every column's aggregates in a single "
+        "agg (one pass, map-side partial) and unpivots the result "
+        "row — the oracle's UNION ALL of per-column scans is the "
+        "semantic spec, not the plan. These stats feed broadcast "
+        "decisions, skew detection, and data-contract checks; at "
+        "100 TB swap COUNT(DISTINCT) for approx_count_distinct.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs, structs = [], []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = o.agg(*aggs)
+    for c in _PROFILE_COLS:
+        structs.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value")))
+    return (row.select(F.explode(F.array(*structs)).alias("p"))
+               .select("p.*"))
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+        AS n_nonpositive_price,
+      (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+        AS n_null_orderdate,
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+        AS n_orphan_lineitems,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                             GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        AS n_duplicate_orderkeys,
+      (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 0.5)
+        AS n_bad_discounts
+    """,
+    doc="Expectations gate: violation counts for declared constraints "
+        "— domain checks (nonpositive price, out-of-range discount), "
+        "completeness (null dates), referential integrity (orphan "
+        "lineitems via left-anti join), and key uniqueness (duplicate "
+        "orderkeys). One row; a pipeline fails the batch when any "
+        "count exceeds its tolerance. The anti join broadcasts "
+        "whichever side is small; the uniqueness check is a "
+        "keys-only aggregate.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one lazy plan: four single-row aggregates crossJoined (each side
+    # is 1 row, so the joins are trivia; no driver-side .count() loop)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_stats = o.agg(
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive_price"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("n_null_orderdate"))
+    orphans = (li.select("l_orderkey")
+                 .join(o.select("o_orderkey"),
+                       li.l_orderkey == o.o_orderkey, "left_anti")
+                 .agg(F.count("*").alias("n_orphan_lineitems")))
+    dups = (o.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+             .agg(F.count("*").alias("n_duplicate_orderkeys")))
+    disc = li.agg(F.count_if((F.col("l_discount") < 0)
+                             | (F.col("l_discount") > 0.5))
+                  .alias("n_bad_discounts"))
+    return (o_stats.crossJoin(orphans).crossJoin(dups).crossJoin(disc)
+            .select("n_nonpositive_price", "n_null_orderdate",
+                    "n_orphan_lineitems", "n_duplicate_orderkeys",
+                    "n_bad_discounts"))
