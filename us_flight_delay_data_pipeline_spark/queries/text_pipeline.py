@@ -213,3 +213,105 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (df.select("shingle", "n_docs",
                       F.row_number().over(w).alias("rank"))
               .filter(F.col("rank") <= 20))
+
+
+_DECON_N = 5  # decontamination shingle width (word 5-grams)
+
+
+@register(
+    "decontamination_overlap",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([('0x' || substr(md5(array_to_string(
+                 toks[i:i+{_DECON_N - 1}], ' ')), 1, 15))::BIGINT % 4294967296
+               for i in range(1, len(toks) - {_DECON_N - 2})]) AS hs
+      FROM base WHERE len(toks) >= {_DECON_N}
+    ),
+    bench AS (SELECT doc_id AS bench_doc, unnest(hs) AS h FROM sh
+              WHERE source = 'src0'),
+    train AS (SELECT doc_id, unnest(hs) AS h FROM sh
+              WHERE source <> 'src0')
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.h) AS n_shared_shingles,
+           COUNT(DISTINCT b.bench_doc) AS n_benchmark_docs
+    FROM train t JOIN bench b ON t.h = b.h
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing any word-"
+        f"{_DECON_N}-gram with the holdout set (source='src0' stands "
+        "in for the benchmark corpus). Both sides reduce to 8-byte "
+        "shingle hashes; the benchmark side is tiny and broadcasts, "
+        "so cost is one linear pass over training shingles — the "
+        "standard eval-leakage gate before pretraining. Contaminated "
+        "docs report how many distinct shingles and benchmark docs "
+        "they collide with.",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import rebalance
+    from ..operators.hashing import h32
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sh = (rebalance(d.filter(F.size(toks) >= _DECON_N))
+          .select("doc_id", "source",
+                  F.explode(F.array_distinct(
+                      F.transform(word_ngrams(F.col("text"), _DECON_N), h32)))
+                   .alias("h")))
+    bench = (sh.filter(F.col("source") == "src0")
+               .select(F.col("doc_id").alias("bench_doc"), "h"))
+    train = sh.filter(F.col("source") != "src0").select("doc_id", "h")
+    return (train.join(F.broadcast(bench), "h")
+                 .groupBy("doc_id")
+                 .agg(F.countDistinct("h").alias("n_shared_shingles"),
+                      F.countDistinct("bench_doc").alias("n_benchmark_docs")))
+
+
+@register(
+    "doc_commonness",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    total AS (SELECT SUM(c) AS t FROM freq),
+    per_doc AS (
+      SELECT tok.doc_id, COUNT(*) AS n_tokens, SUM(freq.c) AS s
+      FROM tok JOIN freq USING (term) GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           s::DOUBLE / (n_tokens::DOUBLE * t::DOUBLE) AS commonness
+    FROM per_doc CROSS JOIN total
+    """,
+    doc="Unigram-LM quality proxy: mean corpus probability of a "
+        "document's tokens (high = boilerplate-common, low = rare/"
+        "noisy — the cheap stand-in for a KenLM perplexity filter). "
+        "Deliberately integer-exact: the per-doc statistic is a "
+        "BIGINT sum of global counts, divided once at the end, so no "
+        "float accumulation order or libm log can drift between "
+        "engines. The frequency table is vocabulary-sized and "
+        "broadcasts into the token stream.",
+)
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.filter(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    F.explode(word_tokens(F.col("text"))).alias("term")))
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    per_doc = (tok.join(F.broadcast(freq), "term")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").alias("n_tokens"),
+                       F.sum("c").alias("s")))
+    return (per_doc.crossJoin(F.broadcast(total))
+                   .select("doc_id", "n_tokens",
+                           (F.col("s").cast("double")
+                            / (F.col("n_tokens").cast("double")
+                               * F.col("t").cast("double")))
+                            .alias("commonness")))
