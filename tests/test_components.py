@@ -1,0 +1,47 @@
+"""Unit tests for the connected-components operator on adversarial
+graph shapes (the oracle-gated dedup_clusters query covers the
+realistic near-dup graphs; these pin the algorithm itself)."""
+
+from __future__ import annotations
+
+import pytest
+
+from us_flight_delay_data_pipeline_spark.operators.components import (
+    connected_components)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = connected_components(df, **kw).collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_path_graph_worst_case_diameter(spark):
+    """A 20-node path: min label must walk the full diameter — the
+    worst case for min-label propagation."""
+    edges = [(i, i + 1) for i in range(19)]
+    got = _cc(spark, edges)
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_disjoint_cliques_and_direction_independence(spark):
+    """Two components; labels must be the component-min regardless of
+    the direction pairs were emitted in."""
+    edges = [(5, 3), (3, 4), (10, 12), (11, 10)]
+    got = _cc(spark, edges)
+    assert got == {3: 3, 4: 3, 5: 3, 10: 10, 11: 10, 12: 10}
+
+
+def test_self_loops_and_duplicate_edges(spark):
+    edges = [(1, 1), (1, 2), (2, 1), (1, 2)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1}
+
+
+def test_max_iter_caps_rounds(spark):
+    """With max_iter=1 a long path must NOT fully converge (labels
+    only move one hop per round) — guards against the loop silently
+    running to convergence regardless of the cap."""
+    edges = [(i, i + 1) for i in range(9)]
+    got = _cc(spark, edges, max_iter=1)
+    assert got[9] != 0
