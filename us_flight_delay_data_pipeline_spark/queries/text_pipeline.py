@@ -23,6 +23,14 @@ from .llm_ext import STOPWORDS_SQL, _shingles_sql, _tok_sql
 
 # Shared CTE: the ngram-Jaccard near-dup pair list (same constants as
 # the ngram_jaccard_pairs query: lang blocking, threshold 0.3).
+# ``pairs_cte`` parameterizes the source relation so the pretraining
+# funnel can run the same clustering over a filtered corpus.
+
+
+def pairs_cte(src: str = "documents") -> str:
+    return _PAIRS_CTE.replace("FROM documents", f"FROM {src}", 1)
+
+
 _PAIRS_CTE = f"""
     base AS (
       SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
