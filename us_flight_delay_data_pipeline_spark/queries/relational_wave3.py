@@ -214,3 +214,125 @@ def brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("p_brand", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
                    F.count("*").alias("n_lineitems")))
+
+
+@register(
+    "customer_order_fill",
+    f"""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.revenue, 0.0) AS revenue,
+           o.n_orders IS NULL AS is_dormant
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             {_osum('o_totalprice')} AS revenue
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Left outer join with null-fill: every customer keeps a row, "
+        "order-less customers surface with zeroed metrics and a "
+        "dormant flag — the outer-join + COALESCE contract. "
+        "Aggregate-then-join keeps the outer join's build side at "
+        "one row per customer instead of one per order.",
+)
+def customer_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (load_table(spark, sf_dir, "orders")
+         .groupBy("o_custkey")
+         .agg(F.count("*").alias("n_orders"),
+              dsum("o_totalprice").alias("revenue")))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .select("c_custkey", "c_mktsegment",
+                     F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                     F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+                     F.col("n_orders").isNull().alias("is_dormant")))
+
+
+@register(
+    "monthly_revenue_reconciliation",
+    f"""
+    WITH booked AS (
+      SELECT CAST(year(o_orderdate::DATE) AS INTEGER) AS year,
+             CAST(month(o_orderdate::DATE) AS INTEGER) AS month,
+             {_osum('o_totalprice')} AS booked_revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    shipped AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+             CAST(month(l_shipdate) AS INTEGER) AS month,
+             {_osum('l_extendedprice * (1 - l_discount)')} AS shipped_revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT COALESCE(b.year, s.year) AS year,
+           COALESCE(b.month, s.month) AS month,
+           COALESCE(b.booked_revenue, 0.0) AS booked_revenue,
+           COALESCE(s.shipped_revenue, 0.0) AS shipped_revenue,
+           b.year IS NULL OR s.year IS NULL AS one_sided
+    FROM booked b
+    FULL OUTER JOIN shipped s ON b.year = s.year AND b.month = s.month
+    """,
+    doc="Full outer join reconciliation: booked revenue (orders, by "
+        "order month) vs shipped revenue (lineitem, by ship month), "
+        "keeping months that exist on only one side — the ledger-"
+        "comparison shape. Both sides pre-aggregate to month grain "
+        "before the outer join, so the join input is dozens of rows "
+        "regardless of fact size.",
+)
+def monthly_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    booked = (o.groupBy(
+                F.year(F.col("o_orderdate").cast("date")).alias("year"),
+                F.month(F.col("o_orderdate").cast("date")).alias("month"))
+               .agg(dsum("o_totalprice").alias("booked_revenue")))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    shipped = (li.groupBy(F.year("l_shipdate").alias("year"),
+                          F.month("l_shipdate").alias("month"))
+                 .agg(F.sum(rev).cast("double").alias("shipped_revenue")))
+    b, s = booked.alias("b"), shipped.alias("s")
+    return (b.join(s, (F.col("b.year") == F.col("s.year"))
+                   & (F.col("b.month") == F.col("s.month")), "full_outer")
+             .select(
+                 F.coalesce("b.year", "s.year").alias("year"),
+                 F.coalesce("b.month", "s.month").alias("month"),
+                 F.coalesce("booked_revenue", F.lit(0.0))
+                  .alias("booked_revenue"),
+                 F.coalesce("shipped_revenue", F.lit(0.0))
+                  .alias("shipped_revenue"),
+                 (F.col("b.year").isNull() | F.col("s.year").isNull())
+                  .alias("one_sided")))
+
+
+@register(
+    "rolling_hour_user_value",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS rolling_1h_events
+    FROM events
+    """,
+    doc="RANGE-frame window over event time: per user, the sum/count "
+        "of activity in the trailing hour AT each event — a true "
+        "value-range frame (all rows within 3600s), not a row-count "
+        "frame, so simultaneous/bursty events are included whole. One "
+        "shuffle on user_id; the frame bound is microseconds of epoch "
+        "time on both engines. Decimal-exact sum keeps the rolling "
+        "total portable.",
+)
+def rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3600 * 1000000, Window.currentRow))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+         .alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"))
