@@ -559,3 +559,37 @@ def customer_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("double").alias("segment_revenue"),
                      F.sum("n_orders").alias("segment_orders"),
                      F.max("last_order").alias("latest_order")))
+
+
+@register(
+    "salted_event_type_stats",
+    f"""
+    SELECT event_type,
+           {_osum('value')} AS total_value,
+           COUNT(*) AS n_events,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-mitigated aggregation under the oracle gate: events "
+        "grouped by event_type (5 hot keys — exactly the shape where "
+        "one reducer serializes a plain groupBy) through "
+        "operators/skew.py::salted_groupby_agg — phase 1 aggregates "
+        "per (key, random salt), phase 2 merges per-salt partials. "
+        "Only algebraic aggregates decompose (sum/count re-sum, max "
+        "re-maxes); results are bit-identical to the plain group-by "
+        "the oracle runs, independent of salt assignment.",
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_groupby_agg
+    e = load_table(spark, sf_dir, "events")
+    out = salted_groupby_agg(
+        e, ["event_type"],
+        aggs={"total_value": F.sum(F.col("value").cast("decimal(38,6)")),
+              "n_events": F.count("*"),
+              "max_value": F.max("value")},
+        mergers={"total_value": F.sum, "n_events": F.sum,
+                 "max_value": F.max})
+    return out.select("event_type",
+                      F.col("total_value").cast("double").alias("total_value"),
+                      "n_events",
+                      F.col("max_value").cast("double").alias("max_value"))
