@@ -45,13 +45,17 @@ def _profile_sql() -> str:
         "100 TB swap COUNT(DISTINCT) for approx_count_distinct.",
 )
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-distinct profiling avoids the N-distinct-aggs-in-one-agg
+    # plan: Catalyst expands that input (n_aggs+1)x before the
+    # shuffle. Instead: one expand-free pass for rows/nulls/min/max,
+    # plus one column-pruned distinct branch per column (map-side
+    # partial dedup, tiny shuffle), broadcast back by column name.
     o = load_table(spark, sf_dir, "orders")
     aggs, structs = [], []
     for c in _PROFILE_COLS:
         aggs += [
             F.count("*").alias(f"{c}__rows"),
             (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
@@ -61,11 +65,19 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(c).alias("column_name"),
             F.col(f"{c}__rows").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__distinct").alias("n_distinct"),
             F.col(f"{c}__min").alias("min_value"),
             F.col(f"{c}__max").alias("max_value")))
-    return (row.select(F.explode(F.array(*structs)).alias("p"))
-               .select("p.*"))
+    stats = (row.select(F.explode(F.array(*structs)).alias("p"))
+                .select("p.*"))
+    dist = None
+    for c in _PROFILE_COLS:
+        branch = (o.select(c).filter(F.col(c).isNotNull()).distinct()
+                   .agg(F.lit(c).alias("column_name"),
+                        F.count("*").alias("n_distinct")))
+        dist = branch if dist is None else dist.unionByName(branch)
+    return (stats.join(F.broadcast(dist), "column_name")
+                 .select("column_name", "n_rows", "n_nulls", "n_distinct",
+                         "min_value", "max_value"))
 
 
 @register(
