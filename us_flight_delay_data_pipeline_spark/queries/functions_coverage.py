@@ -284,3 +284,67 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _ssq_orders
         WHERE o_totalprice >= 0.9 * (SELECT max(o_totalprice) FROM _ssq_orders)
     """)
+
+
+@register(
+    "array_funcs",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             range(1, (p_size % 5) + 3) AS arr,
+             [p_size, p_size * 2, p_size % 7] AS arr2
+      FROM part
+    )
+    SELECT p_partkey,
+           len(arr)::INT AS arr_len,
+           list_contains(arr, 3) AS has_three,
+           list_sort(list_distinct(arr2)) AS arr2_set,
+           list_sort(list_distinct(list_concat(arr, arr2))) AS union_set,
+           arr[2:3] AS middle,
+           list_reverse(arr) AS rev,
+           list_sum(arr)::BIGINT AS total,
+           COALESCE(list_position(arr2, 14), 0)::BIGINT AS pos14,
+           list_max(arr2) AS biggest,
+           list_transform(arr, x -> x * x) AS squares,
+           list_filter(arr, x -> x % 2 = 0) AS evens,
+           len(list_filter(arr, x -> x > 3)) > 0 AS any_gt3,
+           len(list_filter(arr, x -> NOT (x < 10))) = 0 AS all_lt10,
+           list_transform(list_zip(arr, list_reverse(arr)),
+                          p -> p[1] + p[2]) AS palindrome_sums
+    FROM t
+    """,
+    doc="Array + higher-order-function surface: size/contains/"
+        "distinct/union/slice/reverse/sum/position/max plus "
+        "transform/filter/exists/forall/zip_with — every lambda runs "
+        "JVM-side inside codegen (no Python). Set-like results are "
+        "sorted (array_union/distinct ordering is engine-defined); "
+        "arrays are integer-valued so no float drift. DuckDB "
+        "1-indexes list slices like Spark's slice(start, length).",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    t = p.select(
+        "p_partkey",
+        F.sequence(F.lit(1), (F.col("p_size") % 5) + 2).alias("arr"),
+        F.array(F.col("p_size"), F.col("p_size") * 2,
+                F.col("p_size") % 7).alias("arr2"))
+    return t.select(
+        "p_partkey",
+        F.size("arr").alias("arr_len"),
+        F.array_contains("arr", 3).alias("has_three"),
+        F.array_sort(F.array_distinct("arr2")).alias("arr2_set"),
+        F.array_sort(F.array_distinct(F.concat("arr", "arr2")))
+         .alias("union_set"),
+        F.slice("arr", 2, 2).alias("middle"),
+        F.reverse("arr").alias("rev"),
+        F.aggregate("arr", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("total"),
+        F.array_position("arr2", 14).alias("pos14"),
+        F.array_max("arr2").alias("biggest"),
+        F.transform("arr", lambda x: x * x).alias("squares"),
+        F.filter("arr", lambda x: x % 2 == 0).alias("evens"),
+        F.exists("arr", lambda x: x > 3).alias("any_gt3"),
+        F.forall("arr", lambda x: x < 10).alias("all_lt10"),
+        F.zip_with("arr", F.reverse("arr"),
+                   lambda a, b: a + b).alias("palindrome_sums"),
+    )
