@@ -336,3 +336,42 @@ def rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double")
          .alias("rolling_1h_value"),
         F.count("*").over(w).alias("rolling_1h_events"))
+
+
+_SPINE_SPARK_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT min(date_trunc('MONTH', CAST(o_orderdate AS DATE))) AS lo,
+         max(date_trunc('MONTH', CAST(o_orderdate AS DATE))) AS hi
+  FROM orders
+),
+spine(m, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH, hi FROM spine WHERE m < hi
+),
+monthly AS (
+  SELECT date_trunc('MONTH', CAST(o_orderdate AS DATE)) AS m,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(s.m AS DATE) AS month, COALESCE(mo.n_orders, 0) AS n_orders,
+       mo.m IS NULL AS is_gap
+FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+"""
+
+
+@register(
+    "month_spine_fill",
+    _SPINE_SPARK_SQL.replace("INTERVAL '1' MONTH", "INTERVAL 1 MONTH"),
+    doc="Recursive CTE (Spark >= 4.0 WITH RECURSIVE, via spark.sql): "
+        "generate the complete month spine between the first and last "
+        "order month, left join the monthly counts, and flag gap "
+        "months — the calendar-densification step every trend "
+        "dashboard needs (an inner group-by silently drops empty "
+        "months). The recursion carries the upper bound as a column "
+        "so the recursive term stays uncorrelated; depth = number of "
+        "months, rows per step = 1.",
+)
+def month_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SPINE_SPARK_SQL)
