@@ -348,3 +348,35 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("arr", F.reverse("arr"),
                    lambda a, b: a + b).alias("palindrome_sums"),
     )
+
+
+@register(
+    "props_variant_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+           CAST(max(json_extract(props, '$.k')::INT) AS INTEGER) AS max_k,
+           COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL
+                      THEN NULL ELSE 1 END) AS n_with_missing_key
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark >= 4.0): parse_json once "
+        "into a VARIANT, extract typed values with variant_get paths "
+        "— the Spark-native answer to the Snowflake VARIANT column "
+        "the reference's warehouse uses. Unlike get_json_object "
+        "(string re-parse per access), the variant binary encoding "
+        "parses once and serves every path extraction; absent paths "
+        "yield NULL (counted here to pin that contract). Integer "
+        "aggregates keep it engine-portable.",
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "int")
+    return (e.groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(k).cast("bigint").alias("sum_k"),
+                  F.max(k).alias("max_k"),
+                  F.count(missing).alias("n_with_missing_key")))
