@@ -173,3 +173,27 @@ def test_promo_filter_reaches_part_scan(q):
     flat = p.replace(" ", "")
     assert "Not(EqualTo(p_brand,Brand#15))" in flat
     assert "In(p_size" in flat
+
+
+def test_full_outer_join_on_preaggregated_grains(q):
+    """monthly_revenue_reconciliation: the outer join input must be
+    the month-grain aggregates (two HashAggregate subtrees feeding the
+    join), never a fact-grain outer join."""
+    p = plan(q("monthly_revenue_reconciliation"), "simple")
+    assert "FullOuter" in p
+    below = p[p.index("FullOuter"):]
+    assert below.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_range_frame_window_single_shuffle(q):
+    p = plan(q("rolling_hour_user_value"), "simple")
+    assert p.count("Exchange") == 1  # one shuffle on user_id
+    assert "RangeFrame" in p
+
+
+def test_salted_agg_two_phase(q):
+    """salted_event_type_stats: two aggregation levels around the salt
+    (per key+salt, then merge per key)."""
+    p = plan(q("salted_event_type_stats"), "simple")
+    assert "_salt" in p
+    assert p.count("HashAggregate") >= 4  # partial+final x two phases

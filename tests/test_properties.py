@@ -114,3 +114,21 @@ def test_gold_invariant_under_repartitioning(spark, rows, parts):
     shuffled = {tuple(r)
                 for r in agg_monthly(kpi.repartition(parts)).collect()}
     assert base == shuffled
+
+
+def test_pretrain_funnel_stage_invariants(spark, sf_dir):
+    """Funnel semantics: every stage only drops documents (docs and
+    tokens non-increasing), stages are labeled densely, and the base
+    row matches the corpus size."""
+    from us_flight_delay_data_pipeline_spark.plans.pretrain import (
+        pretrain_funnel)
+    from us_flight_delay_data_pipeline_spark.sources.registry import (
+        load_table)
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r.stage_idx: r for r in pretrain_funnel(docs).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    assert rows[0].n_docs == docs.count()
+    for i in range(1, 6):
+        assert rows[i].n_docs <= rows[i - 1].n_docs
+        assert rows[i].n_tokens <= rows[i - 1].n_tokens
+    assert rows[5].n_docs > 0  # the pipeline keeps something
