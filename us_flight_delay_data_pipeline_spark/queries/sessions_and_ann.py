@@ -593,3 +593,67 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("total_value").cast("double").alias("total_value"),
                       "n_events",
                       F.col("max_value").cast("double").alias("max_value"))
+
+
+@register(
+    "user_value_trend",
+    """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS xsec,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS ycents
+      FROM events
+    ),
+    reb AS (
+      SELECT user_id,
+             xsec - min(xsec) OVER (PARTITION BY user_id) AS x,
+             ycents AS y
+      FROM base
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM reb GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ((n * sxy - sx * sy)::DOUBLE
+                      / (n * sxx - sx * sx)::DOUBLE) / 100.0
+           END AS slope
+    FROM s
+    """,
+    doc="Grouped custom aggregate via applyInPandas (the sanctioned "
+        "Python path for operators Spark can't express natively, like "
+        "the multimodal codecs): per-user OLS slope of event value "
+        "over time. One shuffle on user_id, Arrow-batched groups, "
+        "FlatMapGroupsInPandas in the plan (never row-at-a-time "
+        "BatchEvalPython). Exactness across engines: timestamps "
+        "rebase to per-user epoch-second offsets and values to "
+        "integer cents, the normal-equation sums run in arbitrary-"
+        "precision Python ints (HUGEINT in the oracle), and only the "
+        "final slope divides as double — no float accumulation order "
+        "anywhere.",
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events") \
+        .select("user_id", F.unix_micros("ts").alias("us"), "value")
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) // 1_000_000 for v in pdf["us"]]
+        ys = [math.floor(v * 100 + 0.5) for v in pdf["value"]]
+        x0 = min(xs)
+        xs = [x - x0 for x in xs]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        val = (float(n * sxy - sx * sy) / float(den)) / 100.0 if den else None
+        return pd.DataFrame({"user_id": [int(pdf["user_id"].iloc[0])],
+                             "n_events": [n], "slope": [val]})
+
+    return e.groupBy("user_id").applyInPandas(
+        slope, schema="user_id bigint, n_events bigint, slope double")
