@@ -75,3 +75,22 @@ def test_replicated_dim_join_matches_plain(spark, sf_dir):
     salted = fact.join(dim, (fact.l_suppkey == dim.s_suppkey)
                        & (fact._salt == dim._salt)).count()
     assert salted == plain
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC source/sink parity (SURVEY §2.1 source surface): writing a
+    table as ORC and reading it back must preserve every row and the
+    schema — the engine is format-agnostic for columnar at-rest data."""
+    import os
+    from pyspark.sql import functions as F
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    out = str(tmp_path / "part_orc")
+    p.write.mode("overwrite").orc(out)
+    o = spark.read.orc(out)
+    assert o.schema == p.schema
+    assert o.count() == p.count()
+    a = p.agg(F.sum(F.col("p_retailprice").cast("decimal(38,6)"))
+              .cast("double")).first()[0]
+    b = o.agg(F.sum(F.col("p_retailprice").cast("decimal(38,6)"))
+              .cast("double")).first()[0]
+    assert a == b

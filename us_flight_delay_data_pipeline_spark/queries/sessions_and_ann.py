@@ -657,3 +657,40 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.groupBy("user_id").applyInPandas(
         slope, schema="user_id bigint, n_events bigint, slope double")
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH expanded AS (
+      SELECT e.event_type, e.value,
+             to_timestamp((epoch_us(e.ts) // 900000000) * 900 - i.i * 900)
+               ::TIMESTAMP AS window_start
+      FROM events e, (SELECT unnest(range(0, 4)) AS i) i
+      WHERE to_timestamp((epoch_us(e.ts) // 900000000) * 900 - i.i * 900)
+            ::TIMESTAMP > e.ts - INTERVAL 60 MINUTE
+    )
+    SELECT window_start,
+           window_start + INTERVAL 60 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY window_start, event_type
+    """,
+    doc="Sliding event-time windows (60-minute span, 15-minute "
+        "slide) via F.window — each event lands in span/slide = 4 "
+        "windows; Spark expands exactly that fan-out before the "
+        "aggregate (the same operator Structured Streaming uses with "
+        "a watermark). The oracle reproduces the epoch-aligned window "
+        "grid with an explicit 4-way unnest.",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "60 minutes", "15 minutes"),
+                      "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                   .alias("total_value"))
+             .select(F.col("window.start").alias("window_start"),
+                     F.col("window.end").alias("window_end"),
+                     "event_type", "n_events", "total_value"))
