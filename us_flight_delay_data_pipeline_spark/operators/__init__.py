@@ -25,7 +25,7 @@ from .skew import (
     replicate_for_salted_join,
     all_pairs_within_block,
 )
-from .upsert import merge_upsert, upsert_partitioned_parquet
+from .upsert import merge_upsert, scd2_apply, upsert_partitioned_parquet
 
 __all__ = [
     "asof_join",
@@ -41,5 +41,5 @@ __all__ = [
     "probe_ivf_index",
     "salted_groupby_agg", "replicate_for_salted_join",
     "all_pairs_within_block",
-    "merge_upsert", "upsert_partitioned_parquet",
+    "merge_upsert", "scd2_apply", "upsert_partitioned_parquet",
 ]

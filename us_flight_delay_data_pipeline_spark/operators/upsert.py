@@ -56,3 +56,53 @@ def upsert_partitioned_parquet(spark: SparkSession, path: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(partition_col)
      .parquet(path))
+
+
+def scd2_apply(history: DataFrame, updates: DataFrame, key: str,
+               effective_col: str,
+               current_flag: str = "is_current",
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a batch of new versions
+    to a history table, closing out superseded current rows instead of
+    overwriting them (the auditable variant of MERGE — README.md:281-302
+    lists CDC-style refresh as the reference's future work; Delta's
+    MERGE expresses this with two WHEN clauses, this is the plain-
+    DataFrame equivalent).
+
+    ``history`` columns: payload + (valid_from, valid_to, is_current);
+    ``updates``: payload + ``effective_col`` (the new version's
+    effective timestamp). Updates must be one row per key.
+
+    Returns the new history:
+    - untouched keys pass through;
+    - superseded current rows get ``valid_to = new effective ts`` and
+      ``is_current = false``;
+    - each update appends as the new current row (valid_to = NULL).
+
+    One broadcastable join against the update keys + a union — cost
+    scales with the delta and the touched keys, never with history
+    depth. Pair with ``upsert_partitioned_parquet``'s dynamic
+    partition overwrite to confine the rewrite.
+    """
+    upd_keyed = updates.select(
+        F.col(key),
+        F.col(effective_col).alias("__new_from"))
+    joined = history.join(F.broadcast(upd_keyed), key, "left")
+    closed = joined.select(
+        *[F.when(F.col("__new_from").isNotNull() & F.col(current_flag),
+                 F.col("__new_from")).otherwise(F.col(valid_to)).alias(c)
+          if c == valid_to else
+          F.when(F.col("__new_from").isNotNull() & F.col(current_flag),
+                 F.lit(False)).otherwise(F.col(current_flag)).alias(c)
+          if c == current_flag else F.col(c)
+          for c in history.columns])
+    payload_cols = [c for c in history.columns
+                    if c not in (valid_from, valid_to, current_flag)]
+    fresh = updates.select(
+        *[F.col(c) for c in payload_cols if c != key] + [F.col(key)],
+        F.col(effective_col).alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(current_flag),
+    ).select(*history.columns)
+    return closed.unionByName(fresh)
