@@ -323,3 +323,39 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("n_tokens").cast("double")
                                * F.col("t").cast("double")))
                             .alias("commonness")))
+
+
+@register(
+    "dup_degree_histogram",
+    f"""
+    WITH {_PAIRS_CTE},
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc
+    FROM deg GROUP BY degree
+    """,
+    doc="Dedup diagnostics: the duplicate-degree distribution (how "
+        "many near-dup partners each document has). Heavy-tailed "
+        "degree = template explosion (one boilerplate page matching "
+        "thousands) — the signal to add stricter blocking or drop the "
+        "template before clustering; the histogram is what you check "
+        "BEFORE running connected components at 100 TB, because a "
+        "hub doc makes the pair list quadratic.",
+)
+def dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.3) \
+        .select("doc_a", "doc_b")
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+                .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+                .groupBy("doc_id").agg(F.count("*").alias("degree")))
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("example_doc"))
