@@ -9,6 +9,7 @@ from .dedup import (
     simhash_duplicate_pairs,
     ngram_jaccard_pairs,
 )
+from .kmeans import assign_clusters, inertia, kmeans_fit
 from .maintenance import compact_parquet, table_file_stats
 from .hashing import band_key, h32, h60, minhash_signature, rolling_fingerprint, simhash32
 from .similarity import (
@@ -33,6 +34,7 @@ __all__ = [
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
     "minhash_lsh_duplicate_pairs", "simhash_64", "simhash_duplicate_pairs",
     "ngram_jaccard_pairs",
+    "assign_clusters", "inertia", "kmeans_fit",
     "compact_parquet", "table_file_stats",
     "band_key", "h32", "h60", "minhash_signature", "rolling_fingerprint",
     "simhash32",
