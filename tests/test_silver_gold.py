@@ -141,3 +141,24 @@ def test_gold_write_partition_pruning(spark, silver, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "carrier" in pf
     assert one.count() == carrier_tbl.filter(F.col("carrier") == "AA").count()
+
+
+def test_silver_observation_metrics(spark):
+    """df.observe collects pipeline metrics in the SAME pass as the
+    action — values must match explicit recomputation."""
+    from tests.flight_fixtures import dirty_bodies, encode_bodies, make_clean_rows
+    from us_flight_delay_data_pipeline_spark.plans.silver import (
+        silver_transform, silver_transform_observed)
+    from us_flight_delay_data_pipeline_spark.streaming.ingest import (
+        ENVELOPE_SCHEMA)
+    bodies = encode_bodies(make_clean_rows(40)) + dirty_bodies()
+    rows = [(b, "0", i, None) for i, b in enumerate(bodies)]
+    bronze = spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    observed, obs = silver_transform_observed(bronze)
+    n = observed.count()  # the action that feeds the observation
+    metrics = obs.get
+    assert metrics["rows_out"] == n
+    assert metrics["null_year_rows"] == 0  # null-drop already applied
+    expect = silver_transform(bronze)
+    years = expect.agg(F.min("year"), F.max("year")).first()
+    assert (metrics["min_year"], metrics["max_year"]) == tuple(years)

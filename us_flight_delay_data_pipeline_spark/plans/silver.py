@@ -62,3 +62,32 @@ def write_silver(df: DataFrame, path: str) -> None:
            .option("overwriteSchema", "true").save(path))
     except Exception:
         df.write.format("parquet").mode("overwrite").save(path)
+
+
+def silver_transform_observed(bronze: DataFrame,
+                              keep_cols: tuple[str, ...] = ()):
+    """``silver_transform`` instrumented with ``df.observe``: returns
+    ``(silver_df, observation)`` where the Observation collects
+    pipeline health metrics DURING the next action on the result —
+    zero extra passes, unlike a diagnostic ``count()`` (the
+    reference's notebooks re-count the frame at every stage,
+    ETL/…ipynb:700, 1251; Observation is the Spark-native way to get
+    those numbers for free).
+
+    Metrics: rows in, rows surviving the parse (non-null ``year``),
+    and how many rows carried a repaired/truncated body that still
+    parsed. Read ``observation.get`` AFTER an action has run.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("silver_health")
+    parsed = silver_transform(bronze, keep_cols=keep_cols)
+    observed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.when(F.col("year").isNotNull(), 0).otherwise(1))
+         .alias("null_year_rows"),
+        F.min("year").alias("min_year"),
+        F.max("year").alias("max_year"),
+    )
+    return observed, obs

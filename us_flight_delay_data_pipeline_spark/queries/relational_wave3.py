@@ -375,3 +375,29 @@ FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
 def month_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SPINE_SPARK_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_mktsegment = 'MACHINERY'
+"""
+
+
+@register(
+    "lateral_top_orders",
+    _LATERAL_SQL,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+        "(Spark >= 3.4 lateral join support, via spark.sql): each "
+        "machinery-segment customer's top-2 orders by value. Catalyst "
+        "decorrelates the lateral into a window/join plan instead of "
+        "executing the subquery per row — the declarative form of "
+        "top-k-per-group, checked against DuckDB's native LATERAL.",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
