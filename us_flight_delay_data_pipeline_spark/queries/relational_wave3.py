@@ -401,3 +401,139 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS year,
+           {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (bilateral trade volume): revenue between two "
+        "nations by supplier-side and customer-side nationality, per "
+        "ship year. Five joins; supplier and both nation tables "
+        "broadcast, the nation-pair disjunction prunes after the "
+        "dimension joins. The classic multi-hop dimension-chain "
+        "aggregate.",
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    pair = (((F.col("supp_nation") == "NATION_3")
+             & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7")
+               & (F.col("cust_nation") == "NATION_3")))
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+              .filter(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("year"))
+              .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    f"""
+    SELECT {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape (disjunction of conjunctions): revenue from "
+        "three OR-ed brand/size/quantity envelopes. Catalyst pushes "
+        "the common part-side residual (brand IN + size bounds) to "
+        "the broadcast build and evaluates the full tri-clause "
+        "disjunction post-join — the single-row aggregate makes this "
+        "the predicate-logic stress test.",
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    env = (((F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11))
+           | ((F.col("p_brand") == "Brand#23")
+              & F.col("p_size").between(1, 10)
+              & F.col("l_quantity").between(10, 20))
+           | ((F.col("p_brand") == "Brand#34")
+              & F.col("p_size").between(1, 15)
+              & F.col("l_quantity").between(20, 30)))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return j.filter(env).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"))
+
+
+@register(
+    "dormant_rich_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS avg_positive
+      FROM customer WHERE c_acctbal > 0
+    ),
+    last AS (
+      SELECT o_custkey, max(o_orderdate::DATE) AS last_order
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           {_osum('c.c_acctbal')} AS total_balance
+    FROM customer c
+    JOIN last l ON c.c_custkey = l.o_custkey
+    CROSS JOIN avg_bal
+    WHERE c.c_acctbal > 0.5 * avg_bal.avg_positive
+      AND l.last_order < DATE '2000-06-01'
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (dormant accounts with money on the books): "
+        "customers above half the positive-balance average whose LAST "
+        "order predates the cutoff, rolled up by segment. Scalar-"
+        "subquery threshold broadcasts as a single row; the last-order "
+        "table is a keys-only aggregate joined back.",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thr = (c.filter(F.col("c_acctbal") > 0)
+            .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                  / F.count("*")).alias("avg_positive")))
+    last = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"))
+    return (c.join(last, c.c_custkey == last.o_custkey)
+             .crossJoin(F.broadcast(thr))
+             .filter((F.col("c_acctbal") > 0.5 * F.col("avg_positive"))
+                     & (F.col("last_order") < F.lit("2000-06-01").cast("date")))
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_customers"),
+                  dsum("c_acctbal").alias("total_balance")))
