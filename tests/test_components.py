@@ -45,3 +45,23 @@ def test_max_iter_caps_rounds(spark):
     edges = [(i, i + 1) for i in range(9)]
     got = _cc(spark, edges, max_iter=1)
     assert got[9] != 0
+
+
+def test_labels_invariant_under_partitioning(spark):
+    """Distributed correctness: the component labeling must not depend
+    on how the edge list is partitioned (min-label propagation is
+    order-free, localCheckpoint must not leak partitioning into the
+    result)."""
+    import random
+    rng = random.Random(7)
+    # three chains + isolated pairs, shuffled
+    edges = ([(i, i + 1) for i in range(0, 8)]
+             + [(i, i + 1) for i in range(100, 110)]
+             + [(500, 501), (600, 601), (601, 600)])
+    rng.shuffle(edges)
+    df1 = spark.createDataFrame(edges, "src bigint, dst bigint").coalesce(1)
+    df8 = spark.createDataFrame(edges, "src bigint, dst bigint").repartition(8)
+    m1 = {r.node: r.component for r in connected_components(df1).collect()}
+    m8 = {r.node: r.component for r in connected_components(df8).collect()}
+    assert m1 == m8
+    assert m1[8] == 0 and m1[109] == 100 and m1[601] == 600
