@@ -748,3 +748,79 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n_tokens").alias("n_tokens"),
                     F.min("doc_id").alias("first_doc"),
                     F.max("doc_id").alias("last_doc")))
+
+
+@register(
+    "chunk_dup_ratio",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               toks[(g.i::INT * {_CHUNK_STRIDE} + 1):
+                    (g.i::INT * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})], ' '))
+               AS chunk_md5
+      FROM sized,
+           LATERAL (SELECT unnest(range(0,
+                      greatest(1, ceil((n - {_CHUNK_TOKENS}) /
+                                       {_CHUNK_STRIDE}.0)::BIGINT + 1))) AS i) g
+      WHERE len(toks[(g.i::INT * {_CHUNK_STRIDE} + 1):
+                     (g.i::INT * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})]) > 0
+    ),
+    spread AS (
+      SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_md5
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(CASE WHEN s.n_docs >= 2 THEN 1 END) AS n_dup_chunks,
+           COUNT(CASE WHEN s.n_docs >= 2 THEN 1 END)::DOUBLE
+             / COUNT(*)::DOUBLE AS dup_ratio
+    FROM chunks c JOIN spread s ON c.chunk_md5 = s.chunk_md5
+    GROUP BY c.doc_id
+    """,
+    doc="Chunk-level duplicate-content ratio: the dedup signal BELOW "
+        "document granularity — split every doc into the same sliding "
+        "64-token chunks as doc_chunks, count how many of a doc's "
+        "chunks also appear (by md5) in at least one OTHER document, "
+        "and report the duplicated fraction. Docs that survive "
+        "whole-doc dedup but are stitched from copied paragraphs "
+        "score high here — the filter MinHash misses when the "
+        "surrounding text differs. Two shuffles on 16-byte chunk "
+        "hashes (spread count + join back); ratio is exact-integer "
+        "division.",
+)
+def chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sized = d.select("doc_id", toks.alias("toks")) \
+             .withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n") - F.lit(_CHUNK_TOKENS))
+               / F.lit(float(_CHUNK_STRIDE))).cast("bigint") + 1)
+    exploded = sized.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+         .alias("chunk_idx"))
+    chunk = F.slice("toks", F.col("chunk_idx") * _CHUNK_STRIDE + 1,
+                    F.lit(_CHUNK_TOKENS))
+    chunks = (exploded
+              .filter(F.size(chunk) > 0)
+              .select("doc_id",
+                      F.md5(F.concat_ws(" ", chunk).cast("binary"))
+                       .alias("chunk_md5")))
+    spread = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.count(F.when(F.col("n_docs") >= 2, 1))
+    return (chunks.join(spread, "chunk_md5")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").alias("n_chunks"),
+                       dup.alias("n_dup_chunks"),
+                       (dup.cast("double") / F.count("*").cast("double"))
+                        .alias("dup_ratio")))
