@@ -359,3 +359,49 @@ def dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("example_doc"))
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             max(c) AS top_count
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           n_distinct::BIGINT AS n_distinct,
+           n_distinct::DOUBLE / n_tokens::DOUBLE AS distinct_ratio,
+           top_count::DOUBLE / n_tokens::DOUBLE AS top_token_share
+    FROM agg
+    """,
+    doc="Intra-document repetition stats (the Gopher/C4-style "
+        "repetitiveness filter, orthogonal to cross-doc dedup): "
+        "type/token ratio and the most-frequent-token share per "
+        "document. Low distinct_ratio or a dominant token marks "
+        "degenerate/templated text to drop before training. Explode "
+        "-> per-doc term counts -> per-doc rollup; ratios are exact "
+        "integer divisions.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.filter(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    F.explode(word_tokens(F.col("text"))).alias("term")))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"))
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct",
+        (F.col("n_distinct").cast("double")
+         / F.col("n_tokens").cast("double")).alias("distinct_ratio"),
+        (F.col("top_count").cast("double")
+         / F.col("n_tokens").cast("double")).alias("top_token_share"))
