@@ -8,6 +8,8 @@ from .dedup import (
     simhash_64,
     simhash_duplicate_pairs,
     ngram_jaccard_pairs,
+    build_minhash_index,
+    dedup_against_index,
 )
 from .kmeans import assign_clusters, inertia, kmeans_fit
 from .maintenance import compact_parquet, table_file_stats
@@ -33,7 +35,7 @@ __all__ = [
     "connected_components",
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
     "minhash_lsh_duplicate_pairs", "simhash_64", "simhash_duplicate_pairs",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "build_minhash_index", "dedup_against_index",
     "assign_clusters", "inertia", "kmeans_fit",
     "compact_parquet", "table_file_stats",
     "band_key", "h32", "h60", "minhash_signature", "rolling_fingerprint",

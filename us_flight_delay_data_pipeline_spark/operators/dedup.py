@@ -196,3 +196,64 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                       F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))
               .dropDuplicates(["doc_a", "doc_b"]))
     return _verified_jaccard_pairs(cands, threshold)
+
+
+def build_minhash_index(df: DataFrame, path: str,
+                        coeffs: list[tuple[int, int]],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4,
+                        ngram: int = 3) -> None:
+    """Persist the corpus's dedup index: one row per (doc, band) with
+    the band key and the hashed shingle set, written as parquet
+    PARTITIONED BY band. This is the incremental-ingest artifact — at
+    100 TB you build it once and every new batch probes it instead of
+    re-sig-ing the corpus. Partitioning by band lets the probe read
+    only the band it is joining (partition pruning)."""
+    sig = minhash_signatures(df, coeffs, text_col, id_col, ngram)
+    banded = sig.select(
+        F.col(id_col).alias("corpus_id"), "hsd",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_key(F.col("sig"), b, rows_per_band).alias("key"))
+            for b in range(bands)])).alias("bk")) \
+        .select("corpus_id", "hsd", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    sig.unpersist()
+
+
+def dedup_against_index(new_docs: DataFrame, index_path: str,
+                        coeffs: list[tuple[int, int]],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4,
+                        ngram: int = 3,
+                        threshold: float = 0.3) -> DataFrame:
+    """Incremental fuzzy dedup: match a NEW batch against the persisted
+    corpus index without touching corpus text. Band-join the batch's
+    (band, key) pairs against the index (the batch side is the small
+    one — it broadcasts), then verify exact Jaccard on the stored
+    hashed shingles. Returns (new_id, corpus_id, jaccard) for every
+    near-dup; anti-join the batch against the new_id column to keep
+    only novel documents."""
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    sig = minhash_signatures(new_docs, coeffs, text_col, id_col, ngram)
+    banded = sig.select(
+        F.col(id_col).alias("new_id"), F.col("hsd").alias("h_new"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_key(F.col("sig"), b, rows_per_band).alias("key"))
+            for b in range(bands)])).alias("bk")) \
+        .select("new_id", "h_new", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    cands = (idx.join(F.broadcast(banded), ["band", "key"])
+                .select("new_id", "corpus_id", "h_new",
+                        F.col("hsd").alias("h_corpus"))
+                .dropDuplicates(["new_id", "corpus_id"]))
+    common = F.size(F.array_intersect("h_new", "h_corpus"))
+    jac = (common.cast("double")
+           / (F.size("h_new") + F.size("h_corpus") - common).cast("double"))
+    out = (cands.select("new_id", "corpus_id", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    sig.unpersist()
+    return out
