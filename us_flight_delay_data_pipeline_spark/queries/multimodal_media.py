@@ -119,3 +119,56 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary_ops import extract_image_features
     imgs = _media_table(spark, sf_dir).filter(F.col("kind") == "image")
     return extract_image_features(imgs, dim=8, fake_decode=True)
+
+
+_AUDIO_WIN, _AUDIO_STRIDE = 32, 16
+
+
+@register(
+    "media_audio_windows",
+    f"""
+    WITH {_MEDIA_CTE},
+    auds AS (
+      SELECT media_id, payload,
+             octet_length(encode(payload)) AS n FROM media
+      WHERE kind = 'audio'
+    ),
+    wins AS (
+      SELECT a.media_id, g.j::INT AS window_idx,
+             substring(a.payload, 1 + {_AUDIO_STRIDE} * g.j::INT,
+                       {_AUDIO_WIN}) AS w
+      FROM auds a,
+           LATERAL (SELECT unnest(range(0,
+                      greatest(1, ceil((a.n - {_AUDIO_WIN})
+                               / {_AUDIO_STRIDE}.0)::BIGINT + 1))) AS j) g
+    )
+    SELECT media_id, window_idx,
+           length(w)::BIGINT AS window_bytes, md5(w) AS window_md5
+    FROM wins WHERE length(w) > 0
+    """,
+    doc="Audio windowing over the opaque binary column: overlapping "
+        f"{_AUDIO_WIN}-byte windows at stride {_AUDIO_STRIDE} (the "
+        "byte-level twin of doc_chunks — STFT-style framing before "
+        "any codec). Pure native expressions: sequence + explode + "
+        "binary substring, no Python; windows project to (bytes, md5) "
+        "for portable hashing. The ASCII payload keeps byte and char "
+        "offsets aligned so DuckDB can mirror the slicing.",
+)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    auds = (_media_table(spark, sf_dir)
+            .filter(F.col("kind") == "audio")
+            .withColumn("n", F.length("content")))
+    n_wins = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n") - F.lit(_AUDIO_WIN))
+               / F.lit(float(_AUDIO_STRIDE))).cast("bigint") + 1)
+    wins = auds.select(
+        "media_id", "content",
+        F.explode(F.sequence(F.lit(0), (n_wins - 1).cast("int")))
+         .alias("window_idx"))
+    w = F.col("content").substr(
+        F.col("window_idx") * _AUDIO_STRIDE + 1, F.lit(_AUDIO_WIN))
+    return (wins.select("media_id", "window_idx",
+                        F.length(w).cast("bigint").alias("window_bytes"),
+                        F.md5(w).alias("window_md5"))
+                .filter(F.col("window_bytes") > 0))
