@@ -353,8 +353,10 @@ def dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.3) \
         .select("doc_a", "doc_b")
-    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
-                .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+    # explode, not unionAll: a union of two selects over `pairs`
+    # duplicates the whole pair-join subtree (Catalyst does not dedupe
+    # repeated subplans) — the explode keeps one subtree
+    deg = (pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
                 .groupBy("doc_id").agg(F.count("*").alias("degree")))
     return deg.groupBy("degree").agg(
         F.count("*").alias("n_docs"),
