@@ -1,0 +1,499 @@
+"""Fourth relational-coverage wave — the remaining classic TPC-H
+query shapes expressible over the harness tables (which lack partsupp
+and lineitem's shipmode/commit/receipt columns; those queries are
+adapted to equivalent plan shapes on the columns that exist):
+
+- Q4  semi-join existence count        -> order_priority_exists
+- Q6  band-predicate single aggregate  -> discount_band_revenue
+- Q8  market-share ratio               -> nation_market_share
+- Q9  derived-profit rollup            -> product_type_profit
+- Q10 returned-item top customers      -> returned_item_customers
+- Q12 two-way conditional counts       -> priority_linestatus_counts
+- Q13 outer-join count histogram       -> customer_order_histogram
+- Q15 argmax-over-aggregate            -> top_revenue_supplier
+- Q17 correlated avg threshold         -> small_quantity_revenue
+- Q20 nested semi-join chain           -> heavy_shipper_suppliers
+- Q21 multi-EXISTS self-join           -> sole_failing_suppliers
+
+SURVEY.md §2.3-§2.4 relational completeness. All aggregates follow
+the registry's decimal-exact-sum policy; every ratio/avg is a
+division of two deterministic numbers (exact decimal sums cast to
+double, or integer counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.registry import load_table
+from . import register
+from .relational import DEC, _osum, dsum
+
+
+@register(
+    "order_priority_exists",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate::DATE >= DATE '1996-01-01'
+      AND o.o_orderdate::DATE < DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (existence-gated priority count): orders in a "
+        "one-year window having at least one returned lineitem, "
+        "counted per priority. The EXISTS is a left-semi hash join on "
+        "orderkey — the probe side never duplicates order rows however "
+        "many lineitems match; the date filter pushes to the orders "
+        "scan (partition-prunable at scale).",
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .withColumn("od", F.col("o_orderdate").cast("date"))
+         .filter((F.col("od") >= F.lit("1996-01-01").cast("date"))
+                 & (F.col("od") < F.lit("1997-01-01").cast("date"))))
+    ret = (load_table(spark, sf_dir, "lineitem")
+           .filter(F.col("l_returnflag") == "R")
+           .select("l_orderkey"))
+    return (o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n_orders")))
+
+
+@register(
+    "discount_band_revenue",
+    f"""
+    SELECT {_osum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (band-predicate forecast revenue): a single "
+        "scan with all three range predicates pushed to parquet "
+        "(PushedFilters on shipdate/discount/quantity) feeding one "
+        "partial+final aggregate — the minimal full-scan query; at "
+        "scale it is bounded purely by I/O after pruning.",
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)
+    return (li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                      & F.col("l_discount").between(0.02, 0.04)
+                      & (F.col("l_quantity") < 24))
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count("*").alias("n_lineitems")))
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH market AS (
+      SELECT CAST(year(o.o_orderdate::DATE) AS INTEGER) AS year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = '{_Q8_REGION}'
+    )
+    SELECT year,
+           {_osum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END")} AS nation_volume,
+           {_osum('volume')} AS market_volume,
+           {_osum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END")}
+             / {_osum('volume')} AS market_share
+    FROM market GROUP BY year
+    """,
+    doc="TPC-H Q8 shape (market share): the fraction of a region's "
+        "customer market supplied by one nation, per order year. Six "
+        "joins; every dimension (supplier, both nations, region) "
+        "broadcasts, the region filter prunes the customer side "
+        "before the fact join, and the share folds into ONE aggregate "
+        "via conditional sum — no second scan, no self-join.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # customer-side nation restricted to the target region (prunes the
+    # market before the fact join)
+    n2 = (n.join(F.broadcast(r.filter(F.col("r_name") == _Q8_REGION)),
+                 n.n_regionkey == r.r_regionkey)
+           .select(F.col("n_nationkey").alias("n2_key")))
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nat_vol = F.when(F.col("supp_nation") == _Q8_NATION, vol) \
+               .otherwise(F.lit(0.0))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"),
+                    "left_semi")
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+              .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("year"))
+              .agg(F.sum(nat_vol.cast(DEC)).cast("double").alias("nation_volume"),
+                   F.sum(vol.cast(DEC)).cast("double").alias("market_volume"))
+              .select("year", "nation_volume", "market_volume",
+                      (F.col("nation_volume") / F.col("market_volume"))
+                      .alias("market_share")))
+
+
+_Q9_COST = 0.6  # stand-in supply-cost fraction of retail price (no partsupp)
+
+
+@register(
+    "product_type_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate::DATE) AS INTEGER) AS year,
+           {_osum(f'l.l_extendedprice * (1 - l.l_discount) - {_Q9_COST} * p.p_retailprice * l.l_quantity')} AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (derived-profit rollup): profit on pattern-"
+        "matched parts by supplier nation and order year; supply cost "
+        "stands in as a retail-price fraction (no partsupp table in "
+        "the harness). The LIKE filter prunes part before it "
+        "broadcasts; supplier/nation broadcast; orders joins on the "
+        "already part-filtered fact rows. The profit expression folds "
+        "into the partial aggregate.",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_discount")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%gear%"))
+         .select("p_partkey", "p_retailprice"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - _Q9_COST * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year(F.col("o_orderdate").cast("date")).alias("year"))
+              .agg(F.sum(profit.cast(DEC)).cast("double").alias("profit")))
+
+
+@register(
+    "returned_item_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+           n.n_name, {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate::DATE >= DATE '1996-01-01'
+      AND o.o_orderdate::DATE < DATE '1996-07-01'
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): the top-20 "
+        "customers by revenue lost to returns in a half-year window. "
+        "The returnflag filter pushes to the lineitem scan and the "
+        "date filter to orders; customer and nation broadcast into "
+        "the aggregated fact; ORDER BY+LIMIT plans "
+        "TakeOrderedAndProject (per-partition heaps, no global sort).",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .withColumn("od", F.col("o_orderdate").cast("date"))
+         .filter((F.col("od") >= F.lit("1996-01-01").cast("date"))
+                 & (F.col("od") < F.lit("1996-07-01").cast("date")))
+         .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "c_acctbal",
+                       "c_mktsegment", "n_name")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+              .limit(20))
+
+
+@register(
+    "priority_linestatus_counts",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'A'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape (two-way conditional count after join): per "
+        "line status, how many shipped-returned lineitems belong to "
+        "high- vs low-priority orders. Both CASE counts fold into one "
+        "partial aggregate on the joined rows; the selective lineitem "
+        "filters push to its scan so the join probe side is small.",
+)
+def priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_returnflag") == "A")
+                  & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_linestatus"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy("l_linestatus")
+              .agg(F.sum(F.when(high, 1).otherwise(0))
+                    .alias("high_priority_count"),
+                   F.sum(F.when(~high, 1).otherwise(0))
+                    .alias("low_priority_count")))
+
+
+@register(
+    "customer_order_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (outer-join count histogram): customers "
+        "bucketed by how many qualifying orders they placed, "
+        "INCLUDING zero-order customers (the filter lives in the "
+        "left-join condition, not a WHERE — moving it would silently "
+        "drop the zero bucket). Two aggregations: per-customer count "
+        "(shuffles custkey), then the tiny histogram rollup.",
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                   "o_orderpriority")
+    cond = (c.c_custkey == o.o_custkey) \
+        & (F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (c.join(o, cond, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "top_revenue_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_osum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.total_revenue
+    FROM rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (argmax over an aggregate view): the "
+        "supplier(s) with maximum half-year revenue. The max is a "
+        "window over the per-supplier rollup (one plan subtree — a "
+        "scalar-subquery formulation would scan lineitem twice; "
+        "Catalyst does not dedupe repeated subplans). Supplier and "
+        "nation broadcast into the one-row-per-supplier result.",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))))
+    rev = (li.groupBy("l_suppkey")
+             .agg(dsum((F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                  .alias("total_revenue")))
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    best = rev.withColumn("mx", mx).filter(F.col("total_revenue") == F.col("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+                .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .select("s_suppkey", "s_name", "n_name", "total_revenue"))
+
+
+@register(
+    "small_quantity_revenue",
+    f"""
+    WITH thr AS (
+      SELECT l_partkey,
+             0.2 * ({_osum('l_quantity')} / COUNT(*)) AS avg_qty_fifth
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_osum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN thr t ON l.l_partkey = t.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND p.p_type = 'PROMO'
+      AND l.l_quantity < t.avg_qty_fifth
+    """,
+    doc="TPC-H Q17 shape (correlated-average threshold): revenue from "
+        "orders below a fifth of their part's average quantity. The "
+        "correlated scalar subquery is decorrelated by hand into a "
+        "per-part aggregate joined back (exact-sum/count average, "
+        "never engine avg); the brand/type filters prune part before "
+        "it broadcasts into both the fact side and the threshold "
+        "join. At scale the threshold table is |parts|-sized — "
+        "orders of magnitude under the fact table.",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "PROMO"))
+         .select("p_partkey"))
+    thr = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
+             .agg((F.lit(0.2) * (dsum("l_quantity") / F.count("*")))
+                  .alias("avg_qty_fifth")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(thr, li.l_partkey == thr.t_partkey)
+              .filter(F.col("l_quantity") < F.col("avg_qty_fifth"))
+              .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+                   F.count("*").alias("n_small")))
+
+
+_Q20_QTY = 40
+
+
+@register(
+    "heavy_shipper_suppliers",
+    f"""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        AND year(l.l_shipdate) = 1997
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > {_Q20_QTY}
+    )
+    """,
+    doc="TPC-H Q20 shape (nested semi-join chain): suppliers who "
+        "shipped more than {qty} units of any pattern-matched part in "
+        "a year. The inner IN prunes part by LIKE and semi-joins it "
+        "into lineitem; the per-(supplier,part) HAVING aggregate "
+        "yields a tiny key set that semi-joins into supplier — no "
+        "row from any table is ever duplicated, both IN lists stay "
+        "distinct-key-sized.".format(qty=_Q20_QTY),
+)
+def heavy_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("small%"))
+         .select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.year("l_shipdate") == 1997)
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    heavy = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(dsum("l_quantity").alias("qty"))
+               .filter(F.col("qty") > _Q20_QTY)
+               .select("l_suppkey"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .select("s_suppkey", "s_name", "n_name"))
+
+
+@register(
+    "sole_failing_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+    doc="TPC-H Q21 shape (sole-failing-supplier): on finished multi-"
+        "supplier orders, the supplier who was the ONLY one with a "
+        "returned lineitem, ranked by incident count. The oracle's "
+        "EXISTS / NOT-EXISTS pair is rewritten as ONE per-order "
+        "aggregate (distinct suppliers; distinct failing suppliers) — "
+        "exists-another-supplier == n_supp > 1, no-other-failer == "
+        "n_fail_supp == 1 — so the plan is two hash joins and two "
+        "aggregates instead of two correlated self-joins; the "
+        "qualifying-order set is keys-only. Top-k plans "
+        "TakeOrderedAndProject.",
+)
+def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fo = (load_table(spark, sf_dir, "orders")
+          .filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    li_f = li.join(fo, li.l_orderkey == fo.o_orderkey, "left_semi")
+    stats = (li_f.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(
+                          F.when(F.col("l_returnflag") == "R",
+                                 F.col("l_suppkey"))).alias("n_fail_supp")))
+    qual = (stats.filter((F.col("n_supp") > 1) & (F.col("n_fail_supp") == 1))
+                 .select(F.col("l_orderkey").alias("q_orderkey")))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (li_f.filter(F.col("l_returnflag") == "R")
+                .join(qual, F.col("l_orderkey") == F.col("q_orderkey"),
+                      "left_semi")
+                .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+                .groupBy("s_name")
+                .agg(F.count("*").alias("numwait"))
+                .orderBy(F.desc("numwait"), F.asc("s_name"))
+                .limit(25))

@@ -25,15 +25,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` — no caching, no
     eager action, so Catalyst can prune columns/partitions per query.
 
-    The ``events`` table stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields long
-    nanos, converted here to a micros timestamp (floor-truncation —
-    same as DuckDB's nanos→micros read, so oracles agree)."""
+    The ``events`` table's ``ts`` physical type has varied across
+    testdata generations — TIMESTAMP(NANOS) (reads as long nanos
+    under ``spark.sql.legacy.parquet.nanosAsLong``) and plain
+    timestamp[us] without UTC adjustment (reads as TIMESTAMP_NTZ).
+    Both are normalized here to a session-tz (UTC) TIMESTAMP so
+    downstream ``unix_micros``/range-frame logic sees one type, and
+    the instant equals DuckDB's naive read of the same file."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        t = field.dataType.simpleString()
+        if t == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif t == "timestamp_ntz":
+            # Session tz is pinned to UTC, so this cast reinterprets the
+            # wall-clock as the same UTC instant (no shift).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
