@@ -197,3 +197,55 @@ def test_salted_agg_two_phase(q):
     p = plan(q("salted_event_type_stats"), "simple")
     assert "_salt" in p
     assert p.count("HashAggregate") >= 4  # partial+final x two phases
+
+
+def test_wave4_returned_customers_plan(q):
+    """returned_item_customers (Q10 shape): returnflag filter pushed
+    to the lineitem scan, nation broadcast, top-k via per-partition
+    heaps."""
+    p = plan(q("returned_item_customers"))
+    assert "EqualTo(l_returnflag,R)" in p.replace(" ", "")
+    simple = plan(q("returned_item_customers"), "simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "BroadcastHashJoin" in simple
+
+
+def test_wave4_band_predicates_pushed(q):
+    """discount_band_revenue (Q6 shape): all three range predicates
+    reach the parquet scan."""
+    flat = plan(q("discount_band_revenue")).replace(" ", "")
+    assert "LessThan(l_quantity,24.0)" in flat
+    assert "GreaterThanOrEqual(l_discount,0.02)" in flat
+    assert "GreaterThanOrEqual(l_shipdate," in flat
+
+
+def test_wave4_semi_join_chains(q):
+    """heavy_shipper_suppliers (Q20) and sole_failing_suppliers (Q21):
+    existence logic stays semi-join/aggregate — no correlated
+    nested-loop anywhere."""
+    for name in ("heavy_shipper_suppliers", "sole_failing_suppliers"):
+        ext = plan(q(name), "extended")
+        assert "LeftSemi" in ext
+        simple = plan(q(name), "simple")
+        assert "CartesianProduct" not in simple
+        assert "BroadcastNestedLoopJoin" not in simple
+    # Q20's LIKE prefix filter is pushed down as StringStartsWith
+    assert "StringStartsWith(p_name,small)" in \
+        plan(q("heavy_shipper_suppliers")).replace(" ", "")
+
+
+def test_wave4_market_share_single_fact_scan(q):
+    """nation_market_share (Q8 shape): the share folds into one
+    conditional aggregate — lineitem scanned exactly once, dimensions
+    broadcast."""
+    p = plan(q("nation_market_share"), "simple")
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_wave4_histogram_double_aggregate(q):
+    """customer_order_histogram (Q13 shape): left join feeding two
+    aggregation grains (per-customer count, then histogram)."""
+    p = plan(q("customer_order_histogram"), "simple")
+    assert "LeftOuter" in plan(q("customer_order_histogram"), "extended")
+    assert p.count("HashAggregate") >= 4
