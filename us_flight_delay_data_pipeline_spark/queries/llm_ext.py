@@ -824,3 +824,92 @@ def chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                        dup.alias("n_dup_chunks"),
                        (dup.cast("double") / F.count("*").cast("double"))
                         .alias("dup_ratio")))
+
+
+_SPAN_CHUNK = 32  # non-overlapping, so consecutive chunks = contiguous text
+
+
+@register(
+    "dup_span_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, g.i::INT AS chunk_idx,
+             md5(array_to_string(
+               toks[(g.i::INT * {_SPAN_CHUNK} + 1):
+                    (g.i::INT * {_SPAN_CHUNK} + {_SPAN_CHUNK})], ' ')) AS h
+      FROM sized,
+           LATERAL (SELECT unnest(range(0,
+                      ceil(n / {_SPAN_CHUNK}.0)::BIGINT)) AS i) g
+    ),
+    spread AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+    ),
+    dup AS (
+      SELECT c.doc_id, c.chunk_idx,
+             c.chunk_idx - row_number() OVER (
+               PARTITION BY c.doc_id ORDER BY c.chunk_idx) AS grp
+      FROM chunks c JOIN spread s ON c.h = s.h
+      WHERE s.n_docs >= 2
+    ),
+    spans AS (
+      SELECT doc_id, grp, COUNT(*) AS span_len, min(chunk_idx) AS span_start
+      FROM dup GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_dup_spans,
+           CAST(max(span_len) AS BIGINT) AS max_span_chunks,
+           CAST(SUM(span_len) AS BIGINT) AS n_dup_chunks,
+           CAST(min(span_start) AS INTEGER) AS first_dup_chunk
+    FROM spans GROUP BY doc_id
+    """,
+    doc="Maximal duplicated-span extraction (the scalable stand-in "
+        "for suffix-array exact-substring dedup): split every doc "
+        "into NON-overlapping {c}-token chunks, mark chunks whose "
+        "md5 appears in >= 2 docs, and merge consecutive duplicated "
+        "positions into maximal spans via the islands trick "
+        "(chunk_idx - row_number). A long max_span_chunks means a "
+        "long verbatim copied passage — the signal C4/Gopher-style "
+        "span dedup removes, at {c}-token resolution with no "
+        "suffix-array build. Cost: one chunk-vocabulary aggregate + "
+        "one join back on 16-byte hashes + one per-doc window; at "
+        "100 TB every shuffle row is ~24 bytes and the window "
+        "partitions by doc_id.".format(c=_SPAN_CHUNK),
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sized = d.select("doc_id", toks.alias("toks")) \
+             .withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    n_chunks = F.ceil(F.col("n") / F.lit(float(_SPAN_CHUNK))).cast("bigint")
+    exploded = sized.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+         .alias("chunk_idx"))
+    chunk = F.slice("toks", F.col("chunk_idx") * _SPAN_CHUNK + 1,
+                    F.lit(_SPAN_CHUNK))
+    chunks = exploded.select(
+        "doc_id", "chunk_idx",
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("h"))
+    spread = (chunks.groupBy("h")
+                    .agg(F.countDistinct("doc_id").alias("n_docs"))
+                    .filter(F.col("n_docs") >= 2))
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    dup = (chunks.join(spread.select("h"), "h")
+                 .withColumn("grp",
+                             F.col("chunk_idx") - F.row_number().over(w)))
+    spans = (dup.groupBy("doc_id", "grp")
+                .agg(F.count("*").alias("span_len"),
+                     F.min("chunk_idx").alias("span_start")))
+    return (spans.groupBy("doc_id")
+                 .agg(F.count("*").alias("n_dup_spans"),
+                      F.max("span_len").alias("max_span_chunks"),
+                      F.sum("span_len").alias("n_dup_chunks"),
+                      F.min("span_start").cast("int")
+                       .alias("first_dup_chunk")))
