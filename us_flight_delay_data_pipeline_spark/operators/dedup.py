@@ -15,6 +15,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,7 +27,8 @@ from .hashing import band_key, h32, minhash_signature, rolling_fingerprint, simh
 __all__ = [
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
     "minhash_lsh_duplicate_pairs", "simhash_64", "simhash_duplicate_pairs",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "build_minhash_index", "dedup_against_index",
+    "build_jaccard_index", "dedup_against_jaccard_index",
 ]
 
 DEFAULT_MINHASH_COEFFS: list[tuple[int, int]] | None = None  # set by queries
@@ -60,13 +63,15 @@ def _shingle_hashes(text: Column, n: int = 3) -> Column:
 
 def minhash_signatures(df: DataFrame, coeffs: list[tuple[int, int]],
                        text_col: str = "text", id_col: str = "doc_id",
-                       ngram: int = 3) -> DataFrame:
-    """(id, hsd: hashed shingle set, sig: MinHash signature) —
-    persisted, ready for band joins."""
+                       ngram: int = 3,
+                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [keep_cols...], hsd: hashed shingle set, sig: MinHash
+    signature) — persisted, ready for band joins."""
     toks = word_tokens(F.lower(F.col(text_col)))
     sh = word_ngrams(F.col(text_col), ngram)
     return (_spread(df.filter(F.size(toks) >= ngram))
               .select(F.col(id_col),
+                      *[F.col(c) for c in keep_cols],
                       _shingle_hashes(F.col(text_col), ngram).alias("hsd"),
                       minhash_signature(sh, coeffs).alias("sig"))
               .persist())
@@ -202,21 +207,29 @@ def build_minhash_index(df: DataFrame, path: str,
                         coeffs: list[tuple[int, int]],
                         text_col: str = "text", id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4,
-                        ngram: int = 3) -> None:
+                        ngram: int = 3,
+                        block_col: str | None = None) -> None:
     """Persist the corpus's dedup index: one row per (doc, band) with
     the band key and the hashed shingle set, written as parquet
     PARTITIONED BY band. This is the incremental-ingest artifact — at
     100 TB you build it once and every new batch probes it instead of
     re-sig-ing the corpus. Partitioning by band lets the probe read
-    only the band it is joining (partition pruning)."""
-    sig = minhash_signatures(df, coeffs, text_col, id_col, ngram)
+    only the band it is joining (partition pruning).
+
+    ``block_col``: optional blocking column (e.g. language) stored in
+    the index and required to match on probe — keeps index dedup
+    semantics identical to the blocked pair generators."""
+    keep = (block_col,) if block_col else ()
+    sig = minhash_signatures(df, coeffs, text_col, id_col, ngram, keep)
     banded = sig.select(
-        F.col(id_col).alias("corpus_id"), "hsd",
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(c) for c in keep], "hsd",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      band_key(F.col("sig"), b, rows_per_band).alias("key"))
             for b in range(bands)])).alias("bk")) \
-        .select("corpus_id", "hsd", F.col("bk.band").alias("band"),
+        .select("corpus_id", *keep, "hsd",
+                F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
     banded.write.mode("overwrite").partitionBy("band").parquet(path)
     sig.unpersist()
@@ -227,7 +240,8 @@ def dedup_against_index(new_docs: DataFrame, index_path: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4,
                         ngram: int = 3,
-                        threshold: float = 0.3) -> DataFrame:
+                        threshold: float = 0.3,
+                        block_col: str | None = None) -> DataFrame:
     """Incremental fuzzy dedup: match a NEW batch against the persisted
     corpus index without touching corpus text. Band-join the batch's
     (band, key) pairs against the index (the batch side is the small
@@ -237,16 +251,23 @@ def dedup_against_index(new_docs: DataFrame, index_path: str,
     only novel documents."""
     spark = new_docs.sparkSession
     idx = spark.read.parquet(index_path)
-    sig = minhash_signatures(new_docs, coeffs, text_col, id_col, ngram)
+    keep = (block_col,) if block_col else ()
+    sig = minhash_signatures(new_docs, coeffs, text_col, id_col, ngram, keep)
     banded = sig.select(
-        F.col(id_col).alias("new_id"), F.col("hsd").alias("h_new"),
+        F.col(id_col).alias("new_id"),
+        *[F.col(c).alias(f"new_{c}") for c in keep],
+        F.col("hsd").alias("h_new"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      band_key(F.col("sig"), b, rows_per_band).alias("key"))
             for b in range(bands)])).alias("bk")) \
-        .select("new_id", "h_new", F.col("bk.band").alias("band"),
+        .select("new_id", *[f"new_{c}" for c in keep], "h_new",
+                F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
-    cands = (idx.join(F.broadcast(banded), ["band", "key"])
+    probe = idx.join(F.broadcast(banded), ["band", "key"])
+    if block_col:
+        probe = probe.filter(F.col(block_col) == F.col(f"new_{block_col}"))
+    cands = (probe
                 .select("new_id", "corpus_id", "h_new",
                         F.col("hsd").alias("h_corpus"))
                 .dropDuplicates(["new_id", "corpus_id"]))
@@ -256,4 +277,91 @@ def dedup_against_index(new_docs: DataFrame, index_path: str,
     out = (cands.select("new_id", "corpus_id", jac.alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
     sig.unpersist()
+    return out
+
+
+def build_jaccard_index(df: DataFrame, path: str, block_col: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ngram: int = 3, threshold: float = 0.3,
+                        mode: str = "overwrite") -> None:
+    """Persist the EXACT incremental fuzzy-dedup index (the
+    PPJoin/AllPairs inverted prefix index — the exact-semantics
+    sibling of :func:`build_minhash_index`, which can miss
+    near-threshold pairs with banding probability < 1):
+
+    - ``{path}/sketch``:   (doc_id, block, n, hsd) — one row per doc,
+      its sorted hashed shingle set;
+    - ``{path}/inverted``: (h, doc_id, block) — one row per PREFIX
+      shingle (first n - ceil(t*n) + 1 of the sorted set). Two sets
+      with J >= t MUST share a prefix element on both sides, so an
+      equi-join on (h, block) between probe prefixes and this index
+      has no false negatives.
+
+    Cost vs MinHash: index rows scale with prefix shingles (~(1-t)*n
+    per doc) instead of a fixed 4 bands — bigger at rest, but probes
+    stay equi-joins on 8-byte keys and recall is exact."""
+    toks = word_tokens(F.lower(F.col(text_col)))
+    sh = (_spread(df.filter(F.size(toks) >= ngram))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(block_col).alias("block"),
+                    F.sort_array(_shingle_hashes(F.col(text_col), ngram))
+                     .alias("hsd"))
+            .withColumn("n", F.size("hsd"))
+            .persist())
+    sh.select("doc_id", "block", "n", "hsd") \
+      .write.mode(mode).parquet(os.path.join(path, "sketch"))
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1) \
+        .cast("int")
+    (sh.select("doc_id", "block",
+               F.explode(F.slice("hsd", F.lit(1), prefix_len)).alias("h"))
+       .write.mode(mode).parquet(os.path.join(path, "inverted")))
+    sh.unpersist()
+
+
+def dedup_against_jaccard_index(new_docs: DataFrame, path: str,
+                                block_col: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                ngram: int = 3,
+                                threshold: float = 0.3) -> DataFrame:
+    """Probe the exact inverted prefix index: the new batch's prefix
+    shingles equi-join ``inverted`` on (h, block), candidates fetch
+    the stored corpus sketch for exact-Jaccard verification. Returns
+    (new_id, corpus_id, jaccard) with NO false negatives at the index
+    threshold — stream/batch dedup equivalence holds exactly.
+
+    The batch side broadcasts (it is the small side by construction);
+    the candidate join and the sketch fetch are both hash joins on
+    8-byte keys."""
+    spark = new_docs.sparkSession
+    inverted = spark.read.parquet(os.path.join(path, "inverted"))
+    sketch = spark.read.parquet(os.path.join(path, "sketch"))
+    toks = word_tokens(F.lower(F.col(text_col)))
+    sh = (_spread(new_docs.filter(F.size(toks) >= ngram))
+            .select(F.col(id_col).alias("new_id"),
+                    F.col(block_col).alias("block"),
+                    F.sort_array(_shingle_hashes(F.col(text_col), ngram))
+                     .alias("h_new"))
+            .withColumn("n", F.size("h_new"))
+            .persist())
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1) \
+        .cast("int")
+    pref = sh.select("new_id", "block", "h_new",
+                     F.explode(F.slice("h_new", F.lit(1), prefix_len))
+                      .alias("h"))
+    cand_ids = (inverted.join(F.broadcast(pref.select("new_id", "block", "h")),
+                              ["h", "block"])
+                        .select("new_id", "doc_id").distinct())
+    cands = (cand_ids
+             .join(sketch.select("doc_id", F.col("hsd").alias("h_corpus")),
+                   "doc_id")
+             .join(F.broadcast(sh.select("new_id", "h_new")), "new_id")
+             .select(F.col("new_id"), F.col("doc_id").alias("corpus_id"),
+                     "h_new", "h_corpus"))
+    common = F.size(F.array_intersect("h_new", "h_corpus"))
+    jac = (common.cast("double")
+           / (F.size("h_new") + F.size("h_corpus") - common).cast("double"))
+    out = (cands.select("new_id", "corpus_id", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    sh.unpersist()
     return out

@@ -1,0 +1,206 @@
+"""Streaming pretraining-data funnel — the batch ``plans.pretrain``
+pipeline replayed through ``foreachBatch`` with persisted incremental
+state (SURVEY.md §2.10 + the [EXT] north star; the streaming half of
+the reference's aspirational incremental refresh, README.md:281-302).
+
+Each micro-batch of ``documents``-shaped rows runs the same stages as
+the batch funnel, but the cross-corpus stages consult durable state
+instead of the full corpus:
+
+  1 quality    stateless heuristic gate (quality_score >= QUALITY_MIN)
+  2 exact      md5(text) anti-joined against the persisted seen-hash
+               set (``{state}/seen_md5``); new hashes appended
+  3 fuzzy      probe of the EXACT inverted prefix index
+               (``{state}/jaccard_index``, operators.dedup.
+               build_jaccard_index — PPJoin-style, no banding false
+               negatives, lang-blocked like the batch pair
+               generator), plus exact-Jaccard pairs + connected
+               components WITHIN the batch; ALL processed docs enter
+               the index — kept or dropped — so transitive chains
+               (a~b, b~c, a!~c) collapse to the earliest-arriving
+               canonical exactly as batch connected-components does.
+               (The approximate MinHash index is the cheaper 100 TB
+               alternative when banding recall is acceptable.)
+  4 decontam   broadcast join against the benchmark shingle set,
+               computed ONCE at stream start from the static holdout
+               corpus (the benchmark is fixed; it never streams)
+  5 sample     deterministic h32(doc_id) %% 100 < rate[lang]
+
+Survivors append to ``out_path``; a per-batch funnel row per stage
+appends to ``stats_path`` (batch_id, stage_idx, stage, n_docs,
+n_tokens).
+
+Scale shape: state shuffles carry 16-byte md5s and 128-byte
+signatures, never text; the index probe broadcasts the BATCH side
+and prunes index partitions by band; quality/sample are map-side.
+Exactly-once: foreachBatch may replay a batch on recovery — state
+appends are idempotent per key only if the checkpoint survives, so
+point ``checkpoint`` and ``state_dir`` at the same durable store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.text import quality_score, word_ngrams, word_tokens
+from ..operators.components import connected_components
+from ..operators.dedup import (build_jaccard_index,
+                               dedup_against_jaccard_index,
+                               ngram_jaccard_pairs)
+from ..operators.hashing import h32
+from ..plans.pretrain import (DECON_NGRAM, QUALITY_MIN, SAMPLE_RATES,
+                              _DEFAULT_RATE)
+
+__all__ = ["stream_pretrain_funnel", "prepare_benchmark_shingles"]
+
+_DOC_COLS = ("doc_id", "lang", "source", "text")
+
+
+def prepare_benchmark_shingles(bench_docs: DataFrame, path: str,
+                               ngram: int = DECON_NGRAM) -> None:
+    """Materialize the holdout set's distinct word-n-gram hashes once.
+    The benchmark corpus is fixed, so this runs at stream start, not
+    per batch; the output is shingle-vocabulary-sized and broadcasts
+    into every batch's decontamination join."""
+    toks = word_tokens(F.lower(F.col("text")))
+    (bench_docs.filter(F.size(toks) >= ngram)
+               .select(F.explode(F.array_distinct(F.transform(
+                   word_ngrams(F.col("text"), ngram), h32))).alias("h"))
+               .distinct()
+               .write.mode("overwrite").parquet(path))
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def _stage_stats(df: DataFrame, batch_id: int, idx: int,
+                 name: str) -> DataFrame:
+    toks = word_tokens(F.lower(F.col("text")))
+    return df.agg(
+        F.lit(batch_id).cast("bigint").alias("batch_id"),
+        F.lit(idx).alias("stage_idx"),
+        F.lit(name).alias("stage"),
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.size(toks).cast("bigint")), F.lit(0))
+         .alias("n_tokens"))
+
+
+def stream_pretrain_funnel(docs_stream: DataFrame, *, state_dir: str,
+                           checkpoint: str, out_path: str, stats_path: str,
+                           jaccard_threshold: float = 0.3,
+                           sig_ngram: int = 3,
+                           available_now: bool = True) -> StreamingQuery:
+    """Attach the incremental funnel to a ``documents``-shaped stream.
+    Call :func:`prepare_benchmark_shingles` first — the handler reads
+    ``{state_dir}/bench_shingles`` for stage 4 (absent → stage 4 only
+    drops the holdout docs themselves)."""
+    seen_path = os.path.join(state_dir, "seen_md5")
+    index_path = os.path.join(state_dir, "jaccard_index")
+    bench_path = os.path.join(state_dir, "bench_shingles")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = batch_df.select(*_DOC_COLS).persist()
+
+        quality = base.filter(quality_score(F.col("text")) >= QUALITY_MIN)
+
+        # -- exact dedup: intra-batch (keep lowest doc_id per hash),
+        #    then against the persisted hash set
+        hashed = quality.withColumn("h", F.md5(F.col("text").cast("binary")))
+        first = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        intra = hashed.join(first.select("doc_id"), "doc_id", "left_semi")
+        seen = _read_or_none(spark, seen_path)
+        if seen is not None:
+            exact = intra.join(seen, "h", "left_anti")
+        else:
+            exact = intra
+        # localCheckpoint (eager) PINS the stage result before its
+        # inputs change: every state append below mutates files this
+        # plan reads, and a lazy re-evaluation after the append would
+        # see the batch's own hashes/signatures and drop everything
+        exact = exact.localCheckpoint()
+        exact.select("h").write.mode("append").parquet(seen_path)
+
+        # -- fuzzy dedup: exact index probe, then intra-batch components
+        idx = _read_or_none(spark, os.path.join(index_path, "sketch"))
+        if idx is not None:
+            dup_ids = (dedup_against_jaccard_index(
+                exact, index_path, block_col="lang", ngram=sig_ngram,
+                threshold=jaccard_threshold)
+                .select(F.col("new_id").alias("doc_id")).distinct())
+            novel = exact.join(dup_ids, "doc_id", "left_anti")
+        else:
+            novel = exact
+        pairs = ngram_jaccard_pairs(novel, block_col="lang",
+                                    threshold=jaccard_threshold,
+                                    ngram=sig_ngram) \
+            .select("doc_a", "doc_b")
+        intra_dupes = (connected_components(pairs, src="doc_a", dst="doc_b")
+                       .filter(F.col("node") != F.col("component"))
+                       .select(F.col("node").alias("doc_id")))
+        fuzzy = novel.join(intra_dupes, "doc_id", "left_anti") \
+                     .localCheckpoint()  # pin before the index append
+        # every exact-survivor enters the index — dropped docs too,
+        # so later chain members still match (see module doc)
+        build_jaccard_index(exact.select("doc_id", "lang", "text"),
+                            index_path, block_col="lang", ngram=sig_ngram,
+                            threshold=jaccard_threshold, mode="append")
+
+        # -- decontamination
+        bench = _read_or_none(spark, bench_path)
+        train = fuzzy.filter(F.col("source") != "src0")
+        if bench is not None:
+            toks = word_tokens(F.lower(F.col("text")))
+            contaminated = (train
+                            .filter(F.size(toks) >= DECON_NGRAM)
+                            .select("doc_id", F.explode(F.array_distinct(
+                                F.transform(word_ngrams(F.col("text"),
+                                                        DECON_NGRAM), h32)))
+                                .alias("h"))
+                            .join(F.broadcast(bench), "h")
+                            .select("doc_id").distinct())
+            decontam = train.join(contaminated, "doc_id", "left_anti") \
+                            .persist()
+        else:
+            decontam = train.persist()
+
+        # -- deterministic sampling
+        rate = F.lit(_DEFAULT_RATE)
+        for lang, r in sorted(SAMPLE_RATES.items()):
+            rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+        sampled = decontam.filter(
+            h32(F.col("doc_id").cast("string")) % 100 < rate)
+
+        sampled.select(*_DOC_COLS).write.mode("append").parquet(out_path)
+
+        stats = [
+            _stage_stats(base, batch_id, 0, "base"),
+            _stage_stats(quality, batch_id, 1, "quality"),
+            _stage_stats(exact.select(*_DOC_COLS), batch_id, 2,
+                         "exact_dedup"),
+            _stage_stats(fuzzy.select(*_DOC_COLS), batch_id, 3,
+                         "fuzzy_dedup"),
+            _stage_stats(decontam.select(*_DOC_COLS), batch_id, 4,
+                         "decontam"),
+            _stage_stats(sampled.select(*_DOC_COLS), batch_id, 5, "sample"),
+        ]
+        out = stats[0]
+        for s in stats[1:]:
+            out = out.unionByName(s)
+        out.write.mode("append").parquet(stats_path)
+        for df in (base, decontam):
+            df.unpersist()
+
+    writer = (docs_stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
