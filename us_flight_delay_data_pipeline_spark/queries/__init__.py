@@ -52,6 +52,7 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import text_pipeline  # noqa: F401
     from . import relational_wave3  # noqa: F401
     from . import relational_wave4  # noqa: F401
+    from . import graph_and_index  # noqa: F401
     from . import data_quality  # noqa: F401
     from . import pretrain  # noqa: F401
     return REGISTRY

@@ -1,0 +1,176 @@
+"""[EXT] iterative-graph and incremental-index coverage:
+
+- ``pagerank_trade_graph``: PageRank (operators/graph.py) over the
+  customer<->supplier trade graph — the iterative-algorithm class
+  beyond connected components, oracle-checked against a fully
+  unrolled 3-iteration SQL recurrence.
+- ``jaccard_index_probe``: the EXACT incremental fuzzy-dedup path
+  (operators/dedup.py::build_jaccard_index / dedup_against_jaccard_
+  index — the streaming funnel's state) under the oracle gate: a
+  new-batch split of the corpus probed against the persisted index
+  must find exactly the >= -threshold pairs a direct quadratic
+  computation finds.
+
+Determinism: PageRank follows operators/graph.py's floor-quantized
+contribution recipe (IEEE-exact in both engines); Jaccard is a
+double division of exact integers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import PR_QUANT, pagerank
+from ..sources.registry import load_table
+from . import register
+from .llm_ext import _h32_sql, _shingles_sql, _tok_sql
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+# embed the PYTHON float results so both engines see the same doubles
+# (1.0 - 0.85 in decimal SQL arithmetic is 0.15 exactly; in IEEE
+# doubles it is 0.15000000000000002 — repr round-trips the latter)
+_PR_LEAK = repr(1.0 - _PR_DAMP)
+
+_PR_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  UNION
+  SELECT DISTINCT 2 * l.l_suppkey + 1 AS src, 2 * o.o_custkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _pr_iter_sql(prev: str, i: int) -> str:
+    """One unrolled synchronous PageRank update (mirrors
+    operators/graph.py::pagerank bit for bit)."""
+    return f"""
+s{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(floor((r.rank / d.deg) * {PR_QUANT!r}) AS DECIMAL(38,0))) AS us
+  FROM edges e
+  JOIN deg d ON e.src = d.src
+  JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         COALESCE(CAST({_PR_LEAK} AS DOUBLE) / (SELECT n FROM nn)
+                    + {_PR_DAMP!r} * (CAST(s{i}.us AS DOUBLE) / {PR_QUANT!r}),
+                  CAST({_PR_LEAK} AS DOUBLE) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.node
+)"""
+
+
+def _pagerank_oracle() -> str:
+    iters = "".join("," + _pr_iter_sql(f"r{i-1}" if i > 1 else "r0", i)
+                    for i in range(1, _PR_ITERS + 1))
+    return f"""
+    WITH {_PR_EDGES_SQL},
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes)
+    {iters}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           node // 2 AS entity_key, rank
+    FROM r{_PR_ITERS}
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+
+
+@register(
+    "pagerank_trade_graph",
+    _pagerank_oracle(),
+    doc="PageRank over the undirected customer<->supplier trade graph "
+        "(distinct order-lineitem pairs, both directions), 3 "
+        "synchronous iterations, damping 0.85 — the iterative "
+        "message-passing class beyond connected components. Each "
+        "iteration is one hash join + one aggregate; contributions "
+        "are floor-quantized to 1e-12 units and summed as "
+        "DECIMAL(38,0), so ranks are bit-identical across engines "
+        "and partitionings (the oracle is the fully unrolled "
+        "3-step recurrence). Top-20 nodes by rank.",
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
+              .select((2 * F.col("o_custkey")).alias("a"),
+                      (2 * F.col("l_suppkey") + 1).alias("b"))
+              .distinct())
+    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                  .union(pairs.select(F.col("b").alias("src"),
+                                      F.col("a").alias("dst"))))
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return (ranks.select(kind.alias("kind"),
+                         (F.col("node") / 2).cast("bigint")
+                          .alias("entity_key"),
+                         "rank")
+                 .orderBy(F.desc("rank"), F.asc("entity_key"), F.asc("kind"))
+                 .limit(20))
+
+
+_PROBE_T = 0.3
+
+
+@register(
+    "jaccard_index_probe",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_tok_sql()} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, {_shingles_sql()} AS sh FROM base
+      WHERE len(toks) >= 3
+    ),
+    hn AS (
+      SELECT doc_id, lang,
+             list_distinct([{_h32_sql('s')} for s in sh]) AS hsd
+      FROM sh
+    ),
+    corpus AS (SELECT * FROM hn WHERE doc_id % 4 <> 0),
+    batch  AS (SELECT * FROM hn WHERE doc_id % 4 = 0)
+    SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+           len(list_intersect(b.hsd, c.hsd))::DOUBLE
+             / (len(b.hsd) + len(c.hsd)
+                - len(list_intersect(b.hsd, c.hsd)))::DOUBLE AS jaccard
+    FROM batch b JOIN corpus c ON b.lang = c.lang
+    WHERE len(list_intersect(b.hsd, c.hsd))::DOUBLE
+             / (len(b.hsd) + len(c.hsd)
+                - len(list_intersect(b.hsd, c.hsd)))::DOUBLE >= {_PROBE_T}
+    """,
+    doc="Exact incremental fuzzy-dedup probe: 3/4 of the corpus is "
+        "indexed (build_jaccard_index: per-doc sorted shingle sketch "
+        "+ PPJoin inverted prefix index), the remaining 1/4 arrives "
+        "as the new batch and probes it. The prefix-filter theorem "
+        "makes recall exact — the oracle's quadratic lang-blocked "
+        "join must agree pair for pair. This is the streaming "
+        "funnel's cross-batch dedup state under the oracle gate; at "
+        "100 TB the probe is two hash joins on 8-byte keys and the "
+        "batch side broadcasts.",
+)
+def jaccard_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (build_jaccard_index,
+                                   dedup_against_jaccard_index)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"sg_jidx_{tag}")
+    build_jaccard_index(corpus, path, block_col="lang",
+                        threshold=_PROBE_T, mode="overwrite")
+    return dedup_against_jaccard_index(batch, path, block_col="lang",
+                                       threshold=_PROBE_T)
