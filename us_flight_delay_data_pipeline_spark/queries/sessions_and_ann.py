@@ -694,3 +694,88 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("window.start").alias("window_start"),
                      F.col("window.end").alias("window_end"),
                      "event_type", "n_events", "total_value"))
+
+
+# --- Product quantization (the 4th standard ANN layout next to
+#     brute-force / hyperplane-LSH / IVF) ---
+
+_PQ_M = 8          # subspaces (64 dims -> 8 x 8)
+_PQ_SUB = 8        # dims per subspace
+_PQ_CENTROID_IDS = _IVF_CENTROID_IDS  # 16 fixed corpus vectors -> K=16
+
+
+def _pq_oracle() -> str:
+    ids = ", ".join(str(i) for i in _PQ_CENTROID_IDS)
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, (vec_id // 20)::INT AS k,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    combos AS (
+      SELECT e.vec_id, m.m::INT AS m, c.k,
+             list_sum(list_transform(
+               list_zip(list_slice(e.embedding::DOUBLE[],
+                                   m.m::INT * {_PQ_SUB} + 1,
+                                   m.m::INT * {_PQ_SUB} + {_PQ_SUB}),
+                        list_slice(c.cv,
+                                   m.m::INT * {_PQ_SUB} + 1,
+                                   m.m::INT * {_PQ_SUB} + {_PQ_SUB})),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM embeddings e
+      CROSS JOIN cent c
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    ),
+    best AS (
+      SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, k) AS rn
+      FROM combos
+    )
+    SELECT vec_id, list(k ORDER BY m) AS codes
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+@register(
+    "pq_encode",
+    _pq_oracle(),
+    doc="Product quantization encode (PQ — the compressed ANN layout: "
+        "64-dim float vector -> {m} uint4 codes, a 64x memory cut "
+        "before any distance scan): the vector splits into {m} "
+        "{s}-dim subvectors, each assigned its argmin-L2 codebook "
+        "entry (16 fixed corpus vectors as the training-free "
+        "codebook, tie -> lowest code). One broadcast of the "
+        "{m}x16-row codebook, one map-side distance projection, one "
+        "shuffle on vec_id to collect codes — at 100 TB the encoded "
+        "table is what a memory-resident IVF-PQ index stores, and "
+        "asymmetric-distance scans read 8 bytes/vector instead of "
+        "256. Codes are exact integers (argmin ties broken by code), "
+        "so the result is engine-portable despite float distances."
+        .format(m=_PQ_M, s=_PQ_SUB),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
+               .select((F.col("vec_id") / 20).cast("int").alias("k"),
+                       F.col("embedding").cast("array<double>").alias("cv")))
+    ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    codebook = cent.crossJoin(ms).select(
+        "m", "k",
+        F.slice("cv", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("c_sub"))
+    v = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("ev"))
+    combos = v.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "m", "k",
+        F.aggregate(
+            F.zip_with(F.slice("ev", F.col("m") * _PQ_SUB + 1, _PQ_SUB),
+                       F.col("c_sub"),
+                       lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda acc, x: acc + x).alias("dist"))
+    best = (combos.groupBy("vec_id", "m")
+                  .agg(F.min(F.struct("dist", "k")).alias("b"))
+                  .select("vec_id", "m", F.col("b.k").alias("k")))
+    return (best.groupBy("vec_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "k"))),
+                    lambda s: s.k).alias("codes")))
