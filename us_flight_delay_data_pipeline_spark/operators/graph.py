@@ -31,7 +31,8 @@ PR_QUANT = 1e12  # contribution quantum: floor(c * PR_QUANT) units
 
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping: float = 0.85,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             distinct_edges: bool = True) -> DataFrame:
     """PageRank over a DIRECTED edge list (undirected graphs: pass
     both directions). Returns (node, rank) after ``iterations``
     synchronous updates from a uniform start.
@@ -44,24 +45,32 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     contribute nothing — their mass leaks, the simplest standard
     variant and the one an unrolled SQL oracle mirrors exactly.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-             .distinct().persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if distinct_edges:  # pass False when the input is distinct by
+        e = e.distinct()  # construction — saves a full edge shuffle
+    e = e.persist()
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct().persist())
     n_total = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # (src, dst, deg) — reused every iteration; persisted so the
-    # iterations shuffle only the rank table
-    adj = e.join(deg, "src").persist()
+    # (src, dst, deg) — reused every iteration; the degree table is
+    # |nodes|-sized, so it broadcasts into the edge list map-side
+    small = n_total <= 5_000_000
+    adj = e.join(F.broadcast(deg) if small else deg, "src").persist()
     adj.count()
 
     teleport = (1.0 - damping) / n_total
+    # the rank vector is |nodes|-sized — when it fits a broadcast,
+    # joining it INTO the (much larger) edge list map-side removes
+    # the per-iteration edge shuffle entirely; past that size the
+    # join falls back to hash-partitioning both sides on src
     ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
     for _ in range(iterations):
         units = F.floor((F.col("rank") / F.col("deg")) * F.lit(PR_QUANT)) \
                  .cast("decimal(38,0)")
-        contrib = (adj.join(ranks, adj.src == ranks.node)
+        rside = F.broadcast(ranks) if small else ranks
+        contrib = (adj.join(rside, adj.src == ranks.node)
                       .select(F.col("dst").alias("node"), units.alias("u")))
         summed = contrib.groupBy("node").agg(
             (F.lit(teleport)

@@ -113,7 +113,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                   .union(pairs.select(F.col("b").alias("src"),
                                       F.col("a").alias("dst"))))
-    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    # both directions of a distinct pair set with disjoint id spaces
+    # are distinct by construction — skip the operator's edge dedup
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP,
+                     distinct_edges=False)
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return (ranks.select(kind.alias("kind"),
                          (F.col("node") / 2).cast("bigint")
