@@ -380,3 +380,59 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(k).cast("bigint").alias("sum_k"),
                   F.max(k).alias("max_k"),
                   F.count(missing).alias("n_with_missing_key")))
+
+
+_HOT_N = 10
+
+
+@register(
+    "map_funcs",
+    f"""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           list(event_type ORDER BY event_type) AS type_keys,
+           max(CASE WHEN event_type = 'click' THEN n END) AS n_clicks,
+           COUNT(*) FILTER (WHERE n >= {_HOT_N}) AS n_hot_types,
+           SUM(n) AS total_events,
+           SUM(least(n, {_HOT_N})) AS capped_events
+    FROM per GROUP BY user_id
+    """,
+    doc="Map-type function surface (the battery the array/string/"
+        "date sets do not cover): per user, event counts are rolled "
+        "into a MAP<string,bigint> via map_from_entries, then every "
+        "downstream statistic is a map operation — size, sorted "
+        "map_keys, element_at (NULL on absent key), map_filter "
+        "(hot types), aggregate over map_values, and "
+        "transform_values (capped counts). All lambdas run JVM-side "
+        "inside codegen; the oracle computes the same statistics "
+        "relationally, which IS the semantic spec for the map ops. "
+        "The map stays one row per user — at 100 TB this is the "
+        "profile-table pattern (wide per-entity state in one map "
+        "column instead of a second fact-grain table).",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = (per.groupBy("user_id")
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "n"))))
+                .alias("m")))
+    total = F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"),
+                        lambda acc, v: acc + v)
+    capped = F.aggregate(
+        F.map_values(F.transform_values(
+            "m", lambda k, v: F.least(v, F.lit(_HOT_N).cast("bigint")))),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return m.select(
+        "user_id",
+        F.size("m").cast("bigint").alias("n_types"),
+        F.array_sort(F.map_keys("m")).alias("type_keys"),
+        F.element_at("m", "click").alias("n_clicks"),
+        F.size(F.map_filter("m", lambda k, v: v >= _HOT_N)).cast("bigint")
+         .alias("n_hot_types"),
+        total.alias("total_events"),
+        capped.alias("capped_events"))
