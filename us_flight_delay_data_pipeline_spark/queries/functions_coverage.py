@@ -436,3 +436,108 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_hot_types"),
         total.alias("total_events"),
         capped.alias("capped_events"))
+
+
+def _morton16_sql(x: str, y: str) -> str:
+    """Bit-interleave two 16-bit ints (x even bits, y odd) — plain
+    shift/and/or arithmetic, identical in any engine."""
+    terms = []
+    for b in range(16):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "bitwise_funcs",
+    f"""
+    WITH keyed AS (
+      SELECT o_custkey % 65536 AS x,
+             (epoch_us(o_orderdate) // 86400000000) % 65536 AS y,
+             o_orderkey
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, x, y, {_morton16_sql('x', 'y')} AS zval
+      FROM keyed
+    )
+    SELECT x % 8 AS x_bucket,
+           COUNT(*) AS n,
+           bit_and(zval) AS z_and,
+           bit_or(zval) AS z_or,
+           bit_xor(zval) AS z_xor,
+           SUM(bit_count(zval)) AS total_bits,
+           CAST(min(zval) AS BIGINT) AS z_min,
+           CAST(max(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+    doc="Bitwise surface + Z-order key: each order's (custkey mod "
+        "2^16, order-day mod 2^16) pair is Morton-interleaved into a "
+        "32-bit z-value with pure shift/and/or expressions — the "
+        "multi-dimensional clustering key a lakehouse sorts by so "
+        "range scans on EITHER dimension prune files (the Delta "
+        "Z-ORDER idea, expressible natively). Aggregates exercise "
+        "bit_and/bit_or/bit_xor and bit_count. Everything is exact "
+        "integer arithmetic inside codegen; at 100 TB the z-value "
+        "feeds repartitionByRange + sortWithinPartitions (see "
+        "operators/maintenance.py for the clustered-layout writer).",
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 65536).cast("bigint")
+    day = (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+           / F.lit(86400000000)).cast("bigint")
+    y = (day % 65536).cast("bigint")
+    zval = F.lit(0).cast("bigint")
+    for b in range(16):  # Column | is logical OR; bitwise needs bitwiseOR
+        zval = zval.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("x"), b) % 2, 2 * b)).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("y"), b) % 2, 2 * b + 1))
+    z = (o.select(x.alias("x"), y.alias("y"))
+          .withColumn("zval", zval))
+    return (z.groupBy((F.col("x") % 8).alias("x_bucket"))
+             .agg(F.count("*").alias("n"),
+                  F.bit_and("zval").alias("z_and"),
+                  F.bit_or("zval").alias("z_or"),
+                  F.bit_xor("zval").alias("z_xor"),
+                  F.sum(F.bit_count("zval")).alias("total_bits"),
+                  F.min("zval").alias("z_min"),
+                  F.max("zval").alias("z_max")))
+
+
+@register(
+    "regex_funcs",
+    r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN regexp_matches(text, '\b(spark|table)\b')
+                    THEN 1 ELSE 0 END) AS n_mentioning,
+           SUM(len(regexp_extract_all(text, '\bd[a-z]+'))) AS n_d_words,
+           SUM(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS devoweled_len,
+           SUM(CASE WHEN regexp_extract(text, '^(\w+)', 1) = 'the'
+                    THEN 1 ELSE 0 END) AS starts_with_the
+    FROM documents
+    WHERE length(trim(text)) > 0
+    GROUP BY lang
+    """,
+    doc="Regex surface over the RE2-compatible subset (word "
+        "boundaries, classes, anchors — semantics identical between "
+        "Java regex and RE2, unlike lookarounds/backrefs which are "
+        "deliberately excluded): rlike, regexp_extract(_all), global "
+        "regexp_replace, anchored capture. All evaluated inside "
+        "codegen; per-language rollup keeps the output small.",
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0)
+    return (d.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(F.when(F.col("text").rlike(r"\b(spark|table)\b"), 1)
+                         .otherwise(0)).alias("n_mentioning"),
+                  F.sum(F.size(F.regexp_extract_all(
+                      "text", F.lit(r"\bd[a-z]+"), 0))).alias("n_d_words"),
+                  F.sum(F.length(F.regexp_replace(
+                      "text", "[aeiou]", ""))).alias("devoweled_len"),
+                  F.sum(F.when(F.regexp_extract("text", r"^(\w+)", 1)
+                               == "the", 1).otherwise(0))
+                   .alias("starts_with_the")))
