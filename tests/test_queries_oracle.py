@@ -71,3 +71,23 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
         g = got[flag]
         assert abs(g["approx_orders"] - e["n"]) <= max(3, 0.06 * e["n"])
         assert abs(g["approx_median_qty"] - e["p50"]) <= 2.0
+
+
+def test_hll_partition_merge_bounds(spark, sf_dir):
+    """The unioned yearly sketch estimate must sit within HLL error of
+    the exact distinct count, and below the sum of monthly exacts
+    (distinct can only dedupe across months, never grow)."""
+    from pyspark.sql import functions as F
+    from us_flight_delay_data_pipeline_spark.sources.registry import load_table
+    reg = load_registry()
+    got = {r["year"]: r for r in
+           reg["hll_partition_merge"].fn(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders") \
+        .withColumn("od", F.col("o_orderdate").cast("date"))
+    exact = {r["year"]: r["n"] for r in
+             o.groupBy(F.year("od").alias("year"))
+              .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    for year, e in exact.items():
+        g = got[year]
+        assert abs(g["approx_distinct_customers"] - e) <= max(3, 0.05 * e)
+        assert g["approx_distinct_customers"] <= g["sum_monthly_exact"] * 1.05

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 from . import register
+from .relational import DEC, _osum, dsum
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice",
                  "o_orderdate", "o_orderpriority"]
@@ -129,3 +130,81 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_nonpositive_price", "n_null_orderdate",
                     "n_orphan_lineitems", "n_duplicate_orderkeys",
                     "n_bad_discounts"))
+
+
+@register(
+    "mergeable_partial_aggs",
+    f"""
+    WITH half AS (
+      SELECT l_orderkey % 2 AS h,
+             CAST(year(l_shipdate) AS INTEGER) AS year,
+             CAST(month(l_shipdate) AS INTEGER) AS month,
+             {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+             COUNT(*) AS n,
+             {_osum('l_quantity')} AS qty
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT year, month,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           SUM(n) AS n,
+           CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+           COUNT(*) AS n_partials
+    FROM half GROUP BY year, month
+    """,
+    doc="Partial-aggregate mergeability (the algebra behind map-side "
+        "combine, AQE stage retries, and incremental materialized-"
+        "view maintenance): the fact table splits into two disjoint "
+        "halves, each aggregates independently, and the partials "
+        "merge by re-summing — the merged result must equal a direct "
+        "aggregate of the whole, which is exactly what the oracle "
+        "computes. Decimal-exact sums make the merge associativity "
+        "literal, not approximate: at 100 TB this is why a day's "
+        "delta can fold into last month's rollup without rescanning "
+        "history.",
+)
+def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    half = (li.groupBy((F.col("l_orderkey") % 2).alias("h"),
+                       F.year("l_shipdate").alias("year"),
+                       F.month("l_shipdate").alias("month"))
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count("*").alias("n"),
+                   dsum("l_quantity").alias("qty")))
+    return (half.groupBy("year", "month")
+                .agg(F.sum(F.col("revenue").cast(DEC)).cast("double")
+                      .alias("revenue"),
+                     F.sum("n").alias("n"),
+                     F.sum(F.col("qty").cast(DEC)).cast("double")
+                      .alias("qty"),
+                     F.count("*").alias("n_partials")))
+
+
+@register(
+    "hll_partition_merge",
+    None,  # sketch binaries are engine-specific — rows-only gate;
+           # tests/test_queries_oracle.py bounds the estimates
+    doc="Mergeable HLL sketches (Apache DataSketches, built into "
+        "Spark 4): each order-year builds a per-month HLL sketch of "
+        "distinct customers, the year's sketches union into one, and "
+        "the estimate is compared shape-wise. This is the "
+        "incremental COUNT DISTINCT pattern at 100 TB — daily "
+        "sketches persist (a few KB each), any date range answers by "
+        "union, history is never rescanned. Sketch state is "
+        "order-insensitive (per-register max), so results are "
+        "deterministic under repartitioning even though the binary "
+        "is not portable across engines.",
+)
+def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders") \
+        .withColumn("od", F.col("o_orderdate").cast("date"))
+    monthly = (o.groupBy(F.year("od").alias("year"),
+                         F.month("od").alias("month"))
+                .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
+                     F.countDistinct("o_custkey").alias("exact_monthly")))
+    return (monthly.groupBy("year")
+                   .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                         .alias("approx_distinct_customers"),
+                        F.sum("exact_monthly").alias("sum_monthly_exact"),
+                        F.count("*").alias("n_months"))
+                   .orderBy("year"))
