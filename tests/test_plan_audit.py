@@ -249,3 +249,55 @@ def test_wave4_histogram_double_aggregate(q):
     p = plan(q("customer_order_histogram"), "simple")
     assert "LeftOuter" in plan(q("customer_order_histogram"), "extended")
     assert p.count("HashAggregate") >= 4
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the cluster-scale runtime
+    filter — BASELINE.md round-2 candidate): with broadcast disabled
+    (forcing the shuffle join the rule targets) and the application-
+    side threshold floored, Catalyst must inject a
+    might_contain(bloom_filter_agg(build-side keys)) predicate into
+    the fact-side scan filter, and the filtered plan must return the
+    same rows as the broadcast plan it replaces."""
+    import os
+    from pyspark.sql import functions as F
+    conf = spark.conf
+    keys = ["spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                 ".creationSideThreshold", "100MB")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                 ".applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        o = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+             .filter(F.col("o_orderstatus") == "P"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderstatus").count())
+        p = plan(j)
+        assert "might_contain" in p
+        assert "bloom_filter_agg" in p
+        forced = {(r["o_orderstatus"], r["count"]) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+         .filter(F.col("o_orderstatus") == "P"))
+    base = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+              .groupBy("o_orderstatus").count())
+    assert forced == {(r["o_orderstatus"], r["count"]) for r in base.collect()}
