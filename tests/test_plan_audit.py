@@ -301,3 +301,13 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     base = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
               .groupBy("o_orderstatus").count())
     assert forced == {(r["o_orderstatus"], r["count"]) for r in base.collect()}
+
+
+def test_no_cartesian_product_in_any_query(q):
+    """No registered query may degenerate to CartesianProduct — the
+    O(n*m) shuffle-everything plan. Deliberate tiny-side cross joins
+    (scalar thresholds, codebooks, query sets) must come through as
+    BroadcastNestedLoopJoin / broadcast exchanges instead."""
+    for name in REGISTRY:
+        p = plan(q(name), "simple")
+        assert "CartesianProduct" not in p, name
