@@ -909,3 +909,172 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "rank",
                           (F.floor(F.col("adc") * 1e6 + 0.5) / 1e6)
                           .alias("adc")))
+
+
+_RPQ_CODE_IDS = tuple(range(10, 330, 20))  # residual codebook sources
+_RPQ_NPROBE = 2
+
+
+def _ivfpq_residual_oracle() -> str:
+    rids = ", ".join(str(i) for i in _RPQ_CODE_IDS)
+    sub = (f"list_slice({{v}}, m.m::INT * {_PQ_SUB} + 1, "
+           f"m.m::INT * {_PQ_SUB} + {_PQ_SUB})")
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+    return f"""
+    WITH {_ivf_assign_sql()},
+    cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    centv AS (SELECT c_id AS cc_id, cv FROM cent),
+    res AS (
+      SELECT c.vec_id, c.c_id,
+             list_transform(list_zip(c.embedding::DOUBLE[], v.cv),
+                            p -> p[1] - p[2]) AS rv
+      FROM cells c JOIN centv v ON c.c_id = v.cc_id
+    ),
+    rbook AS (
+      SELECT ((vec_id - 10) // 20)::INT AS k, rv AS bv
+      FROM res WHERE vec_id IN ({rids})
+    ),
+    rcombos AS (
+      SELECT r.vec_id, m.m::INT AS m, b.k,
+             {d2(sub.format(v='r.rv'), sub.format(v='b.bv'))} AS dist
+      FROM res r CROSS JOIN rbook b
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    ),
+    rcodes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, k) AS rn
+        FROM rcombos) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS q_id, a.embedding AS qv, a.c_id AS p_cell
+      FROM assigned a WHERE a.vec_id < 10 AND a.rn <= {_RPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT p.q_id, p.p_cell,
+             list_transform(list_zip(p.qv::DOUBLE[], v.cv),
+                            p2 -> p2[1] - p2[2]) AS qrv
+      FROM probes p JOIN centv v ON p.p_cell = v.cc_id
+    ),
+    qd AS (
+      SELECT q.q_id, q.p_cell, m.m::INT AS m, b.k,
+             {d2(sub.format(v='q.qrv'), sub.format(v='b.bv'))} AS d
+      FROM qres q CROSS JOIN rbook b
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    ),
+    cand AS (
+      SELECT p.q_id, c.vec_id, c.c_id
+      FROM probes p JOIN cells c
+        ON c.c_id = p.p_cell AND c.vec_id <> p.q_id
+    ),
+    adc_scored AS (
+      SELECT ca.q_id, ca.vec_id AS neighbor_id,
+             list_sum(list(qd.d ORDER BY co.m)) AS adc
+      FROM cand ca
+      JOIN rcodes co ON co.vec_id = ca.vec_id
+      JOIN qd ON qd.q_id = ca.q_id AND qd.p_cell = ca.c_id
+             AND qd.m = co.m AND qd.k = co.k
+      GROUP BY ca.q_id, ca.vec_id
+    )
+    SELECT q_id, neighbor_id, rank,
+           floor(adc * 1000000 + 0.5) / 1000000 AS adc
+    FROM (SELECT q_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc, neighbor_id) AS rank
+          FROM adc_scored)
+    WHERE rank <= 3
+    """
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    _ivfpq_residual_oracle(),
+    doc="Residual IVF-PQ with multi-probe (nprobe={p}) — the full "
+        "production composite: vectors PQ-encode their RESIDUAL from "
+        "their cell centroid (residuals are centered near zero, so a "
+        "shared codebook quantizes them far better than raw vectors "
+        "— the standard IVF-PQ refinement), and each query probes "
+        "its {p} nearest cells with a PER-CELL ADC lookup table "
+        "(the query's residual differs per probed cell). Candidates "
+        "still contribute only 8 stored codes. The residual codebook "
+        "is training-free (16 fixed corpus residuals). Subspace "
+        "sums fold in ascending order; tie-breaks on code/neighbor "
+        "make ranks engine-exact.".format(p=_RPQ_NPROBE),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import vec_dot, vec_norm
+    emb = load_table(spark, sf_dir, "embeddings")
+    # cell assignment with full centroid ranking (rn<=nprobe reused)
+    cent = (emb.filter(F.col("vec_id").isin(*_IVF_CENTROID_IDS))
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").cast("array<double>").alias("cv"))
+               .withColumn("cnrm", vec_norm(F.col("cv"))))
+    scored = (emb.select("vec_id",
+                         F.col("embedding").cast("array<double>").alias("ev"))
+                 .withColumn("nrm", vec_norm(F.col("ev")))
+                 .crossJoin(F.broadcast(cent))
+                 .withColumn("sim", vec_dot(F.col("ev"), F.col("cv"))
+                             / (F.col("nrm") * F.col("cnrm"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)) \
+                     .select("vec_id", "ev", "cv", "c_id", "rn").persist()
+    # residuals of cell members (rn=1)
+    res = (assigned.filter(F.col("rn") == 1)
+                   .select("vec_id", "c_id",
+                           F.zip_with("ev", "cv", lambda x, c: x - c)
+                            .alias("rv")))
+    rbook = (res.filter(F.col("vec_id").isin(*_RPQ_CODE_IDS))
+                .select(((F.col("vec_id") - 10) / 20).cast("int").alias("k"),
+                        F.col("rv").alias("bv")))
+    ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    rcodebook = rbook.crossJoin(ms).select(
+        "m", "k",
+        F.slice("bv", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("b_sub"))
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    rcombos = res.crossJoin(F.broadcast(rcodebook)).select(
+        "vec_id", "m", "k",
+        sq(F.slice("rv", F.col("m") * _PQ_SUB + 1, _PQ_SUB),
+           F.col("b_sub")).alias("dist"))
+    rcodes = (rcombos.groupBy("vec_id", "m")
+                     .agg(F.min(F.struct("dist", "k")).alias("b"))
+                     .select("vec_id", "m", F.col("b.k").alias("k")))
+    # query probes + per-(query, cell) residual lookup tables
+    probes = (assigned.filter((F.col("vec_id") < 10)
+                              & (F.col("rn") <= _RPQ_NPROBE))
+                      .select(F.col("vec_id").alias("q_id"),
+                              F.col("c_id").alias("p_cell"),
+                              F.zip_with("ev", "cv", lambda x, c: x - c)
+                               .alias("qrv")))
+    qd = probes.crossJoin(F.broadcast(rcodebook)).select(
+        "q_id", "p_cell", "m", "k",
+        sq(F.slice("qrv", F.col("m") * _PQ_SUB + 1, _PQ_SUB),
+           F.col("b_sub")).alias("d"))
+    cells = assigned.filter(F.col("rn") == 1).select("vec_id", "c_id")
+    cand = (cells.join(F.broadcast(probes.select("q_id", "p_cell")),
+                       (F.col("c_id") == F.col("p_cell"))
+                       & (F.col("vec_id") != F.col("q_id")))
+                 .select("q_id", "vec_id", "c_id"))
+    scored2 = (cand.join(rcodes, "vec_id")
+                   .join(F.broadcast(qd), ["q_id", "m", "k"])
+                   .filter(F.col("p_cell") == F.col("c_id"))
+                   .groupBy("q_id", "vec_id")
+                   .agg(F.aggregate(
+                       F.transform(
+                           F.array_sort(F.collect_list(F.struct("m", "d"))),
+                           lambda s: s.d),
+                       F.lit(0.0), lambda acc, x: acc + x).alias("adc")))
+    wr = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (scored2.withColumn("rank", F.row_number().over(wr))
+                   .filter(F.col("rank") <= 3)
+                   .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                           "rank",
+                           (F.floor(F.col("adc") * 1e6 + 0.5) / 1e6)
+                           .alias("adc")))
