@@ -119,3 +119,29 @@ def test_ivf_multiprobe_recall_floor(spark, sf_dir):
     multi = _recall_at_3(spark, sf_dir, "ann_ivf_multiprobe")
     assert multi >= 0.5
     assert multi >= base + 0.2
+
+
+def test_pq_quantization_quality(spark, sf_dir):
+    """PQ quality gates, all deterministic: (1) within the SAME
+    candidate set (the query's own cell), ADC ranking must overlap
+    the exact cosine ranking — this isolates quantization loss from
+    cell-routing loss; (2) residual encoding + multi-probe must not
+    recall WORSE than raw-vector PQ (residuals are centered, so a
+    shared codebook fits them better — the reason IVF-PQ encodes
+    residuals)."""
+    from us_flight_delay_data_pipeline_spark.queries import load_registry
+    reg = load_registry()
+
+    def topsets(name):
+        d = {}
+        for r in reg[name].fn(spark, sf_dir).collect():
+            d.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        return d
+
+    ivf = topsets("ann_ivf_topk")
+    pq = topsets("ann_ivfpq_topk")
+    overlap = sum(len(ivf[q] & pq.get(q, set())) / len(ivf[q])
+                  for q in ivf) / len(ivf)
+    assert overlap >= 0.4
+    assert _recall_at_3(spark, sf_dir, "ann_ivfpq_residual_topk") >= \
+        _recall_at_3(spark, sf_dir, "ann_ivfpq_topk")

@@ -701,28 +701,47 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 8          # subspaces (64 dims -> 8 x 8)
 _PQ_SUB = 8        # dims per subspace
-_PQ_CENTROID_IDS = _IVF_CENTROID_IDS  # 16 fixed corpus vectors -> K=16
+_PQ_STRIDE = 5     # codebook = every 5th corpus vector -> K=64
+_PQ_CENTROID_IDS = tuple(range(0, 320, _PQ_STRIDE))
+
+
+def _normed_vectors(emb):
+    """(vec_id, nv): L2-normalized double vectors. Normalizing first
+    makes PQ's L2 distances rank identically to cosine (||a-b||^2 =
+    2 - 2cos on unit vectors) — without it a 16-entry codebook
+    quantizes magnitude instead of direction and recall collapses."""
+    from ..functions.vectors import vec_norm
+    v = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("ev"))
+    return (v.withColumn("nrm", vec_norm(F.col("ev")))
+             .select("vec_id",
+                     F.transform("ev", lambda x: x / F.col("nrm"))
+                      .alias("nv")))
 
 
 def _pq_oracle() -> str:
     ids = ", ".join(str(i) for i in _PQ_CENTROID_IDS)
     return f"""
-    WITH cent AS (
-      SELECT vec_id AS c_id, (vec_id // 20)::INT AS k,
-             embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id IN ({ids})
+    WITH normed AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))) AS nv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS c_id, (vec_id // 5)::INT AS k, nv AS cv
+      FROM normed WHERE vec_id IN ({ids})
     ),
     combos AS (
       SELECT e.vec_id, m.m::INT AS m, c.k,
              list_sum(list_transform(
-               list_zip(list_slice(e.embedding::DOUBLE[],
+               list_zip(list_slice(e.nv,
                                    m.m::INT * {_PQ_SUB} + 1,
                                    m.m::INT * {_PQ_SUB} + {_PQ_SUB}),
                         list_slice(c.cv,
                                    m.m::INT * {_PQ_SUB} + 1,
                                    m.m::INT * {_PQ_SUB} + {_PQ_SUB})),
                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-      FROM embeddings e
+      FROM normed e
       CROSS JOIN cent c
       CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m
     ),
@@ -754,21 +773,21 @@ def _pq_oracle() -> str:
         "so the result is engine-portable despite float distances."
         .format(m=_PQ_M, s=_PQ_SUB),
 )
+
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (emb.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
-               .select((F.col("vec_id") / 20).cast("int").alias("k"),
-                       F.col("embedding").cast("array<double>").alias("cv")))
+    normed = _normed_vectors(emb)
+    cent = (normed.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
+                  .select((F.col("vec_id") / _PQ_STRIDE).cast("int").alias("k"),
+                          F.col("nv").alias("cv")))
     ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     codebook = cent.crossJoin(ms).select(
         "m", "k",
         F.slice("cv", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("c_sub"))
-    v = emb.select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("ev"))
-    combos = v.crossJoin(F.broadcast(codebook)).select(
+    combos = normed.crossJoin(F.broadcast(codebook)).select(
         "vec_id", "m", "k",
         F.aggregate(
-            F.zip_with(F.slice("ev", F.col("m") * _PQ_SUB + 1, _PQ_SUB),
+            F.zip_with(F.slice("nv", F.col("m") * _PQ_SUB + 1, _PQ_SUB),
                        F.col("c_sub"),
                        lambda x, c: (x - c) * (x - c)),
             F.lit(0.0), lambda acc, x: acc + x).alias("dist"))
@@ -785,23 +804,26 @@ def _ivfpq_oracle() -> str:
     ids = ", ".join(str(i) for i in _PQ_CENTROID_IDS)
     sub = (f"list_slice({{v}}, m.m::INT * {_PQ_SUB} + 1, "
            f"m.m::INT * {_PQ_SUB} + {_PQ_SUB})")
-    d2 = (f"list_sum(list_transform(list_zip({sub.format(v='q.qv::DOUBLE[]')}, "
+    d2 = (f"list_sum(list_transform(list_zip({sub.format(v='q.qv')}, "
           f"{sub.format(v='c.cv')}), p -> (p[1] - p[2]) * (p[1] - p[2])))")
     code_d2 = (f"list_sum(list_transform("
-               f"list_zip({sub.format(v='e.embedding::DOUBLE[]')}, "
+               f"list_zip({sub.format(v='e.nv')}, "
                f"{sub.format(v='c.cv')}), "
                f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
     return f"""
     WITH {_ivf_assign_sql()},
     cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    normed AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))) AS nv
+      FROM embeddings
+    ),
     pqc AS (
-      SELECT vec_id AS pq_c_id, (vec_id // 20)::INT AS k,
-             embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id IN ({ids})
+      SELECT vec_id AS pq_c_id, (vec_id // 5)::INT AS k, nv AS cv
+      FROM normed WHERE vec_id IN ({ids})
     ),
     combos AS (
       SELECT e.vec_id, m.m::INT AS m, c.k, {code_d2} AS dist
-      FROM embeddings e
+      FROM normed e
       CROSS JOIN pqc c
       CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m
     ),
@@ -812,8 +834,9 @@ def _ivfpq_oracle() -> str:
                                   ORDER BY dist, k) AS rn
         FROM combos) WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS q_id, embedding AS qv, c_id AS q_cell
-          FROM cells WHERE vec_id < 10),
+    q AS (SELECT c.vec_id AS q_id, n.nv AS qv, c.c_id AS q_cell
+          FROM cells c JOIN normed n ON c.vec_id = n.vec_id
+          WHERE c.vec_id < 10),
     qd AS (
       SELECT q.q_id, m.m::INT AS m, c.k, {d2} AS d
       FROM q CROSS JOIN pqc c
@@ -831,8 +854,7 @@ def _ivfpq_oracle() -> str:
       JOIN qd ON qd.q_id = ca.q_id AND qd.m = co.m AND qd.k = co.k
       GROUP BY ca.q_id, ca.vec_id
     )
-    SELECT q_id, neighbor_id, rank,
-           floor(adc * 1000000 + 0.5) / 1000000 AS adc
+    SELECT q_id, neighbor_id, rank
     FROM (SELECT q_id, neighbor_id, adc,
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY adc, neighbor_id) AS rank
@@ -853,7 +875,8 @@ def _ivfpq_oracle() -> str:
         "at 100 TB the scan reads 8 bytes/vector instead of 256. "
         "ADC sums fold in ascending subspace order in both engines "
         "(order-dependent float addition pinned); ranks tie-break on "
-        "neighbor id; the reported adc is floor-quantized to 6 dp.",
+        "neighbor id keep ranks engine-exact; the raw adc is "
+        "omitted (float-fold association differs across engines).",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -861,7 +884,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _ivf_assign(spark, sf_dir).select("vec_id", "c_id").persist()
     # PQ codebook + per-vector codes (same construction as pq_encode)
     cent = (emb.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
-               .select((F.col("vec_id") / 20).cast("int").alias("k"),
+               .select((F.col("vec_id") / _PQ_STRIDE).cast("int").alias("k"),
                        F.col("embedding").cast("array<double>").alias("cv")))
     ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     codebook = cent.crossJoin(ms).select(
@@ -903,15 +926,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           lambda s: s.d),
                       F.lit(0.0), lambda acc, x: acc + x).alias("adc")))
     w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    # adc itself is omitted from the output: it accumulates ~80 float
+    # additions and engines associate list folds differently in the
+    # last bits, so the VALUE is not hash-portable — the rank (with
+    # neighbor tie-break) is the contract, same policy as
+    # tfidf_top_terms omitting its ln-based score.
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= 3)
                   .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                          "rank",
-                          (F.floor(F.col("adc") * 1e6 + 0.5) / 1e6)
-                          .alias("adc")))
+                          "rank"))
 
 
-_RPQ_CODE_IDS = tuple(range(10, 330, 20))  # residual codebook sources
+_RPQ_CODE_IDS = tuple(range(1, 321, 5))  # residual codebook -> K=64
 _RPQ_NPROBE = 2
 
 
@@ -927,15 +953,22 @@ def _ivfpq_residual_oracle() -> str:
     return f"""
     WITH {_ivf_assign_sql()},
     cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
-    centv AS (SELECT c_id AS cc_id, cv FROM cent),
+    normed AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))) AS nv
+      FROM embeddings
+    ),
+    centv AS (SELECT c_id AS cc_id, n.nv AS cv
+              FROM cent JOIN normed n ON cent.c_id = n.vec_id),
     res AS (
       SELECT c.vec_id, c.c_id,
-             list_transform(list_zip(c.embedding::DOUBLE[], v.cv),
+             list_transform(list_zip(n.nv, v.cv),
                             p -> p[1] - p[2]) AS rv
-      FROM cells c JOIN centv v ON c.c_id = v.cc_id
+      FROM cells c
+      JOIN normed n ON c.vec_id = n.vec_id
+      JOIN centv v ON c.c_id = v.cc_id
     ),
     rbook AS (
-      SELECT ((vec_id - 10) // 20)::INT AS k, rv AS bv
+      SELECT ((vec_id - 1) // 5)::INT AS k, rv AS bv
       FROM res WHERE vec_id IN ({rids})
     ),
     rcombos AS (
@@ -952,14 +985,16 @@ def _ivfpq_residual_oracle() -> str:
         FROM rcombos) WHERE rn = 1
     ),
     probes AS (
-      SELECT a.vec_id AS q_id, a.embedding AS qv, a.c_id AS p_cell
+      SELECT a.vec_id AS q_id, a.c_id AS p_cell
       FROM assigned a WHERE a.vec_id < 10 AND a.rn <= {_RPQ_NPROBE}
     ),
     qres AS (
       SELECT p.q_id, p.p_cell,
-             list_transform(list_zip(p.qv::DOUBLE[], v.cv),
+             list_transform(list_zip(n.nv, v.cv),
                             p2 -> p2[1] - p2[2]) AS qrv
-      FROM probes p JOIN centv v ON p.p_cell = v.cc_id
+      FROM probes p
+      JOIN normed n ON p.q_id = n.vec_id
+      JOIN centv v ON p.p_cell = v.cc_id
     ),
     qd AS (
       SELECT q.q_id, q.p_cell, m.m::INT AS m, b.k,
@@ -981,8 +1016,7 @@ def _ivfpq_residual_oracle() -> str:
              AND qd.m = co.m AND qd.k = co.k
       GROUP BY ca.q_id, ca.vec_id
     )
-    SELECT q_id, neighbor_id, rank,
-           floor(adc * 1000000 + 0.5) / 1000000 AS adc
+    SELECT q_id, neighbor_id, rank
     FROM (SELECT q_id, neighbor_id, adc,
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY adc, neighbor_id) AS rank
@@ -1002,7 +1036,7 @@ def _ivfpq_residual_oracle() -> str:
         "its {p} nearest cells with a PER-CELL ADC lookup table "
         "(the query's residual differs per probed cell). Candidates "
         "still contribute only 8 stored codes. The residual codebook "
-        "is training-free (16 fixed corpus residuals). Subspace "
+        "is training-free (64 fixed corpus residuals). Subspace "
         "sums fold in ascending order; tie-breaks on code/neighbor "
         "make ranks engine-exact.".format(p=_RPQ_NPROBE),
 )
@@ -1024,13 +1058,21 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
     assigned = scored.withColumn("rn", F.row_number().over(w)) \
                      .select("vec_id", "ev", "cv", "c_id", "rn").persist()
-    # residuals of cell members (rn=1)
+    # residuals of cell members (rn=1), over NORMALIZED vectors
+    # (assignment above stays on raw vectors — cosine is scale-
+    # invariant so the cells are identical; see _normed_vectors)
+    normed = _normed_vectors(emb)
+    ncent = (normed.filter(F.col("vec_id").isin(*_IVF_CENTROID_IDS))
+                   .select(F.col("vec_id").alias("nc_id"),
+                           F.col("nv").alias("ncv")))
     res = (assigned.filter(F.col("rn") == 1)
+                   .join(normed, "vec_id")
+                   .join(F.broadcast(ncent), F.col("c_id") == F.col("nc_id"))
                    .select("vec_id", "c_id",
-                           F.zip_with("ev", "cv", lambda x, c: x - c)
+                           F.zip_with("nv", "ncv", lambda x, c: x - c)
                             .alias("rv")))
     rbook = (res.filter(F.col("vec_id").isin(*_RPQ_CODE_IDS))
-                .select(((F.col("vec_id") - 10) / 20).cast("int").alias("k"),
+                .select(((F.col("vec_id") - 1) / 5).cast("int").alias("k"),
                         F.col("rv").alias("bv")))
     ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     rcodebook = rbook.crossJoin(ms).select(
@@ -1049,9 +1091,12 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query probes + per-(query, cell) residual lookup tables
     probes = (assigned.filter((F.col("vec_id") < 10)
                               & (F.col("rn") <= _RPQ_NPROBE))
+                      .join(normed, "vec_id")
+                      .join(F.broadcast(ncent),
+                            F.col("c_id") == F.col("nc_id"))
                       .select(F.col("vec_id").alias("q_id"),
                               F.col("c_id").alias("p_cell"),
-                              F.zip_with("ev", "cv", lambda x, c: x - c)
+                              F.zip_with("nv", "ncv", lambda x, c: x - c)
                                .alias("qrv")))
     qd = probes.crossJoin(F.broadcast(rcodebook)).select(
         "q_id", "p_cell", "m", "k",
@@ -1075,6 +1120,4 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored2.withColumn("rank", F.row_number().over(wr))
                    .filter(F.col("rank") <= 3)
                    .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                           "rank",
-                           (F.floor(F.col("adc") * 1e6 + 0.5) / 1e6)
-                           .alias("adc")))
+                           "rank"))  # adc omitted — see ann_ivfpq_topk
