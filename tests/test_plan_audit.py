@@ -311,3 +311,19 @@ def test_no_cartesian_product_in_any_query(q):
     for name in REGISTRY:
         p = plan(q(name), "simple")
         assert "CartesianProduct" not in p, name
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Physical join strategy is controllable per join via hints —
+    the manual override for when stats mislead Catalyst at scale:
+    broadcast / merge (sort-merge) / shuffle_hash each produce their
+    hinted operator on the same logical join."""
+    import os
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    for hint, node in [("broadcast", "BroadcastHashJoin"),
+                       ("merge", "SortMergeJoin"),
+                       ("shuffle_hash", "ShuffledHashJoin")]:
+        j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        p = plan(j, "simple")
+        assert node in p, (hint, p.splitlines()[:5])
