@@ -882,16 +882,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     emb = load_table(spark, sf_dir, "embeddings")
     cells = _ivf_assign(spark, sf_dir).select("vec_id", "c_id").persist()
-    # PQ codebook + per-vector codes (same construction as pq_encode)
-    cent = (emb.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
-               .select((F.col("vec_id") / _PQ_STRIDE).cast("int").alias("k"),
-                       F.col("embedding").cast("array<double>").alias("cv")))
+    # PQ codebook + per-vector codes over NORMALIZED vectors (same
+    # construction as pq_encode; see _normed_vectors for why)
+    normed = _normed_vectors(emb)
+    cent = (normed.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
+                  .select((F.col("vec_id") / _PQ_STRIDE).cast("int")
+                          .alias("k"),
+                          F.col("nv").alias("cv")))
     ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     codebook = cent.crossJoin(ms).select(
         "m", "k",
         F.slice("cv", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("c_sub"))
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>")
-                   .alias("ev"))
+    v = normed.select("vec_id", F.col("nv").alias("ev"))
     sq = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0), lambda acc, x: acc + x)
