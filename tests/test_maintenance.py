@@ -64,3 +64,53 @@ def test_file_stats_shape(spark, fragmented):
     st = table_file_stats(spark, src)
     assert st["n_files"] == 64
     assert st["avg_file_bytes"] * 64 <= st["total_bytes"] + 64
+
+
+def test_zorder_layout_localizes_both_dimensions(spark, fragmented, tmp_path):
+    """Z-order vs linear sort: a linear sort on l_partkey leaves each
+    file spanning (nearly) the full l_suppkey range, while the
+    Morton-interleaved layout bounds the per-file span on BOTH
+    columns — the property that lets footer stats prune files for
+    predicates on either dimension."""
+    import pyarrow.parquet as pq
+    from us_flight_delay_data_pipeline_spark.operators.maintenance import (
+        zorder_compact)
+
+    src, n_rows = fragmented
+    lin = str(tmp_path / "linear")
+    (spark.read.parquet(src)
+          .repartitionByRange(16, "l_partkey")
+          .sortWithinPartitions("l_partkey")
+          .write.mode("overwrite").parquet(lin))
+    zo = str(tmp_path / "zorder")
+    zorder_compact(spark, src, zo, cols=("l_partkey", "l_suppkey"),
+                   bits=8, n_files=16)
+
+    def mean_span(path, col):
+        import os
+        spans, lo_all, hi_all = [], [], []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            if mins:
+                spans.append(max(maxs) - min(mins))
+                lo_all.append(min(mins)); hi_all.append(max(maxs))
+        full = max(hi_all) - min(lo_all)
+        return sum(spans) / len(spans) / full
+
+    # same rows either way
+    assert spark.read.parquet(zo).count() == n_rows
+    # linear layout: leading key localized, secondary key spans ~all
+    assert mean_span(lin, "l_partkey") < 0.3
+    assert mean_span(lin, "l_suppkey") > 0.8
+    # z-order: BOTH dimensions localized well below the full span
+    assert mean_span(zo, "l_partkey") < 0.6
+    assert mean_span(zo, "l_suppkey") < 0.6
