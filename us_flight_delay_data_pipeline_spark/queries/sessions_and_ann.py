@@ -1123,3 +1123,41 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .filter(F.col("rank") <= 3)
                    .select("q_id", F.col("vec_id").alias("neighbor_id"),
                            "rank"))  # adc omitted — see ann_ivfpq_topk
+
+
+@register(
+    "sliding_window_distinct_users",
+    """
+    WITH expanded AS (
+      SELECT e.user_id,
+             to_timestamp((epoch_us(e.ts) // 900000000) * 900 - i.i * 900)
+               ::TIMESTAMP AS window_start
+      FROM events e, (SELECT unnest(range(0, 4)) AS i) i
+      WHERE to_timestamp((epoch_us(e.ts) // 900000000) * 900 - i.i * 900)
+            ::TIMESTAMP > e.ts - INTERVAL 60 MINUTE
+    )
+    SELECT window_start,
+           window_start + INTERVAL 60 MINUTE AS window_end,
+           COUNT(DISTINCT user_id) AS active_users,
+           COUNT(*) AS n_events
+    FROM expanded GROUP BY window_start
+    """,
+    doc="Sliding-window DISTINCT aggregation (active users per "
+        "trailing hour at 15-minute resolution — the standard DAU/"
+        "MAU-style liveness metric): F.window expands each event "
+        "into its 4 covering windows, then Catalyst plans the "
+        "distinct as expand + two-phase HashAggregate keyed on "
+        "(window, user). At 100 TB swap the exact distinct for "
+        "approx_count_distinct or merge persisted per-window HLL "
+        "sketches (hll_partition_merge) — this is the exact "
+        "baseline; the fan-out side scales with span/slide, not "
+        "with user cardinality.",
+)
+def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "60 minutes", "15 minutes"))
+             .agg(F.countDistinct("user_id").alias("active_users"),
+                  F.count("*").alias("n_events"))
+             .select(F.col("window.start").alias("window_start"),
+                     F.col("window.end").alias("window_end"),
+                     "active_users", "n_events"))
