@@ -145,3 +145,52 @@ def test_pq_quantization_quality(spark, sf_dir):
     assert overlap >= 0.4
     assert _recall_at_3(spark, sf_dir, "ann_ivfpq_residual_topk") >= \
         _recall_at_3(spark, sf_dir, "ann_ivfpq_topk")
+
+
+def test_trained_codebook_reduces_distortion(spark, sf_dir):
+    """One k-means refinement must not increase total quantization
+    distortion (assignment and update each monotonically decrease it
+    — Lloyd's guarantee), and must actually move some codes."""
+    import numpy as np
+    import os
+    from us_flight_delay_data_pipeline_spark.queries import load_registry
+    from us_flight_delay_data_pipeline_spark.queries.sessions_and_ann import (
+        _PQ_CENTROID_IDS, _PQ_M, _PQ_SUB, _PQ_STRIDE)
+    reg = load_registry()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(
+               os.path.join(sf_dir, "embeddings.parquet")).collect()}
+    nv = {i: v / np.sqrt((v * v).sum()) for i, v in emb.items()}
+
+    init = {m: {i // _PQ_STRIDE: nv[i][m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                for i in _PQ_CENTROID_IDS} for m in range(_PQ_M)}
+
+    codes0 = {r["vec_id"]: r["codes"] for r in
+              reg["pq_encode"].fn(spark, sf_dir).collect()}
+    codes1 = {r["vec_id"]: r["codes"] for r in
+              reg["pq_encode_trained"].fn(spark, sf_dir).collect()}
+
+    # trained book: mean of subvectors assigned per (m, k) under codes0
+    sums, cnts = {}, {}
+    for vid, cs in codes0.items():
+        for m, k in enumerate(cs):
+            key = (m, k)
+            sums[key] = sums.get(key, 0) + nv[vid][m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            cnts[key] = cnts.get(key, 0) + 1
+    trained = {m: {k: sums[(m, k)] / cnts[(m, k)]
+                   for k in range(64) if (m, k) in sums}
+               for m in range(_PQ_M)}
+
+    def distortion(codes, book):
+        total = 0.0
+        for vid, cs in codes.items():
+            for m, k in enumerate(cs):
+                d = nv[vid][m * _PQ_SUB:(m + 1) * _PQ_SUB] - book[m][k]
+                total += float((d * d).sum())
+        return total
+
+    d0 = distortion(codes0, init)
+    d1 = distortion(codes1, trained)
+    assert d1 <= d0 + 1e-6
+    assert d1 < d0 * 0.95  # training moved the needle, not a no-op
+    assert any(codes0[v] != codes1[v] for v in codes0)

@@ -1125,6 +1125,126 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "rank"))  # adc omitted — see ann_ivfpq_topk
 
 
+def _pq_trained_oracle() -> str:
+    ids = ", ".join(str(i) for i in _PQ_CENTROID_IDS)
+    norm = ("list_transform(embedding::DOUBLE[], x -> x / "
+            "sqrt(list_sum([y * y for y in embedding::DOUBLE[]])))")
+
+    def sl(v, m):
+        return (f"list_slice({v}, {m} * {_PQ_SUB} + 1, "
+                f"{m} * {_PQ_SUB} + {_PQ_SUB})")
+
+    def d2(a, b):
+        return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+    a0 = d2(sl("e.nv", "m.m::INT"), sl("c.cv", "m.m::INT"))
+    a1 = d2(sl("e.nv", "c.m"), "c.c_sub")
+    return f"""
+    WITH normed AS (
+      SELECT vec_id, {norm} AS nv FROM embeddings
+    ),
+    cb0 AS (
+      SELECT (vec_id // {_PQ_STRIDE})::INT AS k, nv AS cv
+      FROM normed WHERE vec_id IN ({ids})
+    ),
+    assign0 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT e.vec_id, m.m::INT AS m, c.k, {a0} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id, m.m
+                                  ORDER BY {a0}, c.k) AS rn
+        FROM normed e CROSS JOIN cb0 c
+        CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m
+      ) WHERE rn = 1
+    ),
+    subvals AS (
+      SELECT n.vec_id, a.m, a.k, d.d::INT AS dim,
+             n.nv[a.m * {_PQ_SUB} + d.d::INT + 1] AS val
+      FROM normed n
+      JOIN assign0 a ON n.vec_id = a.vec_id
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_SUB})) AS d) d
+    ),
+    means AS (
+      SELECT m, k, dim,
+             CAST(SUM(CAST(floor(val * 1000000 + 0.5) / 1000000
+                           AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM subvals GROUP BY m, k, dim
+    ),
+    cb1 AS (
+      SELECT m, k, list(c ORDER BY dim) AS c_sub FROM means GROUP BY m, k
+    ),
+    recode AS (
+      SELECT vec_id, m, k FROM (
+        SELECT e.vec_id, c.m, c.k, {a1} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id, c.m
+                                  ORDER BY {a1}, c.k) AS rn
+        FROM normed e JOIN cb1 c ON true
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, list(k ORDER BY m) AS codes
+    FROM recode GROUP BY vec_id
+    """
+
+
+@register(
+    "pq_encode_trained",
+    _pq_trained_oracle(),
+    doc="PQ with a LEARNED codebook — one exact k-means refinement "
+        "iteration per subspace (assign to the training-free init, "
+        "recompute codewords as dimension-exploded decimal-exact "
+        "means — the same engine-portable mean recipe as "
+        "label_centroids — then re-encode): the quantizer-training "
+        "step real IVF-PQ runs, expressed as two argmin passes and "
+        "one grouped mean, all shuffles on (m,k,dim)-sized keys. "
+        "Empty clusters drop out of the refined book (both engines "
+        "agree by construction). tests pin that refined codes "
+        "reconstruct vectors no worse than the init.",
+)
+def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = _normed_vectors(emb)
+    cent0 = (normed.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
+                   .select((F.col("vec_id") / _PQ_STRIDE).cast("int")
+                           .alias("k"),
+                           F.col("nv").alias("cv")))
+    ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    cb0 = cent0.crossJoin(ms).select(
+        "m", "k",
+        F.slice("cv", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("c_sub"))
+    sq = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nv_sub = F.slice("nv", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
+    assign0 = (normed.crossJoin(F.broadcast(cb0))
+               .select("vec_id", "m", "k", "nv",
+                       sq(nv_sub, F.col("c_sub")).alias("dist"))
+               .groupBy("vec_id", "m")
+               .agg(F.min(F.struct("dist", "k")).alias("b"),
+                    F.first("nv").alias("nv"))
+               .select("vec_id", "m", F.col("b.k").alias("k"), "nv"))
+    # update step: dimension-exploded exact mean per (m, k, dim)
+    subvals = assign0.select(
+        "m", "k", F.posexplode(nv_sub).alias("dim", "val"))
+    q6 = F.floor(F.col("val") * 1000000.0 + 0.5) / 1000000.0
+    means = (subvals.groupBy("m", "k", "dim")
+                    .agg((F.sum(q6.cast("decimal(38,6)")).cast("double")
+                          / F.count("*")).alias("c")))
+    cb1 = (means.groupBy("m", "k")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda x: x["c"]).alias("c_sub")))
+    recode = (normed.crossJoin(F.broadcast(cb1))
+              .select("vec_id", "m", "k",
+                      sq(nv_sub, F.col("c_sub")).alias("dist"))
+              .groupBy("vec_id", "m")
+              .agg(F.min(F.struct("dist", "k")).alias("b"))
+              .select("vec_id", "m", F.col("b.k").alias("k")))
+    return (recode.groupBy("vec_id")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct("m", "k"))),
+                      lambda x: x["k"]).alias("codes")))
+
+
 @register(
     "sliding_window_distinct_users",
     """
@@ -1161,3 +1281,5 @@ def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
              .select(F.col("window.start").alias("window_start"),
                      F.col("window.end").alias("window_end"),
                      "active_users", "n_events"))
+
+
