@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 from ..functions.text import STOPWORDS, word_ngrams, word_tokens
 from ..sources.registry import load_table
 from . import register
-from .llm_ext import STOPWORDS_SQL, _shingles_sql, _tok_sql
+from .llm_ext import STOPWORDS_SQL, _h32_sql, _shingles_sql, _tok_sql
 
 # Shared CTE: the ngram-Jaccard near-dup pair list (same constants as
 # the ngram_jaccard_pairs query: lang blocking, threshold 0.3).
@@ -407,3 +407,142 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.col("n_tokens").cast("double")).alias("distinct_ratio"),
         (F.col("top_count").cast("double")
          / F.col("n_tokens").cast("double")).alias("top_token_share"))
+
+
+_FH_DIM = 64  # feature-hashing buckets
+
+
+@register(
+    "hashed_doc_vectors",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_tok_sql()}) AS tok FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ({_h32_sql('tok')} % {_FH_DIM})::INT AS bucket,
+             CASE WHEN ({_h32_sql('tok')} // {_FH_DIM}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    buckets AS (
+      SELECT doc_id, bucket, SUM(sgn) AS w FROM hashed
+      GROUP BY doc_id, bucket
+    ),
+    dense AS (
+      SELECT b.doc_id, d.d::INT AS dim, COALESCE(bk.w, 0) AS w
+      FROM (SELECT DISTINCT doc_id FROM buckets) b
+      CROSS JOIN (SELECT unnest(range(0, {_FH_DIM})) AS d) d
+      LEFT JOIN buckets bk ON bk.doc_id = b.doc_id AND bk.bucket = d.d::INT
+    )
+    SELECT doc_id, list(CAST(w AS BIGINT) ORDER BY dim) AS vec,
+           CAST(SUM(w * w) AS BIGINT) AS sq_norm
+    FROM dense GROUP BY doc_id
+    """,
+    doc="Feature hashing (the hashing trick): every token maps to one "
+        "of {d} buckets by h32 with a +/-1 sign bit, giving each doc "
+        "a dense {d}-dim integer vector with NO vocabulary pass — "
+        "the featurization that turns raw text into ANN/classifier "
+        "input at any scale (collision noise is unbiased thanks to "
+        "the sign). Pure explode + hash-agg; integer weights make "
+        "the vector and its squared norm exactly portable. At 100 TB "
+        "this replaces a two-pass count-vectorizer whose vocabulary "
+        "no longer fits anywhere.".format(d=_FH_DIM),
+)
+def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hashing import h32
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0)
+    toks = d.select("doc_id",
+                    F.explode(word_tokens(F.lower(F.col("text"))))
+                     .alias("tok"))
+    h = h32(F.col("tok"))
+    hashed = toks.select(
+        "doc_id", (h % _FH_DIM).cast("int").alias("bucket"),
+        F.when((h / _FH_DIM).cast("bigint") % 2 == 0, 1).otherwise(-1)
+         .alias("sgn"))
+    buckets = (hashed.groupBy("doc_id", "bucket")
+                     .agg(F.sum("sgn").alias("w")))
+    # densify: collect (bucket, w) per doc, scatter into a 64-slot
+    # array — map-side, no per-dim join
+    dense = (buckets.groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.array_sort(F.collect_list(F.struct("bucket", "w"))))
+                 .alias("bw")))
+    idx = F.sequence(F.lit(0), F.lit(_FH_DIM - 1))
+    vec = F.transform(idx, lambda i: F.coalesce(
+        F.element_at(F.col("bw"), i.cast("int")), F.lit(0).cast("bigint")))
+    return dense.select(
+        "doc_id", vec.alias("vec"),
+        F.aggregate(vec, F.lit(0).cast("bigint"),
+                    lambda acc, w: acc + w * w).alias("sq_norm"))
+
+
+_COLL_MIN = 5  # minimum bigram frequency
+
+
+@register(
+    "bigram_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_tok_sql()} AS t FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+    ),
+    bcnt AS (
+      SELECT w1, w2, COUNT(*) AS cab FROM bi GROUP BY w1, w2
+      HAVING COUNT(*) >= {_COLL_MIN}
+    )
+    SELECT b.w1, b.w2, b.cab,
+           u1.c AS c1, u2.c AS c2,
+           CAST(b.cab * (SELECT n FROM tot) AS DOUBLE)
+             / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.w
+    JOIN ucnt u2 ON b.w2 = u2.w
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT 25
+    """,
+    doc="Collocation extraction (bigram lift — PMI's monotone twin "
+        "without the libm log): adjacent-token pairs above a count "
+        "floor, scored by cab*N/(c1*c2). All counts are exact "
+        "integers whose products stay under 2^53, so the single "
+        "double division is bit-portable (the PMI log would not "
+        "be). The bigram explode is map-side (array slice per "
+        "position); the unigram table is vocabulary-sized and "
+        "broadcasts into the scoring join; top-k plans "
+        "TakeOrderedAndProject. The standard phrase-mining / "
+        "tokenizer-merge-candidate pass over a pretraining corpus.",
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0)
+    toks = d.select(word_tokens(F.lower(F.col("text"))).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.count()
+    pairs = toks.select(F.explode(
+        F.zip_with(F.slice("t", 1, F.size("t") - 1),
+                   F.slice("t", 2, F.size("t") - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("p")).select("p.w1", "p.w2")
+    bcnt = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("cab"))
+                 .filter(F.col("cab") >= _COLL_MIN))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = (F.col("cab") * F.lit(tot)).cast("double") \
+        / (F.col("c1") * F.col("c2")).cast("double")
+    return (bcnt.join(F.broadcast(u1), "w1")
+                .join(F.broadcast(u2), "w2")
+                .select("w1", "w2", "cab", "c1", "c2", lift.alias("lift"))
+                .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+                .limit(25))
