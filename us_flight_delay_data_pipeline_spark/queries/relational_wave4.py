@@ -497,3 +497,130 @@ def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("numwait"))
                 .orderBy(F.desc("numwait"), F.asc("s_name"))
                 .limit(25))
+
+
+@register(
+    "cdc_latest_state",
+    """
+    WITH log AS (
+      SELECT o_orderkey AS key, o_orderdate AS op_ts,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+             o_totalprice AS val, o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'U',
+             o_totalprice * 1.1, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT key, op, val, status FROM (
+        SELECT key, op, val, status,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY op_ts DESC, op DESC) AS rn
+        FROM log) WHERE rn = 1
+    )
+    SELECT status, COUNT(*) AS n_live,
+           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total_val
+    FROM latest WHERE op <> 'D' GROUP BY status
+    """,
+    doc="CDC apply (changelog -> current state): a synthetic I/U/D "
+        "change log (orders plus a 30-day-later update wave) reduced "
+        "to latest-op-wins per key via one ranking window, deletes "
+        "dropped, live state rolled up. This is the log-compaction "
+        "semantic every CDC sink (Debezium->lakehouse) needs; at "
+        "100 TB the window shuffles once on key and the changelog "
+        "prunes by op_ts partition before it. Deterministic "
+        "tie-break (op DESC) pins simultaneous ops.",
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").alias("op_ts"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+         .when(F.col("o_orderkey") % 3 == 0, "U").otherwise("I").alias("op"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderstatus").alias("status"))
+    upd = (o.filter(F.col("o_orderkey") % 7 == 0)
+            .select(F.col("o_orderkey").alias("key"),
+                    (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+                     .alias("op_ts"),
+                    F.lit("U").alias("op"),
+                    (F.col("o_totalprice") * 1.1).alias("val"),
+                    F.col("o_orderstatus").alias("status")))
+    log = base.unionByName(upd)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("key").orderBy(F.desc("op_ts"), F.desc("op"))
+    latest = (log.withColumn("rn", F.row_number().over(w))
+                 .filter((F.col("rn") == 1) & (F.col("op") != "D")))
+    return (latest.groupBy("status")
+                  .agg(F.count("*").alias("n_live"),
+                       dsum("val").alias("total_val")))
+
+
+@register(
+    "point_in_time_join",
+    """
+    WITH versions AS (
+      SELECT o_custkey AS key, o_totalprice AS attr,
+             o_orderdate AS valid_from,
+             COALESCE(lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey),
+               TIMESTAMP '9999-12-31') AS valid_to,
+             o_orderkey AS version_id
+      FROM orders
+    ),
+    facts AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+             o.o_custkey AS key
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.key, COUNT(*) AS n_enriched,
+           CAST(SUM(CAST(v.attr AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_attr,
+           COUNT(DISTINCT v.version_id) AS n_versions_used
+    FROM facts f
+    JOIN versions v
+      ON f.key = v.key
+     AND f.l_shipdate >= v.valid_from
+     AND f.l_shipdate < v.valid_to
+    GROUP BY f.key
+    """,
+    doc="Point-in-time join (the feature-store correctness "
+        "primitive): each fact row joins the dimension VERSION that "
+        "was valid at its event time — validity windows derived with "
+        "one lead() over the version history (deterministic "
+        "tie-break on version id), then an equi join on the entity "
+        "key with the time predicate as a post-join filter, so the "
+        "join stays hash (never a range/nested-loop) and each fact "
+        "matches exactly one version by construction. Prevents the "
+        "train-time data leakage a naive latest-version join causes. "
+        "At 100 TB both sides hash-partition on the entity key; the "
+        "version table is orders of magnitude smaller than facts.",
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("attr"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(F.lead("o_orderdate").over(w),
+                   F.lit("9999-12-31").cast("timestamp")).alias("valid_to"),
+        F.col("o_orderkey").alias("version_id"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    facts = li.join(o.select("o_orderkey", F.col("o_custkey").alias("key")),
+                    li.l_orderkey == F.col("o_orderkey"))
+    j = (facts.join(versions,
+                    (facts.key == versions.key)
+                    & (F.col("l_shipdate") >= F.col("valid_from"))
+                    & (F.col("l_shipdate") < F.col("valid_to")))
+         .drop(versions.key))
+    return (j.groupBy("key")
+             .agg(F.count("*").alias("n_enriched"),
+                  dsum("attr").alias("total_attr"),
+                  F.countDistinct("version_id").alias("n_versions_used")))
