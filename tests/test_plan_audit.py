@@ -327,3 +327,21 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
         p = plan(j, "simple")
         assert node in p, (hint, p.splitlines()[:5])
+
+
+def test_point_in_time_join_is_hash_join(q):
+    """point_in_time_join: the validity predicate must ride on an
+    equi hash join (key), never degrade to a range/nested-loop."""
+    p = plan(q("point_in_time_join"), "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_latest_state_single_key_shuffle(q):
+    """cdc_latest_state: latest-op-wins is one ranking window on key
+    — the changelog shuffles once on key, and Spark's rank-limit
+    pushdown (WindowGroupLimit Partial) trims each map partition to
+    its per-key top-1 BEFORE that shuffle."""
+    p = plan(q("cdc_latest_state"), "simple")
+    assert p.count("Exchange hashpartitioning(key") == 1
+    assert "WindowGroupLimit" in p
