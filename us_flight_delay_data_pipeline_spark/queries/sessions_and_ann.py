@@ -1215,16 +1215,18 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0), lambda acc, x: acc + x)
     nv_sub = F.slice("nv", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
+    # keys-only argmin: the 64-double vector must NOT ride through the
+    # corpus-x-codebook explode and its shuffle — codes are (vec,m,k)
+    # triples, the vector joins back by key afterwards
     assign0 = (normed.crossJoin(F.broadcast(cb0))
-               .select("vec_id", "m", "k", "nv",
+               .select("vec_id", "m", "k",
                        sq(nv_sub, F.col("c_sub")).alias("dist"))
                .groupBy("vec_id", "m")
-               .agg(F.min(F.struct("dist", "k")).alias("b"),
-                    F.first("nv").alias("nv"))
-               .select("vec_id", "m", F.col("b.k").alias("k"), "nv"))
+               .agg(F.min(F.struct("dist", "k")).alias("b"))
+               .select("vec_id", "m", F.col("b.k").alias("k")))
     # update step: dimension-exploded exact mean per (m, k, dim)
-    subvals = assign0.select(
-        "m", "k", F.posexplode(nv_sub).alias("dim", "val"))
+    subvals = (normed.join(assign0, "vec_id")
+               .select("m", "k", F.posexplode(nv_sub).alias("dim", "val")))
     q6 = F.floor(F.col("val") * 1000000.0 + 0.5) / 1000000.0
     means = (subvals.groupBy("m", "k", "dim")
                     .agg((F.sum(q6.cast("decimal(38,6)")).cast("double")
