@@ -541,3 +541,28 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.when(F.regexp_extract("text", r"^(\w+)", 1)
                                == "the", 1).otherwise(0))
                    .alias("starts_with_the")))
+
+
+@register(
+    "listagg_funcs",
+    """
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers_csv,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Ordered string aggregation (SQL:2023 LISTAGG, new in Spark "
+        "4.0): supplier names concatenated per nation WITHIN GROUP "
+        "(ORDER BY name) — the deterministic form; unordered listagg "
+        "is partitioning-dependent and would never pass a value-hash "
+        "gate. One hash aggregate; the dimension join broadcasts.",
+)
+def listagg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)")
+                   .alias("suppliers_csv"),
+                  F.count("*").alias("n_suppliers")))
