@@ -165,9 +165,11 @@ def test_trained_codebook_reduces_distortion(spark, sf_dir):
     init = {m: {i // _PQ_STRIDE: nv[i][m * _PQ_SUB:(m + 1) * _PQ_SUB]
                 for i in _PQ_CENTROID_IDS} for m in range(_PQ_M)}
 
-    codes0 = {r["vec_id"]: r["codes"] for r in
+    # registered queries serialize codes to "k0,k1,..." strings
+    # (driver canonicalizer cannot hash list cells) — parse them back
+    codes0 = {r["vec_id"]: [int(c) for c in r["codes"].split(",")] for r in
               reg["pq_encode"].fn(spark, sf_dir).collect()}
-    codes1 = {r["vec_id"]: r["codes"] for r in
+    codes1 = {r["vec_id"]: [int(c) for c in r["codes"].split(",")] for r in
               reg["pq_encode_trained"].fn(spark, sf_dir).collect()}
 
     # trained book: mean of subvectors assigned per (m, k) under codes0

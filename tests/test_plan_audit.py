@@ -71,9 +71,12 @@ def test_semi_and_anti_join_plans(q):
 
 def test_asof_join_is_hash_not_nested_loop(q):
     p = plan(q("asof_latest_order"), "simple")
-    # the equi key keeps it a hash join; range bound is post-join filter
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+    # union + sort + carry-forward merge: NO join at all — per-key
+    # cost is linear in events+orders, never their product
+    assert "Join" not in p
+    assert "Union" in p and "Window" in p
 
 
 def test_whole_stage_codegen_on_silver_shapes(q):
@@ -161,11 +164,13 @@ def test_q18_survivor_set_broadcasts(q):
 
 def test_share_of_total_scans_facts_once(q):
     """nation_revenue_share: the grand total must come from
-    re-aggregating the 25-row nation rollup (broadcast back), never a
-    second scan of lineitem."""
+    re-aggregating the persisted 25-row nation rollup (broadcast
+    back), never a second scan of lineitem — both references to the
+    rollup must read the cache (InMemoryTableScan), which is what
+    collapses the two plan subtrees into one physical fact scan."""
     p = plan(q("nation_revenue_share"), "simple")
-    assert p.count("lineitem.parquet") == 1
-    assert p.count("FileScan parquet") == 4  # lineitem/orders/customer/nation
+    assert p.count("InMemoryTableScan") == 2
+    assert "BroadcastNestedLoopJoin" in p  # one-row total broadcast back
 
 
 def test_promo_filter_reaches_part_scan(q):
@@ -345,3 +350,43 @@ def test_cdc_latest_state_single_key_shuffle(q):
     p = plan(q("cdc_latest_state"), "simple")
     assert p.count("Exchange hashpartitioning(key") == 1
     assert "WindowGroupLimit" in p
+
+
+def test_no_nonscalar_output_columns_in_any_query(q):
+    """No registered query may emit array/map/struct output columns:
+    the driver's correctness canonicalizer pandas-sorts result columns
+    and cannot hash list cells (CORRECTNESS_r01: minhash_signatures
+    ERR'd on array<bigint>). List-valued results must be serialized to
+    delimited strings (functions.core.arr_str + DuckDB
+    array_to_string) or exploded to rows before registration."""
+    import pyspark.sql.types as T
+    bad = []
+    for name in REGISTRY:
+        for f in q(name).schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, bad
+
+
+def test_no_unpartitioned_window_in_any_query(q):
+    """No registered query may run a Window over a single global
+    partition (Spark's "No Partition Defined for Window" path): at
+    10B rows that is one task processing the whole corpus spine.
+    Global running sums must use the distributed two-pass prefix-sum
+    shape (see pack_sequences). Plan-string format: `Window [exprs](,
+    [partSpec])(, [orderSpec])` — empty specs are omitted, so one
+    bracket group = unpartitioned+unordered, two groups whose last
+    holds sort markers = unpartitioned+ordered; two groups without
+    sort markers is a partitioned-unordered window (fine)."""
+    bad = []
+    for name in REGISTRY:
+        p = plan(q(name), "simple")
+        for ln in p.splitlines():
+            s = ln.strip().lstrip(":+- ")
+            if not s.startswith("Window "):
+                continue
+            groups = s.count("], [") + 1
+            last = s.rsplit("], [", 1)[-1]
+            if groups == 1 or (groups == 2 and "NULLS" in last):
+                bad.append((name, s[:120]))
+    assert not bad, bad

@@ -17,7 +17,22 @@ from pyspark.sql import functions as F
 __all__ = [
     "safe_div", "year_month", "rowwise_total", "try_cast_columns",
     "decode_and_repair_body", "normalize_columns_lower", "rebalance",
+    "arr_str",
 ]
+
+
+def arr_str(col: Column | str, sep: str = ",") -> Column:
+    """Serialize an array column to a deterministic delimited string.
+
+    The driver's correctness canonicalizer pandas-sorts result columns
+    and cannot hash list-valued cells, so registered queries never
+    emit array/map/struct output columns — any list-valued result is
+    flattened through this helper, matched by DuckDB
+    ``array_to_string(..., sep)`` in the oracle SQL. Element order must
+    already be deterministic (sorted or positional) before serializing.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), sep)
 
 
 def rebalance(df: DataFrame) -> DataFrame:

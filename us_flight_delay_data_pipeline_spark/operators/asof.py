@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_bucketed", "asof_join_sorted"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -107,3 +107,55 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
     return grouped.select(
         *left.columns,
         *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols])
+
+
+def asof_join_sorted(left: DataFrame, right: DataFrame, on: str,
+                     left_time: str, right_time: str,
+                     value_cols: list[str],
+                     tiebreak: str | None = None) -> DataFrame:
+    """Backward as-of join via union + sort + last-observation-carried-
+    forward — the scale path when NO tolerance bound exists (so
+    bucketing can't help and the equi-join + filter formulation's
+    per-key intermediate is |left_per_key| x |right_per_key|).
+
+    Both sides union on (key, time); one shuffle partitions by key; a
+    partitioned window sorted by (time, side, tiebreak) carries the
+    latest right row forward onto each left row. Per-key cost is
+    O((l+r) log(l+r)) — linear in each side's history instead of their
+    product — which is how kdb/QuestDB-style as-of merges scale. Right
+    rows at exactly the left timestamp match (<=): they sort before
+    the left row (side 0 < 1). Ties among right rows at one timestamp
+    resolve to the max tiebreak (sort asc + carry LAST). Left rows
+    with no preceding right row are dropped (inner semantics, same as
+    :func:`asof_join`).
+    """
+    from pyspark.sql.window import Window
+    tb = tiebreak or value_cols[0]
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    r_side = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tb).alias("_tb"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns])
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[tb].dataType).alias("_tb"),
+        F.lit(None).cast(r_side.schema["_payload"].dataType)
+         .alias("_payload"),
+        *left.columns)
+    u = r_side.unionByName(l_side)
+    w = (Window.partitionBy("_k")
+               .orderBy("_t", "_side", "_tb")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn("_asof",
+                           F.last("_payload", ignorenulls=True).over(w))
+    return (carried.filter((F.col("_side") == 1)
+                           & F.col("_asof").isNotNull())
+                   .select(*left.columns,
+                           *[F.col(f"_asof.{c}").alias(f"asof_{c}")
+                             for c in value_cols]))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.core import arr_str
 from ..sources.registry import load_table
 from . import register
 from .relational import DEC, dsum, _osum
@@ -298,19 +299,20 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            len(arr)::INT AS arr_len,
            list_contains(arr, 3) AS has_three,
-           list_sort(list_distinct(arr2)) AS arr2_set,
-           list_sort(list_distinct(list_concat(arr, arr2))) AS union_set,
-           arr[2:3] AS middle,
-           list_reverse(arr) AS rev,
+           array_to_string(list_sort(list_distinct(arr2)), ',') AS arr2_set,
+           array_to_string(list_sort(list_distinct(list_concat(arr, arr2))), ',')
+             AS union_set,
+           array_to_string(arr[2:3], ',') AS middle,
+           array_to_string(list_reverse(arr), ',') AS rev,
            list_sum(arr)::BIGINT AS total,
            COALESCE(list_position(arr2, 14), 0)::BIGINT AS pos14,
            list_max(arr2) AS biggest,
-           list_transform(arr, x -> x * x) AS squares,
-           list_filter(arr, x -> x % 2 = 0) AS evens,
+           array_to_string(list_transform(arr, x -> x * x), ',') AS squares,
+           array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
            len(list_filter(arr, x -> x > 3)) > 0 AS any_gt3,
            len(list_filter(arr, x -> NOT (x < 10))) = 0 AS all_lt10,
-           list_transform(list_zip(arr, list_reverse(arr)),
-                          p -> p[1] + p[2]) AS palindrome_sums
+           array_to_string(list_transform(list_zip(arr, list_reverse(arr)),
+                          p -> p[1] + p[2]), ',') AS palindrome_sums
     FROM t
     """,
     doc="Array + higher-order-function surface: size/contains/"
@@ -332,21 +334,21 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.size("arr").alias("arr_len"),
         F.array_contains("arr", 3).alias("has_three"),
-        F.array_sort(F.array_distinct("arr2")).alias("arr2_set"),
-        F.array_sort(F.array_distinct(F.concat("arr", "arr2")))
+        arr_str(F.array_sort(F.array_distinct("arr2"))).alias("arr2_set"),
+        arr_str(F.array_sort(F.array_distinct(F.concat("arr", "arr2"))))
          .alias("union_set"),
-        F.slice("arr", 2, 2).alias("middle"),
-        F.reverse("arr").alias("rev"),
+        arr_str(F.slice("arr", 2, 2)).alias("middle"),
+        arr_str(F.reverse("arr")).alias("rev"),
         F.aggregate("arr", F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x).alias("total"),
         F.array_position("arr2", 14).alias("pos14"),
         F.array_max("arr2").alias("biggest"),
-        F.transform("arr", lambda x: x * x).alias("squares"),
-        F.filter("arr", lambda x: x % 2 == 0).alias("evens"),
+        arr_str(F.transform("arr", lambda x: x * x)).alias("squares"),
+        arr_str(F.filter("arr", lambda x: x % 2 == 0)).alias("evens"),
         F.exists("arr", lambda x: x > 3).alias("any_gt3"),
         F.forall("arr", lambda x: x < 10).alias("all_lt10"),
-        F.zip_with("arr", F.reverse("arr"),
-                   lambda a, b: a + b).alias("palindrome_sums"),
+        arr_str(F.zip_with("arr", F.reverse("arr"),
+                           lambda a, b: a + b)).alias("palindrome_sums"),
     )
 
 
@@ -394,7 +396,8 @@ _HOT_N = 10
     )
     SELECT user_id,
            COUNT(*) AS n_types,
-           list(event_type ORDER BY event_type) AS type_keys,
+           array_to_string(list(event_type ORDER BY event_type), ',')
+             AS type_keys,
            max(CASE WHEN event_type = 'click' THEN n END) AS n_clicks,
            COUNT(*) FILTER (WHERE n >= {_HOT_N}) AS n_hot_types,
            SUM(n) AS total_events,
@@ -430,7 +433,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "user_id",
         F.size("m").cast("bigint").alias("n_types"),
-        F.array_sort(F.map_keys("m")).alias("type_keys"),
+        arr_str(F.array_sort(F.map_keys("m"))).alias("type_keys"),
         F.element_at("m", "click").alias("n_clicks"),
         F.size(F.map_filter("m", lambda k, v: v >= _HOT_N)).cast("bigint")
          .alias("n_hot_types"),

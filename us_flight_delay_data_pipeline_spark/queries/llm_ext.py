@@ -284,22 +284,27 @@ def _signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_signatures",
     f"""
     WITH {_sig_cte_sql()}
-    SELECT doc_id, sig FROM sig
+    SELECT doc_id, array_to_string(sig, ',') AS sig FROM sig
     """,
     doc="MinHash signatures: distinct word-3-gram shingles → 16 "
         "universal-hash minima, computed in a single array-aggregate "
         "pass (md5 once per shingle). One round-robin rebalance before "
         "the projection (compute-bound on small bytes); the signature "
-        "is 128 bytes regardless of document size.",
+        "is 128 bytes regardless of document size. Output serialized "
+        "to a comma-joined string (driver canonicalizer cannot hash "
+        "list cells — CORRECTNESS_r01).",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import arr_str
     from ..operators.dedup import _spread
     from ..operators.hashing import minhash_signature
     d = load_table(spark, sf_dir, "documents")
     toks = word_tokens(F.lower(F.col("text")))
     sh = word_ngrams(F.col("text"), 3)
     return (_spread(d.filter(F.size(toks) >= 3))
-             .select("doc_id", minhash_signature(sh, MINHASH_COEFFS).alias("sig")))
+             .select("doc_id",
+                     arr_str(minhash_signature(sh, MINHASH_COEFFS))
+                     .alias("sig")))
 
 
 def _band_key(sig: Column, band: int) -> Column:
@@ -716,31 +721,37 @@ _PACK_LEN = 256
                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM sized
     )
-    SELECT (cum_tokens - 1) // {_PACK_LEN} AS pack_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+    SELECT CAST((cum_tokens - 1) // {_PACK_LEN} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(min(doc_id) AS BIGINT) AS first_doc,
            CAST(max(doc_id) AS BIGINT) AS last_doc
     FROM cum GROUP BY 1
     """,
     doc="Sequence packing (the tokenize-and-pack step): documents in "
-        "deterministic order, cumulative token count, pack boundary "
-        "every {_PACK_LEN} tokens. The global running sum is one "
-        "single-partition window over (doc_id, n_tokens) pairs — "
-        "16 bytes/doc, fine at any corpus size; the heavy token "
-        "counting stays fully parallel before it. Same "
+        "deterministic doc_id order, cumulative token count, pack "
+        "boundary every {_PACK_LEN} tokens. The running sum is a "
+        "DISTRIBUTED two-pass prefix sum — range-partition by doc_id, "
+        "partition-local running sum (partitioned window), then "
+        "per-partition totals fold into cross-partition offsets with "
+        "higher-order array functions (one P-row aggregate, P = "
+        "shuffle partitions) broadcast-joined back. No global "
+        "single-partition window anywhere: at 10B docs every task "
+        "touches only its own range. Oracle casts pack_id and the "
+        "token sum to BIGINT (DuckDB window SUM yields HUGEINT; the "
+        "driver hash is representation-sensitive). Same "
         "streamed-boundary structure as Megatron-style sample "
         "packing.",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.prefix import with_global_running
     d = load_table(spark, sf_dir, "documents")
     toks = word_tokens(F.lower(F.col("text")))
     sized = (d.filter(F.length(F.trim("text")) > 0)
               .select("doc_id", F.size(toks).cast("bigint")
                       .alias("n_tokens")))
-    w = Window.orderBy("doc_id") \
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    cum = with_global_running(sized, [F.asc("doc_id")],
+                              sum_col="n_tokens", cum_name="cum_tokens")
     pack = F.floor((F.col("cum_tokens") - 1) / _PACK_LEN).cast("bigint")
     return (cum.select(pack.alias("pack_id"), "doc_id", "n_tokens")
                .groupBy("pack_id")

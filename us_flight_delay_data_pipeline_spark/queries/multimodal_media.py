@@ -113,12 +113,17 @@ def media_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="image binary → float feature vector via mapInPandas "
         "(deterministic byte-histogram fake standing in for a vision "
         "encoder; real codec is stubbed behind NotImplementedError). "
-        "Rows-only check: float-array outputs are not hash-portable.",
+        "Rows-only check; the vector is quantized to ppm integers and "
+        "serialized (driver canonicalizer cannot hash list cells).",
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import arr_str
     from ..multimodal.binary_ops import extract_image_features
     imgs = _media_table(spark, sf_dir).filter(F.col("kind") == "image")
-    return extract_image_features(imgs, dim=8, fake_decode=True)
+    feats = extract_image_features(imgs, dim=8, fake_decode=True)
+    q = F.transform("feature", lambda x: F.floor(
+        x.cast("double") * 1000000.0 + 0.5).cast("bigint"))
+    return feats.select("media_id", arr_str(q).alias("feature"))
 
 
 _AUDIO_WIN, _AUDIO_STRIDE = 32, 16

@@ -414,23 +414,28 @@ def price_band_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     doc="As-of join [EXT] (SURVEY.md §2.3): each event matched to the "
-        "latest order at-or-before its timestamp. Implemented as "
-        "equi-join on the entity key + max_by — the range predicate "
-        "stays a post-join filter so the join itself is hash, not "
-        "nested-loop; deterministic tie-break on (date, key).",
+        "latest order at-or-before its timestamp. No tolerance bound "
+        "exists on this data (every order predates every event), so "
+        "the scale path is the union+sort+carry-forward merge "
+        "(operators/asof.py::asof_join_sorted): one shuffle on the "
+        "user key, per-key cost linear in events+orders instead of "
+        "the events x orders fan-out of the equi-join+filter "
+        "formulation. Deterministic tie-break on (date, key).",
 )
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
-    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    best = F.max_by(
-        F.struct("o_orderkey", "o_orderdate"),
-        F.struct("o_orderdate", "o_orderkey"),
-    )
-    return (j.groupBy("event_id", "user_id", "ts").agg(best.alias("b"))
-             .select("event_id", "user_id", "ts",
-                     F.col("b.o_orderkey").alias("last_orderkey"),
-                     F.col("b.o_orderdate").alias("last_orderdate")))
+    from ..operators.asof import asof_join_sorted
+    e = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("user_id"),
+                "o_orderkey", "o_orderdate")
+    out = asof_join_sorted(e, o, on="user_id",
+                           left_time="ts", right_time="o_orderdate",
+                           value_cols=["o_orderkey", "o_orderdate"],
+                           tiebreak="o_orderkey")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("asof_o_orderkey").alias("last_orderkey"),
+                      F.col("asof_o_orderdate").alias("last_orderdate"))
 
 
 # ---------------------------------------------------------------------------

@@ -137,20 +137,24 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_sets",
     """
     SELECT p_brand,
-           list_sort(list_distinct(list(p_type))) AS types,
-           list_sort(list_distinct(list(p_size))) AS sizes
+           array_to_string(list_sort(list_distinct(list(p_type))), '|')
+             AS types,
+           array_to_string(list_sort(list_distinct(list(p_size))), ',')
+             AS sizes
     FROM part GROUP BY p_brand
     """,
     doc="Array aggregation with canonical ordering: collect_set's "
         "order is engine- and partitioning-defined, so results are "
         "array_sort-ed before comparison — the only portable contract "
-        "for set-valued aggregates.",
+        "for set-valued aggregates. Serialized to delimited strings "
+        "(driver canonicalizer cannot hash list cells).",
 )
 def collect_sorted_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import arr_str
     p = load_table(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
-        F.array_sort(F.collect_set("p_type")).alias("types"),
-        F.array_sort(F.collect_set("p_size")).alias("sizes"),
+        arr_str(F.array_sort(F.collect_set("p_type")), "|").alias("types"),
+        arr_str(F.array_sort(F.collect_set("p_size"))).alias("sizes"),
     )
 
 

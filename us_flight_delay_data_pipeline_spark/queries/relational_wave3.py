@@ -84,9 +84,12 @@ def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q11 shape (share of global total): per-nation revenue "
         "vs the grand total, keeping nations above a 2% share. The "
-        "grand total is a single-row re-aggregate of the 25-row "
-        "nation rollup, broadcast back — the corpus-sized data is "
-        "scanned exactly once however large it gets.",
+        "25-row nation rollup is persisted, so the grand-total "
+        "re-aggregate broadcast back reads the cached rollup — the "
+        "corpus-sized data is scanned exactly once however large it "
+        "gets, and no single-partition window exists anywhere "
+        "(Catalyst does not dedupe repeated DataFrame subplans; the "
+        "persist is what makes the two references to `rev` one scan).",
 )
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem") \
@@ -99,14 +102,13 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(c, o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .groupBy("n_name")
-             .agg(F.sum(rev_expr).cast("double").alias("revenue")))
-    # grand total as a window over the 25-row rollup: one plan subtree
-    # (a self-join/crossJoin formulation would scan lineitem twice —
-    # Catalyst does not dedupe repeated DataFrame subplans)
-    total = F.sum(F.col("revenue").cast(DEC)) \
-             .over(Window.partitionBy()).cast("double")
-    share = F.col("revenue") / total
-    return (rev.select("n_name", "revenue", share.alias("share"))
+             .agg(F.sum(rev_expr).cast("double").alias("revenue"))
+             .persist())
+    total = rev.agg(F.sum(F.col("revenue").cast(DEC)).cast("double")
+                     .alias("_total"))
+    share = F.col("revenue") / F.col("_total")
+    return (rev.crossJoin(F.broadcast(total))
+               .select("n_name", "revenue", share.alias("share"))
                .filter(F.col("share") > 0.02))
 
 

@@ -335,11 +335,13 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
     """,
     doc="TPC-H Q15 shape (argmax over an aggregate view): the "
-        "supplier(s) with maximum half-year revenue. The max is a "
-        "window over the per-supplier rollup (one plan subtree — a "
-        "scalar-subquery formulation would scan lineitem twice; "
-        "Catalyst does not dedupe repeated subplans). Supplier and "
-        "nation broadcast into the one-row-per-supplier result.",
+        "supplier(s) with maximum half-year revenue. The per-supplier "
+        "rollup is persisted and the max re-aggregated to one row and "
+        "broadcast-joined back — lineitem is scanned once (Catalyst "
+        "does not dedupe repeated subplans; the persist makes the two "
+        "references to `rev` one scan), and the supplier-count-sized "
+        "rollup never funnels through a single-partition window. "
+        "Supplier and nation broadcast into the final result.",
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (load_table(spark, sf_dir, "lineitem")
@@ -347,9 +349,11 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))))
     rev = (li.groupBy("l_suppkey")
              .agg(dsum((F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-                  .alias("total_revenue")))
-    mx = F.max("total_revenue").over(Window.partitionBy())
-    best = rev.withColumn("mx", mx).filter(F.col("total_revenue") == F.col("mx"))
+                  .alias("total_revenue"))
+             .persist())
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    best = (rev.crossJoin(F.broadcast(mx))
+               .filter(F.col("total_revenue") == F.col("_mx")))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)

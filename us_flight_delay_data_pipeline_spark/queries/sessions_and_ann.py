@@ -535,24 +535,33 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tiled GROUP BY segment
     """,
     doc="RFM-style customer segmentation: per-customer revenue "
-        "profile, quartile assignment by ntile over the revenue "
-        "ranking (unique tiebreak on custkey keeps tile edges "
-        "engine-portable), then per-segment rollup. The global ntile "
-        "sorts the per-customer aggregate (1 row/customer), not the "
-        "fact table; at extreme customer counts swap ntile for "
-        "percentile_approx cutpoints to avoid the single-partition "
-        "sort — this query is the exact formulation.",
+        "profile, EXACT quartile assignment, then per-segment rollup. "
+        "ntile(4) is reproduced without a single-partition sort: a "
+        "distributed global rank (two-pass prefix count, "
+        "operators/prefix.py) plus ntile's bucket arithmetic — with n "
+        "rows, base = n//4 and rem = n%4, ranks 1..rem*(base+1) land "
+        "in buckets of size base+1, the rest in buckets of size base. "
+        "Unique tiebreak on custkey keeps tile edges engine-portable. "
+        "The ranked relation is the per-customer aggregate (1 row/"
+        "customer), and every task touches only its own revenue "
+        "range — exact quantiles at any customer count.",
 )
 def customer_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.prefix import with_global_running
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         dsum("o_totalprice").alias("revenue"),
         F.count("*").alias("n_orders"),
         F.max("o_orderdate").alias("last_order"))
-    seg = F.ntile(4).over(
-        Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
-    return (cust.withColumn("segment", seg)
+    ranked = with_global_running(
+        cust, [F.desc("revenue"), F.asc("o_custkey")],
+        rank="rnk", totals=True)
+    n, r = F.col("_n_total"), F.col("rnk")
+    base, rem = (n / 4).cast("bigint"), n % 4
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    seg = F.when(r <= big, ((r - 1) / (base + 1)).cast("bigint"))\
+           .otherwise(rem + ((r - big - 1) / base).cast("bigint")) + 1
+    return (ranked.withColumn("segment", seg.cast("int"))
                 .groupBy("segment")
                 .agg(F.count("*").alias("n_customers"),
                      F.sum(F.col("revenue").cast("decimal(38,6)"))
@@ -781,7 +790,7 @@ def _pq_oracle() -> str:
                                 ORDER BY dist, k) AS rn
       FROM combos
     )
-    SELECT vec_id, list(k ORDER BY m) AS codes
+    SELECT vec_id, array_to_string(list(k ORDER BY m), ',') AS codes
     FROM best WHERE rn = 1 GROUP BY vec_id
     """
 
@@ -810,7 +819,9 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (normed.filter(F.col("vec_id").isin(*_PQ_CENTROID_IDS))
                   .select((F.col("vec_id") / _PQ_STRIDE).cast("int").alias("k"),
                           F.col("nv").alias("cv")))
-    return _pq_assign_codes(normed, cent)
+    from ..functions.core import arr_str
+    return (_pq_assign_codes(normed, cent)
+            .select("vec_id", arr_str("codes").alias("codes")))
 
 
 def _ivfpq_oracle() -> str:
@@ -1184,7 +1195,7 @@ def _pq_trained_oracle() -> str:
         FROM normed e JOIN cb1 c ON true
       ) WHERE rn = 1
     )
-    SELECT vec_id, list(k ORDER BY m) AS codes
+    SELECT vec_id, array_to_string(list(k ORDER BY m), ',') AS codes
     FROM recode GROUP BY vec_id
     """
 
@@ -1236,10 +1247,11 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("vec_id", "m")
               .agg(F.min(F.struct("dist", "k")).alias("b"))
               .select("vec_id", "m", F.col("b.k").alias("k")))
+    from ..functions.core import arr_str
     return (recode.groupBy("vec_id")
-                  .agg(F.transform(
+                  .agg(arr_str(F.transform(
                       F.array_sort(F.collect_list(F.struct("m", "k"))),
-                      lambda x: x["k"]).alias("codes")))
+                      lambda x: x["k"])).alias("codes")))
 
 
 @register(

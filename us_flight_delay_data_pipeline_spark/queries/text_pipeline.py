@@ -124,29 +124,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus vocabulary coverage: global term counts, rank by "
         "frequency, cumulative share of all tokens covered by the top "
         "k terms — the Zipf curve a tokenizer/vocab decision needs. "
-        "The token explode + count is fully parallel; the running sum "
-        "runs on the vocabulary (already aggregated, orders of "
-        "magnitude smaller than the corpus), where a single-partition "
-        "window is fine even at 100 TB of input text.",
+        "The token explode + count is fully parallel; the global rank "
+        "+ running sum over the vocabulary use the distributed "
+        "two-pass prefix shape (operators/prefix.py) — no "
+        "single-partition window even when the vocabulary itself is "
+        "huge (byte-level n-gram vocabs at 100 TB are corpus-scale).",
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import with_global_running
     d = load_table(spark, sf_dir, "documents")
     toks = (d.filter(F.length(F.trim("text")) > 0)
              .select(F.explode(word_tokens(F.col("text"))).alias("term")))
     counts = toks.groupBy("term").agg(F.count("*").alias("n_occurrences"))
-    total = counts.agg(F.sum("n_occurrences").alias("total"))
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
-    ranked = counts.select(
-        "term", "n_occurrences",
-        F.row_number().over(w).alias("rank"),
-        F.sum("n_occurrences")
-         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-         .alias("cum"))
+    ranked = with_global_running(
+        counts, [F.desc("n_occurrences"), F.asc("term")],
+        rank="rank", sum_col="n_occurrences", cum_name="cum", totals=True)
     return (ranked.filter(F.col("rank") <= 50)
-                  .crossJoin(F.broadcast(total))
-                  .select("term", "n_occurrences", "rank",
+                  .select("term", "n_occurrences",
+                          F.col("rank").cast("int").alias("rank"),
                           (F.col("cum").cast("double")
-                           / F.col("total").cast("double")).alias("coverage")))
+                           / F.col("_sum_total").cast("double"))
+                          .alias("coverage")))
 
 
 @register(
@@ -207,7 +205,10 @@ def stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "are template/boilerplate candidates to strip before "
         "training. Distinct-shingles-per-doc explode -> count -> "
         "top-k; the count table is shingle-vocabulary-sized, the "
-        "explode is map-side.",
+        "explode is map-side. Top-k goes through "
+        "TakeOrderedAndProject (distributed partial top-k, never a "
+        "global sort or single-partition window); ranks are assigned "
+        "by posexploding the one k-entry sorted array.",
 )
 def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.core import rebalance
@@ -217,10 +218,17 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.explode(F.array_distinct(word_ngrams(F.col("text"), 3)))
                     .alias("shingle")))
     df = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
-    w = Window.orderBy(F.desc("n_docs"), F.asc("shingle"))
-    return (df.select("shingle", "n_docs",
-                      F.row_number().over(w).alias("rank"))
-              .filter(F.col("rank") <= 20))
+    top = df.orderBy(F.desc("n_docs"), F.asc("shingle")).limit(20)
+    # rank 1..k without any window: sort the k survivors inside one
+    # array ((-n_docs, shingle) sorts struct-lexicographically into
+    # the ranking order), then posexplode
+    arr = F.array_sort(F.collect_list(
+        F.struct((-F.col("n_docs")).alias("_neg"), "shingle", "n_docs")))
+    return (top.agg(arr.alias("a"))
+               .select(F.posexplode("a").alias("pos", "s"))
+               .select(F.col("s.shingle").alias("shingle"),
+                       F.col("s.n_docs").alias("n_docs"),
+                       (F.col("pos") + 1).cast("int").alias("rank")))
 
 
 _DECON_N = 5  # decontamination shingle width (word 5-grams)
@@ -436,7 +444,8 @@ _FH_DIM = 64  # feature-hashing buckets
       CROSS JOIN (SELECT unnest(range(0, {_FH_DIM})) AS d) d
       LEFT JOIN buckets bk ON bk.doc_id = b.doc_id AND bk.bucket = d.d::INT
     )
-    SELECT doc_id, list(CAST(w AS BIGINT) ORDER BY dim) AS vec,
+    SELECT doc_id,
+           array_to_string(list(CAST(w AS BIGINT) ORDER BY dim), ',') AS vec,
            CAST(SUM(w * w) AS BIGINT) AS sq_norm
     FROM dense GROUP BY doc_id
     """,
@@ -473,8 +482,9 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.sequence(F.lit(0), F.lit(_FH_DIM - 1))
     vec = F.transform(idx, lambda i: F.coalesce(
         F.element_at(F.col("bw"), i.cast("int")), F.lit(0).cast("bigint")))
+    from ..functions.core import arr_str
     return dense.select(
-        "doc_id", vec.alias("vec"),
+        "doc_id", arr_str(vec).alias("vec"),
         F.aggregate(vec, F.lit(0).cast("bigint"),
                     lambda acc, w: acc + w * w).alias("sq_norm"))
 
