@@ -114,3 +114,29 @@ def test_zorder_layout_localizes_both_dimensions(spark, fragmented, tmp_path):
     # z-order: BOTH dimensions localized well below the full span
     assert mean_span(zo, "l_partkey") < 0.6
     assert mean_span(zo, "l_suppkey") < 0.6
+
+
+def test_zorder_null_policy_and_numeric_guard(spark, tmp_path):
+    """NULL clustering values bucket to 0 (a deliberate edge bucket),
+    never to levels-1 via least()'s NULL-ignoring; non-numeric
+    clustering columns are rejected up front."""
+    import pytest
+    from pyspark.sql import functions as F
+    from us_flight_delay_data_pipeline_spark.operators.maintenance import (
+        zorder_compact)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "zo")
+    (spark.range(100)
+          .select(F.col("id").alias("a"),
+                  F.when(F.col("id") % 10 == 0, None)
+                   .otherwise(F.col("id") * 7 % 100).alias("b"),
+                  F.lit("x").alias("s"))
+          .write.mode("overwrite").parquet(src))
+    zorder_compact(spark, src, out, cols=("a", "b"), bits=4, n_files=2)
+    got = spark.read.parquet(out)
+    assert got.count() == 100  # NULL rows kept, not dropped
+    # NULL-b rows must cluster at the LOW edge: they share output
+    # files with the smallest a-range, not the largest
+    with pytest.raises(TypeError, match="must be numeric"):
+        zorder_compact(spark, src, out + "2", cols=("a", "s"), bits=4)

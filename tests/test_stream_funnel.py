@@ -113,3 +113,44 @@ def test_cross_batch_duplicate_dropped(spark, sf_dir, replay, tmp_path):
                            & (F.col("stage") == "exact_dedup"))
                    .collect()[0]["n_docs"])
     assert second == 0
+
+
+def test_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-replay safety: running the SAME batch twice (what
+    foreachBatch does when a failure lands between the state writes
+    and the checkpoint commit) must leave output, stats, and dedup
+    state identical to running it once — the replayed batch must not
+    anti-join against its own persisted hashes/signatures (which
+    would silently drop every doc), nor double-append stats."""
+    from us_flight_delay_data_pipeline_spark.streaming.funnel import (
+        run_funnel_batch)
+    root = str(tmp_path)
+    state = os.path.join(root, "state")
+    out_path = os.path.join(root, "out")
+    stats_path = os.path.join(root, "stats")
+    docs = _docs(spark, sf_dir).orderBy("doc_id").limit(200)
+    half = docs.filter(F.col("doc_id") < 100)
+    kw = dict(state_dir=state, out_path=out_path, stats_path=stats_path)
+
+    run_funnel_batch(half, 0, **kw)
+    first_out = sorted(r["doc_id"] for r in
+                       spark.read.parquet(out_path).collect())
+    first_stats = sorted(map(tuple, spark.read.parquet(stats_path)
+                             .select("stage", "n_docs").collect()))
+    assert first_out, "batch 0 must emit survivors"
+
+    # replay batch 0 (state for batch 0 already persisted)
+    run_funnel_batch(half, 0, **kw)
+    replay_out = sorted(r["doc_id"] for r in
+                        spark.read.parquet(out_path).collect())
+    replay_stats = sorted(map(tuple, spark.read.parquet(stats_path)
+                              .select("stage", "n_docs").collect()))
+    assert replay_out == first_out          # no data loss, no dupes
+    assert replay_stats == first_stats      # no double-append
+
+    # a LATER batch must still dedup against batch 0's state
+    run_funnel_batch(docs.filter(F.col("doc_id") >= 100).unionByName(half),
+                     1, **kw)
+    all_out = spark.read.parquet(out_path)
+    ids = [r["doc_id"] for r in all_out.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))        # batch-0 docs not re-emitted

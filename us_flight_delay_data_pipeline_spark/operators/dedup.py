@@ -56,6 +56,19 @@ def dedup_fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(id_col, fp.alias("fingerprint"))
 
 
+def _prefix_len(n: Column, threshold: float) -> Column:
+    """PPJoin prefix length ``n - ceil(t*n) + 1``, with the ceiling
+    computed in DECIMAL arithmetic: in doubles an arbitrary
+    caller-supplied threshold can make ``t*n`` round UP past an exact
+    integer (e.g. a t whose product with some n is k + 1 ulp),
+    shortening the prefix by one and silently breaking the
+    no-false-negative guarantee. The threshold is snapped to 12
+    decimal digits (recovers the intended rational for any
+    human-entered value); decimal multiply + ceil are then exact."""
+    t = F.lit(threshold).cast("decimal(14,12)")
+    return (n - F.ceil(n.cast("decimal(20,0)") * t) + 1).cast("int")
+
+
 def _shingle_hashes(text: Column, n: int = 3) -> Column:
     """Distinct hashed word n-gram shingles (array<bigint>)."""
     return F.array_distinct(F.transform(word_ngrams(text, n), h32))
@@ -184,8 +197,7 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                      .alias("hsd"))
             .withColumn("n", F.size("hsd"))
             .persist())
-    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1) \
-        .cast("int")
+    prefix_len = _prefix_len(F.col("n"), threshold)
     pref = sh.select(id_col, block_col, "n", "hsd",
                      F.explode(F.slice("hsd", F.lit(1), prefix_len))
                       .alias("_h"))
@@ -283,7 +295,8 @@ def dedup_against_index(new_docs: DataFrame, index_path: str,
 def build_jaccard_index(df: DataFrame, path: str, block_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         ngram: int = 3, threshold: float = 0.3,
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        batch_id: int | None = None) -> None:
     """Persist the EXACT incremental fuzzy-dedup index (the
     PPJoin/AllPairs inverted prefix index — the exact-semantics
     sibling of :func:`build_minhash_index`, which can miss
@@ -299,7 +312,15 @@ def build_jaccard_index(df: DataFrame, path: str, block_col: str,
 
     Cost vs MinHash: index rows scale with prefix shingles (~(1-t)*n
     per doc) instead of a fixed 4 bands — bigger at rest, but probes
-    stay equi-joins on 8-byte keys and recall is exact."""
+    stay equi-joins on 8-byte keys and recall is exact.
+
+    ``batch_id``: when set, index rows land in a ``batch_id=N``
+    partition written with mode=overwrite — under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` a replayed
+    streaming batch overwrites exactly its own partition instead of
+    double-appending (the matview.py idempotency pattern); pair with
+    ``dedup_against_jaccard_index(..., exclude_batch_id=N)`` so a
+    replay does not probe against its own rows."""
     toks = word_tokens(F.lower(F.col(text_col)))
     sh = (_spread(df.filter(F.size(toks) >= ngram))
             .select(F.col(id_col).alias("doc_id"),
@@ -308,13 +329,22 @@ def build_jaccard_index(df: DataFrame, path: str, block_col: str,
                      .alias("hsd"))
             .withColumn("n", F.size("hsd"))
             .persist())
-    sh.select("doc_id", "block", "n", "hsd") \
-      .write.mode(mode).parquet(os.path.join(path, "sketch"))
-    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1) \
-        .cast("int")
-    (sh.select("doc_id", "block",
-               F.explode(F.slice("hsd", F.lit(1), prefix_len)).alias("h"))
-       .write.mode(mode).parquet(os.path.join(path, "inverted")))
+    sketch = sh.select("doc_id", "block", "n", "hsd")
+    prefix_len = _prefix_len(F.col("n"), threshold)
+    inverted = sh.select(
+        "doc_id", "block",
+        F.explode(F.slice("hsd", F.lit(1), prefix_len)).alias("h"))
+    if batch_id is not None:
+        bid = F.lit(batch_id).cast("bigint")
+        (sketch.withColumn("batch_id", bid)
+               .write.mode("overwrite").partitionBy("batch_id")
+               .parquet(os.path.join(path, "sketch")))
+        (inverted.withColumn("batch_id", bid)
+                 .write.mode("overwrite").partitionBy("batch_id")
+                 .parquet(os.path.join(path, "inverted")))
+    else:
+        sketch.write.mode(mode).parquet(os.path.join(path, "sketch"))
+        inverted.write.mode(mode).parquet(os.path.join(path, "inverted"))
     sh.unpersist()
 
 
@@ -323,7 +353,9 @@ def dedup_against_jaccard_index(new_docs: DataFrame, path: str,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
                                 ngram: int = 3,
-                                threshold: float = 0.3) -> DataFrame:
+                                threshold: float = 0.3,
+                                exclude_batch_id: int | None = None
+                                ) -> DataFrame:
     """Probe the exact inverted prefix index: the new batch's prefix
     shingles equi-join ``inverted`` on (h, block), candidates fetch
     the stored corpus sketch for exact-Jaccard verification. Returns
@@ -332,10 +364,17 @@ def dedup_against_jaccard_index(new_docs: DataFrame, path: str,
 
     The batch side broadcasts (it is the small side by construction);
     the candidate join and the sketch fetch are both hash joins on
-    8-byte keys."""
+    8-byte keys.
+
+    ``exclude_batch_id``: skip index rows written under this
+    ``batch_id`` partition (partition-pruned) — a replayed streaming
+    batch must not match against its own previously-persisted rows."""
     spark = new_docs.sparkSession
     inverted = spark.read.parquet(os.path.join(path, "inverted"))
     sketch = spark.read.parquet(os.path.join(path, "sketch"))
+    if exclude_batch_id is not None and "batch_id" in inverted.columns:
+        inverted = inverted.filter(F.col("batch_id") != exclude_batch_id)
+        sketch = sketch.filter(F.col("batch_id") != exclude_batch_id)
     toks = word_tokens(F.lower(F.col(text_col)))
     sh = (_spread(new_docs.filter(F.size(toks) >= ngram))
             .select(F.col(id_col).alias("new_id"),
@@ -344,8 +383,7 @@ def dedup_against_jaccard_index(new_docs: DataFrame, path: str,
                      .alias("h_new"))
             .withColumn("n", F.size("h_new"))
             .persist())
-    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1) \
-        .cast("int")
+    prefix_len = _prefix_len(F.col("n"), threshold)
     pref = sh.select("new_id", "block", "h_new",
                      F.explode(F.slice("h_new", F.lit(1), prefix_len))
                       .alias("h"))

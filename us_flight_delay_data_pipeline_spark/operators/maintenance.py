@@ -90,22 +90,41 @@ def zorder_compact(spark: SparkSession, in_path: str, out_path: str,
     prune its leading column. Pure shift/and/or expressions, one
     repartitionByRange shuffle; the min/max pre-pass is a single
     cheap aggregate (at 100 TB use persisted column stats instead).
+
+    Clustering columns must be NUMERIC (asserted); rows with a NULL
+    clustering value bucket to 0 explicitly — Spark's ``least()``
+    ignores NULLs, so without the coalesce a NULL would silently land
+    in the TOP bucket (levels-1) and cluster with the max of the value
+    range instead of a deliberate edge.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
 
     a, b = cols
     df = spark.read.parquet(in_path)
+    for c in (a, b):
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"zorder_compact clustering column {c!r} must be numeric, "
+                f"got {df.schema[c].dataType.simpleString()}")
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)).collect()[0]
+    if lo_a is None:  # all-NULL column: any constant span works
+        lo_a, hi_a = 0, 1
+    if lo_b is None:
+        lo_b, hi_b = 0, 1
     levels = 1 << bits
 
     def bucket(c, lo, hi):
-        # monotone scale to [0, levels); floor keeps it integer-exact
+        # monotone scale to [0, levels); floor keeps it integer-exact;
+        # NULL -> dedicated bucket 0 (least() would ignore the NULL
+        # and emit levels-1, silently clustering NULLs with the max)
         span = float(hi - lo) or 1.0
-        return F.least(
+        scaled = F.least(
             F.lit(levels - 1),
             F.floor((F.col(c) - F.lit(lo)) * levels / F.lit(span))
              .cast("bigint"))
+        return F.coalesce(scaled, F.lit(0).cast("bigint"))
 
     xa, xb = bucket(a, lo_a, hi_a), bucket(b, lo_b, hi_b)
     z = F.lit(0).cast("bigint")

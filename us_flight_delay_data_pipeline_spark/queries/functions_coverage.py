@@ -488,8 +488,10 @@ def _morton16_sql(x: str, y: str) -> str:
 def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     x = (F.col("o_custkey") % 65536).cast("bigint")
-    day = (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-           / F.lit(86400000000)).cast("bigint")
+    # floor, not truncate-toward-zero: DuckDB '//' floors, so negative
+    # (pre-1970) epochs would diverge under a plain bigint cast
+    day = F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                  / F.lit(86400000000)).cast("bigint")
     y = (day % 65536).cast("bigint")
     zval = F.lit(0).cast("bigint")
     for b in range(16):  # Column | is logical OR; bitwise needs bitwiseOR

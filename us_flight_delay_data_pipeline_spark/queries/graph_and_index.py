@@ -171,8 +171,12 @@ def jaccard_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     batch = docs.filter(F.col("doc_id") % 4 == 0)
+    # key by (sf_dir, Spark application id): two concurrent runs
+    # (pytest-xdist, parallel benches) against the same sf_dir get
+    # disjoint paths — no overwrite-vs-probe race on shared /tmp
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"sg_jidx_{tag}")
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"sg_jidx_{app}_{tag}")
     build_jaccard_index(corpus, path, block_col="lang",
                         threshold=_PROBE_T, mode="overwrite")
     return dedup_against_jaccard_index(batch, path, block_col="lang",
