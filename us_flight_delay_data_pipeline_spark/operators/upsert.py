@@ -46,11 +46,18 @@ def upsert_partitioned_parquet(spark: SparkSession, path: str,
     rewriting ONLY the partitions the updates touch (dynamic partition
     overwrite) — history partitions are never read or written. This is
     the 100 TB refresh pattern: cost scales with the delta, not the
-    table."""
-    touched = [r[0] for r in
-               updates.select(partition_col).distinct().collect()]
+    table.
+
+    The touched-partition set never rides through the driver: the
+    existing-side scan is pruned with a broadcast left-semi join on the
+    partition column, which dynamic partition pruning turns into a
+    partition filter at the parquet scan — the same pruning the old
+    ``.collect()``-then-``isin`` formulation achieved, but safe when a
+    delta touches millions of partition values."""
+    touched_parts = updates.select(partition_col).distinct()
     existing = (spark.read.parquet(path)
-                .filter(F.col(partition_col).isin(touched)))
+                .join(F.broadcast(touched_parts), partition_col,
+                      "left_semi"))
     merged = merge_upsert(existing, updates, keys)
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
