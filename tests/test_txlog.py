@@ -1,0 +1,199 @@
+"""Transaction log (operators/txlog.py) — the Delta-parity layer the
+reference's silver sink implies (ETL/flight-silver-transformation
+(1).ipynb:1299-1305 writes format('delta'); README.md:281-302 lists
+MERGE/time-travel refresh). Pins the ACID contract: atomic publish,
+snapshot isolation, time travel, optimistic concurrency, partition
+overwrite, delete, exactly-once tokens, checkpointed log replay,
+vacuum GC."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from us_flight_delay_data_pipeline_spark.operators.txlog import (
+    TxConflictError,
+    TxTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _vals(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, [(1, "a")]))
+    v1 = t.append(_df(spark, [(2, "b")]))
+    v2 = t.overwrite(_df(spark, [(9, "z")]))
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert _vals(t.snapshot()) == [(9, "z")]
+    assert _vals(t.snapshot(version=1)) == [(1, "a"), (2, "b")]
+    assert _vals(t.snapshot(version=0)) == [(1, "a")]
+    # time travel by timestamp: ts of v1 resolves to v1
+    ts1 = t.history()[1]["ts"]
+    assert _vals(t.snapshot(as_of_ts=ts1)) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        t.snapshot(version=7)
+
+
+def test_snapshot_isolation_against_later_writes(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    old = t.snapshot(version=0)  # resolved BEFORE the overwrite
+    t.overwrite(_df(spark, [(2, "b")]))
+    assert _vals(old) == [(1, "a")]  # still reads the old dirs
+
+
+def test_overwrite_partitions_replaces_only_matching(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite_partitions(_df(spark, [(1, "jan")]), "month", ["jan"])
+    t.overwrite_partitions(_df(spark, [(2, "feb")]), "month", ["feb"])
+    t.overwrite_partitions(_df(spark, [(3, "jan")]), "month", ["jan"])
+    assert _vals(t.snapshot()) == [(2, "feb"), (3, "jan")]
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.delete_where("k = 2")
+    assert _vals(t.snapshot()) == [(1, "a"), (3, "c")]
+    # older snapshot still sees the deleted row (until vacuum)
+    assert (2, "b") in _vals(t.snapshot(version=1))
+    # the untouched dir was NOT rewritten: only the matching dir's
+    # add/remove appear in the delete manifest
+    m = t.history()[-1]
+    assert m["op"] == "delete" and len(m["remove"]) == 1
+
+
+def test_exactly_once_token(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert t.commit_once(_df(spark, [(1, "a")]), token="q1/0") == 0
+    assert t.commit_once(_df(spark, [(1, "a")]), token="q1/0") is None
+    assert t.commit_once(_df(spark, [(2, "b")]), token="q1/1") == 1
+    assert _vals(t.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_optimistic_concurrency_parallel_appends(spark, tmp_path):
+    """8 threads race appends into one table; every commit must land
+    at a distinct version and no rows may be lost."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    versions = []
+    lock = threading.Lock()
+
+    def worker(i: int):
+        tt = TxTable(spark, str(tmp_path / "t"))
+        v = tt.append(_df(spark, [(i, f"w{i}")]))
+        with lock:
+            versions.append(v)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sorted(versions) == list(range(8))
+    assert len(_vals(t.snapshot())) == 8
+
+
+def test_publish_is_atomic_create_if_absent(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    ok = t._publish(0, {"version": 0, "op": "x", "add": [], "remove": [],
+                        "ts": 0, "schema": None, "meta": {}})
+    assert ok is False  # version taken -> loser told to retry
+    # and the existing manifest was not clobbered
+    assert t.history()[0]["op"] == "append"
+
+
+def test_conflict_error_when_retries_exhausted(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"), max_retries=0)
+    with pytest.raises(TxConflictError):
+        t.append(_df(spark, [(1, "a")]))
+
+
+def test_checkpoint_bounds_replay_and_carries_tokens(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_every=4)
+    for i in range(9):
+        t.commit_once(_df(spark, [(i, "x")]), token=f"q/{i}")
+    cks = [f for f in os.listdir(t.log_dir) if f.endswith(".ckpt.json")]
+    assert sorted(cks) == ["00000003.ckpt.json", "00000007.ckpt.json"]
+    # token dedup consults the checkpoint for pre-checkpoint tokens
+    assert t.commit_once(_df(spark, [(0, "dup")]), token="q/0") is None
+    with open(os.path.join(t.log_dir, "00000007.ckpt.json")) as f:
+        ck = json.load(f)
+    assert ck["tokens"] == [f"q/{i}" for i in range(8)]
+    assert len(_vals(t.snapshot())) == 9
+    # a snapshot at a pre-checkpoint version replays from scratch fine
+    assert len(_vals(t.snapshot(version=2))) == 3
+
+
+def test_vacuum_gc_unreachable_dirs(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    assert len(os.listdir(data_root)) == 2
+    deleted = t.vacuum(retain_last=1)
+    assert len(deleted) == 1
+    assert len(os.listdir(data_root)) == 1
+    assert _vals(t.snapshot()) == [(2, "b")]
+
+
+def test_compact_folds_active_dirs(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, [(i, "x")]))
+    t.compact(target_partitions=1)
+    assert len(t._state_at(t.latest_version())[0]) == 1
+    assert len(_vals(t.snapshot())) == 4
+    # pre-compaction snapshots unaffected
+    assert len(_vals(t.snapshot(version=3))) == 4
+
+
+def test_empty_snapshot_preserves_schema(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.delete_where("k = 1")
+    snap = t.snapshot()
+    assert snap.count() == 0
+    assert [f.name for f in snap.schema.fields] == ["k", "v"]
+
+
+def test_foreach_batch_replay_via_commit_once(spark, tmp_path):
+    """Drives the streaming contract directly: replaying batch 1 after
+    a simulated crash must not duplicate rows."""
+    t = TxTable(spark, str(tmp_path / "t"))
+
+    def handle(batch_df, batch_id):
+        TxTable(spark, str(tmp_path / "t")).commit_once(
+            batch_df, token=f"sink/{batch_id}")
+
+    handle(_df(spark, [(1, "a")]), 0)
+    handle(_df(spark, [(2, "b")]), 1)
+    handle(_df(spark, [(2, "b")]), 1)  # replay
+    assert _vals(t.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_write_silver_versioned_roundtrip(spark, tmp_path):
+    """The silver sink through the txlog: two overwrites -> the live
+    read sees only the second, the first stays time-travelable (the
+    Delta contract of ETL/…ipynb:1299-1305 without delta-spark)."""
+    from us_flight_delay_data_pipeline_spark.plans.silver import (
+        write_silver_versioned,
+    )
+    path = str(tmp_path / "silver")
+    v0 = write_silver_versioned(_df(spark, [(1, "2003")]), path)
+    v1 = write_silver_versioned(_df(spark, [(2, "2004"), (3, "2005")]), path)
+    assert (v0, v1) == (0, 1)
+    t = TxTable(spark, path)
+    assert _vals(t.snapshot()) == [(2, "2004"), (3, "2005")]
+    assert _vals(t.snapshot(version=0)) == [(1, "2003")]

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.core import decode_and_repair_body, find_column_ci, try_cast_columns
 from .flight_schema import FLIGHT_PAYLOAD_SCHEMA, SILVER_CASTS
 
-__all__ = ["silver_transform", "write_silver"]
+__all__ = ["silver_transform", "write_silver", "write_silver_versioned"]
 
 
 def silver_transform(bronze: DataFrame,
@@ -62,6 +62,19 @@ def write_silver(df: DataFrame, path: str) -> None:
            .option("overwriteSchema", "true").save(path))
     except Exception:
         df.write.format("parquet").mode("overwrite").save(path)
+
+
+def write_silver_versioned(df: DataFrame, path: str) -> int:
+    """Silver sink with the full Delta table contract reproduced
+    natively (operators/txlog.py): the overwrite is an atomic
+    committed version — concurrent readers keep their snapshot,
+    history stays time-travelable, and ``overwriteSchema`` semantics
+    come free (each commit records its own schema). Returns the
+    committed version. Use this instead of ``write_silver`` when the
+    silver table needs audit/rollback (the reference's Delta sink,
+    ETL/…ipynb:1299-1305)."""
+    from ..operators.txlog import TxTable
+    return TxTable(df.sparkSession, path).overwrite(df)
 
 
 def silver_transform_observed(bronze: DataFrame,

@@ -55,4 +55,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import graph_and_index  # noqa: F401
     from . import data_quality  # noqa: F401
     from . import pretrain  # noqa: F401
+    from . import transactions  # noqa: F401
     return REGISTRY

@@ -1,0 +1,121 @@
+"""Transaction-log queries — the Delta-parity surface under the
+differential gate.
+
+The reference's silver sink is Delta (`ETL/flight-silver-
+transformation (1).ipynb:1299-1305`) and its roadmap is MERGE/
+time-travel refresh (README.md:281-302); delta-spark is absent here,
+so `operators/txlog.py` implements the versioned-table contract over
+plain parquet. These queries put that contract under the SAME
+DuckDB-differential gate as every relational operator: the oracle
+recomputes each snapshot's expected contents directly from the source
+table, so a wrong add/remove replay, a broken time-travel resolve, or
+a double-applied replay batch all surface as a value-hash mismatch.
+
+Both queries build their TxTable idempotently in a scratch dir keyed
+by (Spark applicationId, sf_dir) — same pattern as
+`graph_and_index.jaccard_index_probe` — so repeated runs in one
+session (bench medians, driver retries) reuse the committed log, and
+concurrent sessions never race on a shared path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..operators.txlog import TxTable
+from ..sources.registry import load_table
+
+_AGG = ("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
+        " AS total_price")
+
+
+def _scratch(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"sg_tx_{kind}_{app}_{tag}")
+
+
+def _snapshot_agg(t: TxTable, version: int) -> DataFrame:
+    return (t.snapshot(version=version)
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                   .cast("double").alias("total_price"))
+             .select(F.lit(version).cast("int").alias("version"),
+                     "n_orders", "total_price"))
+
+
+@register(
+    "txlog_time_travel",
+    """
+    WITH snap AS (
+      SELECT CAST(0 AS INT) AS version, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT CAST(1 AS INT), o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      UNION ALL
+      SELECT CAST(2 AS INT), o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT CAST(3 AS INT), o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+    )
+    SELECT version, COUNT(*) AS n_orders, {agg}
+    FROM snap GROUP BY version
+    """.format(agg=_AGG),
+    doc="Time travel under the oracle gate: four committed versions "
+        "(append, append, copy-on-write DELETE, append) over disjoint "
+        "key slices of orders, then one aggregate per historical "
+        "snapshot. The oracle recomputes each version's expected row "
+        "set from orders algebraically (v2 = v1 minus even keys), so "
+        "any error in the log replay — a remove not applied, a delete "
+        "rewriting the wrong dir, a version resolving to the wrong "
+        "manifest chain — breaks the value hash. At 100 TB the log "
+        "stays metadata-sized (dir-granular manifests + checkpoints); "
+        "snapshots read only their own immutable dirs.",
+)
+def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TxTable(spark, _scratch(spark, sf_dir, "tt"))
+    if t.latest_version() != 3:
+        orders = load_table(spark, sf_dir, "orders")
+        t.append(orders.filter(F.col("o_orderkey") % 4 == 0))
+        t.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+        t.delete_where("o_orderkey % 2 = 0")
+        t.append(orders.filter(F.col("o_orderkey") % 4 >= 2))
+    return reduce(DataFrame.unionByName,
+                  [_snapshot_agg(t, v) for v in range(4)])
+
+
+@register(
+    "txlog_exactly_once_replay",
+    """
+    SELECT COUNT(*) AS n_orders, {agg}
+    FROM orders
+    """.format(agg=_AGG),
+    doc="Exactly-once sink semantics under the oracle gate: orders "
+        "arrives as three foreachBatch micro-batches committed through "
+        "commit_once with token sink/<batch_id>, and batch 1 is "
+        "REPLAYED (the post-crash foreachBatch contract). The final "
+        "table must equal plain orders — a duplicate append from the "
+        "replay doubles a third of the rows and breaks both count and "
+        "hash. Token lookups are bounded by the log checkpoint, so "
+        "the dedup check never replays the full history.",
+)
+def txlog_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TxTable(spark, _scratch(spark, sf_dir, "eo"))
+    if t.latest_version() is None:
+        orders = load_table(spark, sf_dir, "orders")
+        for bid in (0, 1, 1, 2):  # batch 1 replayed
+            t.commit_once(orders.filter(F.col("o_orderkey") % 3 == bid),
+                          token=f"sink/{bid}")
+    return (t.snapshot()
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                   .cast("double").alias("total_price")))
