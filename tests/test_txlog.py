@@ -197,3 +197,50 @@ def test_write_silver_versioned_roundtrip(spark, tmp_path):
     t = TxTable(spark, path)
     assert _vals(t.snapshot()) == [(2, "2004"), (3, "2005")]
     assert _vals(t.snapshot(version=0)) == [(1, "2003")]
+
+
+def test_data_skipping_prunes_dirs_by_stats(spark, tmp_path):
+    """Per-dir min/max stats recorded at commit turn a range predicate
+    into metadata-only dir skipping — the Delta data-skipping
+    contract. inputFiles() proves the pruned dirs are never read."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t.append(_df(spark, [(1, "a"), (5, "b")]))     # k in [1, 5]
+    t.append(_df(spark, [(10, "c"), (20, "d")]))   # k in [10, 20]
+    t.append(_df(spark, [(100, "e")]))             # k in [100, 100]
+    pruned = t.snapshot(prune=("k", 8, 30))
+    assert _vals(pruned) == [(10, "c"), (20, "d")]
+    assert len({f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}) == 1
+    # one-sided ranges
+    assert _vals(t.snapshot(prune=("k", 50, None))) == [(100, "e")]
+    assert len(_vals(t.snapshot(prune=("k", None, 6)))) == 2
+    # pruning is never lossy: filter on the pruned read == full filter
+    full = sorted(r.k for r in t.snapshot().filter("k BETWEEN 8 AND 30")
+                  .collect())
+    got = sorted(r.k for r in t.snapshot(prune=("k", 8, 30))
+                 .filter("k BETWEEN 8 AND 30").collect())
+    assert got == full
+
+
+def test_data_skipping_stats_survive_checkpoint_and_delete(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_every=2,
+                stats_cols=("k",))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(50, "b")]))   # checkpoint at v1
+    t.append(_df(spark, [(900, "c")]))
+    # stats from before AND after the checkpoint both prune
+    assert _vals(t.snapshot(prune=("k", 800, 999))) == [(900, "c")]
+    assert _vals(t.snapshot(prune=("k", 0, 10))) == [(1, "a")]
+    # copy-on-write delete refreshes the rewritten dir's stats
+    t.delete_where("k = 900")
+    t.append(_df(spark, [(901, "d")]))
+    assert _vals(t.snapshot(prune=("k", 800, 999))) == [(901, "d")]
+
+
+def test_dirs_without_stats_are_always_read(spark, tmp_path):
+    # table created WITHOUT stats_cols, then reopened WITH them:
+    # old dirs have no recorded range and must never be skipped
+    t0 = TxTable(spark, str(tmp_path / "t"))
+    t0.append(_df(spark, [(1, "a")]))
+    t1 = TxTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t1.append(_df(spark, [(100, "b")]))
+    assert _vals(t1.snapshot(prune=("k", 90, 110))) == [(1, "a"), (100, "b")]

@@ -47,6 +47,12 @@ semantics hold on POSIX and HDFS-style stores; on S3-style object
 stores swap `_publish` for a conditional PUT (If-None-Match) — the
 rest of the protocol is unchanged.
 
+Data skipping: pass ``stats_cols`` to record per-dir [min, max] in
+each commit's manifest; ``snapshot(prune=(col, lo, hi))`` then drops
+non-overlapping dirs from the read without opening a parquet footer
+(Delta's dataSkippingNumIndexedCols). Dirs without stats are always
+read, so skipping is never lossy.
+
 Exactly-once streaming: ``commit_once(df, token)`` skips the commit
 if any retained manifest already carries the token (use
 ``f"{query_id}/{batch_id}"`` from foreachBatch) — a replayed
@@ -88,12 +94,19 @@ class TxTable:
     """Versioned parquet table with snapshot reads and time travel."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 checkpoint_every: int = 10, max_retries: int = 20):
+                 checkpoint_every: int = 10, max_retries: int = 20,
+                 stats_cols: tuple[str, ...] = ()):
+        """``stats_cols``: columns to record per-dir min/max for at
+        commit time — the data-skipping index (Delta's dataSkippingNumIndexedCols
+        equivalent). ``snapshot(prune=...)`` then skips whole dirs
+        whose range cannot match, without opening a single parquet
+        footer. Numeric / string / date columns only."""
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG)
         self.checkpoint_every = checkpoint_every
         self.max_retries = max_retries
+        self.stats_cols = tuple(stats_cols)
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
@@ -138,23 +151,28 @@ class TxTable:
             return ok[-1]
         return vs[-1]
 
-    def _state_at(self, version: int) -> tuple[list[str], str | None]:
-        """Replay (checkpoint + tail) → (active data dirs, schema json).
-        Bounded: reads at most ``checkpoint_every`` tail manifests past
-        the newest checkpoint ≤ version."""
+    def _state_at(self, version: int) \
+            -> tuple[list[str], str | None, dict]:
+        """Replay (checkpoint + tail) → (active data dirs, schema json,
+        per-dir stats). Bounded: reads at most ``checkpoint_every``
+        tail manifests past the newest checkpoint ≤ version."""
         ck = self._latest_checkpoint(version)
         active: list[str] = list(ck["active"]) if ck else []
         schema = ck["schema"] if ck else None
+        stats: dict = dict(ck.get("stats", {})) if ck else {}
         start = (ck["version"] + 1) if ck else 0
         for v in range(start, version + 1):
             m = self._read_manifest(v)
             for d in m.get("remove", []):
                 if d in active:
                     active.remove(d)
+                stats.pop(d, None)
             active.extend(m.get("add", []))
+            stats.update(m.get("stats") or {})
             if m.get("schema"):
                 schema = m["schema"]
-        return active, schema
+        return active, schema, {d: s for d, s in stats.items()
+                                if d in active}
 
     def _publish(self, version: int, manifest: dict) -> bool:
         """Atomically publish a manifest; False if the version is taken
@@ -180,9 +198,31 @@ class TxTable:
         df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
         return rel
 
+    def _dir_stats(self, df: DataFrame, rel: str) -> dict | None:
+        """Per-dir min/max for the table's ``stats_cols`` (set on the
+        constructor) — the data-skipping index. One tiny aggregate per
+        commit; the result rides in the manifest, so predicate pruning
+        at read time is a pure metadata operation."""
+        cols = [c for c in self.stats_cols if c in df.columns]
+        if not cols:
+            return None
+        d = self.spark.read.parquet(os.path.join(self.path, rel))
+        row = d.agg(*[f for c in cols
+                      for f in (F.min(c).alias(f"min_{c}"),
+                                F.max(c).alias(f"max_{c}"))]).collect()[0]
+
+        def norm(v):
+            if v is None or isinstance(v, (int, float, str, bool)):
+                return v
+            if hasattr(v, "isoformat"):
+                return v.isoformat()  # dates/timestamps: ISO strings
+            return float(v)  # Decimal
+        return {c: [norm(row[f"min_{c}"]), norm(row[f"max_{c}"])]
+                for c in cols}
+
     def _commit(self, op: str, add: list[str],
                 remove_fn, schema_json: str | None,
-                meta: dict | None) -> int:
+                meta: dict | None, stats: dict | None = None) -> int:
         """remove_fn(version) -> remove list, re-evaluated per retry so
         an overwrite that loses the race removes the winner's dirs."""
         import time
@@ -193,6 +233,7 @@ class TxTable:
                 "version": version, "ts": time.time(), "op": op,
                 "add": add, "remove": remove_fn(version),
                 "schema": schema_json, "meta": meta or {},
+                "stats": stats or {},
             }
             if self._publish(version, manifest):
                 if (version + 1) % self.checkpoint_every == 0:
@@ -201,11 +242,20 @@ class TxTable:
         raise TxConflictError(
             f"lost the commit race {self.max_retries} times at {self.path}")
 
+    def _add_stats(self, df: DataFrame, rels: list[str]) -> dict:
+        out = {}
+        for rel in rels:
+            s = self._dir_stats(df, rel)
+            if s:
+                out[rel] = s
+        return out
+
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         hint = (self.latest_version() or 0) + 1
         rel = self._write_data_dir(df, hint)
         return self._commit("append", [rel], lambda v: [],
-                            df.schema.json(), meta)
+                            df.schema.json(), meta,
+                            self._add_stats(df, [rel]))
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         hint = (self.latest_version() or 0) + 1
@@ -214,7 +264,8 @@ class TxTable:
         def removes(version: int) -> list[str]:
             return self._state_at(version - 1)[0] if version > 0 else []
         return self._commit("overwrite", [rel], removes,
-                            df.schema.json(), meta)
+                            df.schema.json(), meta,
+                            self._add_stats(df, [rel]))
 
     def overwrite_partitions(self, df: DataFrame, partition_col: str,
                              values: list, meta: dict | None = None) -> int:
@@ -230,7 +281,7 @@ class TxTable:
         def removes(version: int) -> list[str]:
             if version == 0:
                 return []
-            active, _ = self._state_at(version - 1)
+            active = self._state_at(version - 1)[0]
             out = []
             for v in range(0, version):
                 m = self._read_manifest(v)
@@ -243,7 +294,8 @@ class TxTable:
         meta = dict(meta or {})
         meta["partition"] = tag
         return self._commit("overwrite_partitions", [rel], removes,
-                            df.schema.json(), meta)
+                            df.schema.json(), meta,
+                            self._add_stats(df, [rel]))
 
     def delete_where(self, condition: str, meta: dict | None = None) -> int:
         """Logical delete: rewrite surviving rows of affected dirs.
@@ -251,9 +303,10 @@ class TxTable:
         rewritten without its matches (copy-on-write, like Delta
         DELETE). Snapshot readers at older versions still see the
         deleted rows until vacuum."""
-        active, schema_json = self._state_at(self._resolve_version())
+        active, schema_json, _ = self._state_at(self._resolve_version())
         keep: list[str] = []
         add: list[str] = []
+        stats: dict = {}
         hint = (self.latest_version() or 0) + 1
         for rel in active:
             d = self.spark.read.parquet(os.path.join(self.path, rel))
@@ -261,7 +314,9 @@ class TxTable:
                 keep.append(rel)
                 continue
             survivors = d.filter(f"NOT ({condition})")
-            add.append(self._write_data_dir(survivors, hint))
+            new_rel = self._write_data_dir(survivors, hint)
+            add.append(new_rel)
+            stats.update(self._add_stats(survivors, [new_rel]))
         removed = [r for r in active if r not in keep]
 
         def removes(version: int) -> list[str]:
@@ -271,7 +326,8 @@ class TxTable:
                 return []
             still = set(self._state_at(version - 1)[0])
             return [r for r in removed if r in still]
-        return self._commit("delete", add, removes, schema_json, meta)
+        return self._commit("delete", add, removes, schema_json, meta,
+                            stats)
 
     def commit_once(self, df: DataFrame, token: str,
                     meta: dict | None = None) -> int | None:
@@ -300,12 +356,33 @@ class TxTable:
     # ---- reads ----------------------------------------------------------
 
     def snapshot(self, version: int | None = None,
-                 as_of_ts: float | None = None) -> DataFrame:
+                 as_of_ts: float | None = None,
+                 prune: tuple | None = None) -> DataFrame:
         """Snapshot read; ``version=None, as_of_ts=None`` → latest.
         ``as_of_ts`` (epoch seconds) → newest version committed at or
-        before that time (time travel)."""
+        before that time (time travel).
+
+        ``prune=(col, lo, hi)``: data skipping — dirs whose recorded
+        [min, max] for ``col`` cannot intersect [lo, hi] are dropped
+        from the read WITHOUT opening them (either bound may be None
+        for one-sided ranges; dirs with no recorded stats are always
+        kept, so skipping is never lossy). This is metadata-only —
+        at 100 TB the planner touches the manifest, not the data.
+        NOTE: pruning only skips; apply the actual row filter on the
+        returned frame as usual."""
         v = self._resolve_version(version, as_of_ts)
-        active, schema_json = self._state_at(v)
+        active, schema_json, stats = self._state_at(v)
+        if prune is not None and active:
+            col, lo, hi = prune
+            kept = []
+            for d in active:
+                rng = stats.get(d, {}).get(col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    kept.append(d)  # unknown range: must read
+                elif ((lo is None or rng[1] >= lo)
+                      and (hi is None or rng[0] <= hi)):
+                    kept.append(d)
+            active = kept
         if not active:
             schema = (StructType.fromJson(json.loads(schema_json))
                       if schema_json else StructType([]))
@@ -319,7 +396,7 @@ class TxTable:
     # ---- maintenance ----------------------------------------------------
 
     def _write_checkpoint(self, version: int) -> None:
-        active, schema = self._state_at(version)
+        active, schema, stats = self._state_at(version)
         prev = self._latest_checkpoint(version)
         tokens = list(prev.get("tokens", [])) if prev else []
         start = (prev["version"] + 1) if prev else 0
@@ -328,7 +405,7 @@ class TxTable:
             if t:
                 tokens.append(t)
         ck = {"version": version, "active": active, "schema": schema,
-              "tokens": tokens}
+              "tokens": tokens, "stats": stats}
         final = os.path.join(self.log_dir, _ckpt_name(version))
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         try:
