@@ -244,3 +244,44 @@ def test_dirs_without_stats_are_always_read(spark, tmp_path):
     t1 = TxTable(spark, str(tmp_path / "t"), stats_cols=("k",))
     t1.append(_df(spark, [(100, "b")]))
     assert _vals(t1.snapshot(prune=("k", 90, 110))) == [(1, "a"), (100, "b")]
+
+
+def test_merge_update_and_insert_atomic(spark, tmp_path):
+    """Delta MERGE semantics as one committed version: matched keys
+    update, new keys insert, untouched dirs are not rewritten."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(100, "z")]))   # disjoint key range
+    v = t.merge(_df(spark, [(2, "B2"), (3, "c")]), keys=["k"])
+    assert _vals(t.snapshot()) == [(1, "a"), (2, "B2"), (3, "c"), (100, "z")]
+    m = t.history()[v]
+    assert m["op"] == "merge"
+    # data skipping on the merge key: dir [100,100] was NOT rewritten
+    assert len(m["remove"]) == 1
+    # pre-merge snapshot unaffected (atomicity)
+    assert _vals(t.snapshot(version=1)) == [(1, "a"), (2, "b"), (100, "z")]
+    with pytest.raises(AssertionError):
+        t.merge(_df(spark, [(7, "x"), (7, "y")]), keys=["k"])
+
+
+def test_changes_cdf_insert_and_delete(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))            # v0
+    t.append(_df(spark, [(2, "b")]))            # v1
+    t.delete_where("k = 1")                      # v2
+    ch = t.changes(0)  # everything after v0
+    rows = sorted((r.k, r._change_type, r._commit_version)
+                  for r in ch.collect())
+    assert rows == [(1, "delete", 2), (2, "insert", 1)]
+    # empty range keeps the CDF schema
+    empty = t.changes(2)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_changes_overwrite_is_delete_plus_insert(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "old")]))
+    t.overwrite(_df(spark, [(1, "new")]))
+    rows = sorted((r.v, r._change_type) for r in t.changes(0).collect())
+    assert rows == [("new", "insert"), ("old", "delete")]

@@ -329,6 +329,89 @@ class TxTable:
         return self._commit("delete", add, removes, schema_json, meta,
                             stats)
 
+    def merge(self, updates: DataFrame, keys: list[str],
+              meta: dict | None = None) -> int:
+        """Delta MERGE semantics (WHEN MATCHED UPDATE SET * / WHEN NOT
+        MATCHED INSERT *) as one committed version: dirs containing a
+        matched key are rewritten without their matched rows
+        (copy-on-write, bounded by data-skipping stats when the key is
+        a stats column), then the updates append — snapshot readers
+        see the merge atomically or not at all. Updates must be unique
+        per key. Cost scales with the touched dirs + the delta, never
+        the full table (the operators/upsert.py contract, made
+        transactional)."""
+        assert updates.count() == updates.select(*keys).distinct().count(), \
+            "updates must be unique per merge key"
+        base_v = self._resolve_version()
+        active, schema_json, stats = self._state_at(base_v)
+        key_rng = None
+        if len(keys) == 1 and keys[0] in self.stats_cols:
+            r = updates.agg(F.min(keys[0]), F.max(keys[0])).collect()[0]
+            key_rng = (r[0], r[1])
+        upd_keys = updates.select(*keys)
+        hint = base_v + 1
+        add: list[str] = []
+        removed: list[str] = []
+        new_stats: dict = {}
+        for rel in active:
+            rng = stats.get(rel, {}).get(keys[0]) if key_rng else None
+            if (rng is not None and rng[0] is not None
+                    and (rng[1] < key_rng[0] or rng[0] > key_rng[1])):
+                continue  # data skipping: no key can match this dir
+            d = self.spark.read.parquet(os.path.join(self.path, rel))
+            matched = d.join(F.broadcast(upd_keys), on=keys, how="left_semi")
+            if matched.limit(1).count() == 0:
+                continue
+            survivors = d.join(F.broadcast(upd_keys), on=keys,
+                               how="left_anti")
+            new_rel = self._write_data_dir(survivors, hint)
+            add.append(new_rel)
+            removed.append(rel)
+            new_stats.update(self._add_stats(survivors, [new_rel]))
+        upd_rel = self._write_data_dir(updates, hint)
+        add.append(upd_rel)
+        new_stats.update(self._add_stats(updates, [upd_rel]))
+
+        def removes(version: int) -> list[str]:
+            if version == 0:
+                return []
+            still = set(self._state_at(version - 1)[0])
+            return [r for r in removed if r in still]
+        return self._commit("merge", add, removes,
+                            updates.schema.json(), meta, new_stats)
+
+    def changes(self, from_version: int, to_version: int | None = None
+                ) -> DataFrame:
+        """Change data feed: every row added or removed by commits in
+        (from_version, to_version], tagged ``_change_type``
+        ('insert'/'delete') and ``_commit_version`` — the Delta CDF
+        contract at dir granularity (an overwritten row appears as a
+        delete of the old row plus an insert of the new one). Reads
+        only the dirs those commits touched, never the full table;
+        requires the touched dirs to not yet be vacuumed."""
+        to_version = (self._resolve_version()
+                      if to_version is None else to_version)
+        frames: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            m = self._read_manifest(v)
+            for kind, tag in (("add", "insert"), ("remove", "delete")):
+                for rel in m.get(kind, []):
+                    d = self.spark.read.parquet(
+                        os.path.join(self.path, rel))
+                    frames.append(
+                        d.withColumn("_change_type", F.lit(tag))
+                         .withColumn("_commit_version",
+                                     F.lit(v).cast("int")))
+        if not frames:
+            base = self.snapshot(version=to_version).limit(0)
+            return (base.withColumn("_change_type", F.lit(""))
+                        .withColumn("_commit_version",
+                                    F.lit(0).cast("int")).limit(0))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def commit_once(self, df: DataFrame, token: str,
                     meta: dict | None = None) -> int | None:
         """Exactly-once append: no-op (returns None) if ``token`` was
