@@ -98,8 +98,12 @@ def with_global_running(
                                lambda acc, x: acc + x["_pcnt"])
                    .alias("_n_total"))
         if sum_col is not None:
+            # coalesce: a partition whose sum_col is all-NULL yields a
+            # NULL _psum and must not NULL the grand total
             one.append(F.aggregate(ps, F.lit(0).cast("bigint"),
-                                   lambda acc, x: acc + x["_psum"])
+                                   lambda acc, x: acc +
+                                   F.coalesce(x["_psum"].cast("bigint"),
+                                              F.lit(0)))
                        .alias("_sum_total"))
     offs_row = parts.agg(*one)
     keep = [c for c in ("_n_total", "_sum_total") if c in offs_row.columns]

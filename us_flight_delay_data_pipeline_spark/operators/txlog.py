@@ -297,27 +297,46 @@ class TxTable:
                             df.schema.json(), meta,
                             self._add_stats(df, [rel]))
 
+    def _dirs_matching(self, dirs: list[str], condition) -> list[str]:
+        """One job over ``dirs`` that returns the subset containing at
+        least one row matching ``condition`` (a SQL string or a join
+        thunk df→df). input_file_name() maps rows back to their dir, so
+        finding the touched set is a single scan no matter how many
+        dirs are active — never one probe job per dir. The collect is
+        dir-names only (metadata-scale)."""
+        if not dirs:
+            return []
+        d = self.spark.read.parquet(
+            *[os.path.join(self.path, r) for r in dirs])
+        dir_col = F.regexp_extract(
+            F.input_file_name(), r"(tx-[0-9]{8}-[0-9a-f]+)", 1)
+        matched = (condition(d) if callable(condition)
+                   else d.filter(condition))
+        hit = {r[0] for r in matched.select(dir_col.alias("d"))
+               .distinct().collect()}
+        return [r for r in dirs if os.path.basename(r) in hit]
+
     def delete_where(self, condition: str, meta: dict | None = None) -> int:
-        """Logical delete: rewrite surviving rows of affected dirs.
-        Dir-granular — every active dir containing a matching row is
-        rewritten without its matches (copy-on-write, like Delta
-        DELETE). Snapshot readers at older versions still see the
-        deleted rows until vacuum."""
+        """Logical delete: copy-on-write rewrite of affected dirs,
+        like Delta DELETE. One scan finds the dirs containing matches
+        (``_dirs_matching``); their survivors are rewritten into ONE
+        combined replacement dir — two jobs total regardless of how
+        many dirs the table has. Snapshot readers at older versions
+        still see the deleted rows until vacuum. (Combining coarsens
+        per-dir skipping stats for the rewritten slice; compact()
+        re-establishes granularity if needed.)"""
         active, schema_json, _ = self._state_at(self._resolve_version())
-        keep: list[str] = []
+        removed = self._dirs_matching(active, condition)
         add: list[str] = []
         stats: dict = {}
-        hint = (self.latest_version() or 0) + 1
-        for rel in active:
-            d = self.spark.read.parquet(os.path.join(self.path, rel))
-            if d.filter(condition).limit(1).count() == 0:
-                keep.append(rel)
-                continue
-            survivors = d.filter(f"NOT ({condition})")
+        if removed:
+            hint = (self.latest_version() or 0) + 1
+            survivors = self.spark.read.parquet(
+                *[os.path.join(self.path, r) for r in removed]
+            ).filter(f"NOT ({condition})")
             new_rel = self._write_data_dir(survivors, hint)
             add.append(new_rel)
             stats.update(self._add_stats(survivors, [new_rel]))
-        removed = [r for r in active if r not in keep]
 
         def removes(version: int) -> list[str]:
             # on a lost race, only remove dirs still active at the new
@@ -344,29 +363,35 @@ class TxTable:
             "updates must be unique per merge key"
         base_v = self._resolve_version()
         active, schema_json, stats = self._state_at(base_v)
-        key_rng = None
+        # data skipping first: a single-key merge only considers dirs
+        # whose recorded key range overlaps the updates' range
+        candidates = active
         if len(keys) == 1 and keys[0] in self.stats_cols:
             r = updates.agg(F.min(keys[0]), F.max(keys[0])).collect()[0]
-            key_rng = (r[0], r[1])
+            if r[0] is not None:
+                kept = []
+                for rel in active:
+                    rng = stats.get(rel, {}).get(keys[0])
+                    if (rng is not None and rng[0] is not None
+                            and (rng[1] < r[0] or rng[0] > r[1])):
+                        continue
+                    kept.append(rel)
+                candidates = kept
         upd_keys = updates.select(*keys)
+        # one scan over the candidates finds the dirs with matched keys
+        removed = self._dirs_matching(
+            candidates,
+            lambda d: d.join(F.broadcast(upd_keys), on=keys,
+                             how="left_semi"))
         hint = base_v + 1
         add: list[str] = []
-        removed: list[str] = []
         new_stats: dict = {}
-        for rel in active:
-            rng = stats.get(rel, {}).get(keys[0]) if key_rng else None
-            if (rng is not None and rng[0] is not None
-                    and (rng[1] < key_rng[0] or rng[0] > key_rng[1])):
-                continue  # data skipping: no key can match this dir
-            d = self.spark.read.parquet(os.path.join(self.path, rel))
-            matched = d.join(F.broadcast(upd_keys), on=keys, how="left_semi")
-            if matched.limit(1).count() == 0:
-                continue
-            survivors = d.join(F.broadcast(upd_keys), on=keys,
-                               how="left_anti")
+        if removed:
+            survivors = self.spark.read.parquet(
+                *[os.path.join(self.path, r) for r in removed]
+            ).join(F.broadcast(upd_keys), on=keys, how="left_anti")
             new_rel = self._write_data_dir(survivors, hint)
             add.append(new_rel)
-            removed.append(rel)
             new_stats.update(self._add_stats(survivors, [new_rel]))
         upd_rel = self._write_data_dir(updates, hint)
         add.append(upd_rel)

@@ -556,3 +556,82 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("w1", "w2", "cab", "c1", "c2", lift.alias("lift"))
                 .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
                 .limit(25))
+
+
+# --- PII detection + masking (the redaction pass every pretraining
+#     corpus runs before tokenization: C4/Dolma-style email/phone/IP
+#     scrubbing) ---
+
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]{2,}"
+_PII_PHONE = "555-01[0-9]{2}"
+_PII_IP = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@register(
+    "pii_scrub_stats",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id, lang,
+             text || ' contact ' || source || (doc_id % 7) ||
+             '@mail' || (doc_id % 3) || '.example office 555-01' ||
+             lpad((doc_id % 100)::VARCHAR, 2, '0') ||
+             ' host 10.0.' || (doc_id % 256) || '.' ||
+             ((doc_id * 7) % 256) AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip,
+             length(t) - length(
+               regexp_replace(regexp_replace(regexp_replace(
+                 t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS delta
+      FROM enriched
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           CAST(SUM(delta) AS BIGINT) AS masked_char_delta
+    FROM scrubbed GROUP BY lang
+    """,
+    doc="PII redaction pass (the pre-tokenization scrub every "
+        "pretraining corpus runs — emails, phone numbers, IPs → "
+        "typed placeholder tokens): per-lang match counts plus the "
+        "masked-length delta proving the three regexp_replace "
+        "rewrites fired. The synthetic contact block appended to "
+        "each doc is derived deterministically from (doc_id, source) "
+        "so both engines scrub identical text — the testdata corpus "
+        "itself contains no PII-shaped strings to exercise the "
+        "patterns on. Pure map-side regex inside codegen (no UDF, no "
+        "shuffle before the stats aggregate); at 100 TB this is the "
+        "cheapest stage of the funnel and fuses with adjacent "
+        "projections.",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact "), F.col("source"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("@mail"),
+        (F.col("doc_id") % 3).cast("string"), F.lit(".example office 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"))
+    masked = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        t, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"), _PII_IP, "<IP>")
+    e = d.select(
+        "lang",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(t, F.lit(_PII_IP)).alias("n_ip"),
+        (F.length(t) - F.length(masked)).alias("delta"))
+    return (e.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_email").cast("bigint").alias("n_email"),
+                  F.sum("n_phone").cast("bigint").alias("n_phone"),
+                  F.sum("n_ip").cast("bigint").alias("n_ip"),
+                  F.sum("delta").cast("bigint").alias("masked_char_delta")))
