@@ -285,3 +285,30 @@ def test_changes_overwrite_is_delete_plus_insert(spark, tmp_path):
     t.overwrite(_df(spark, [(1, "new")]))
     rows = sorted((r.v, r._change_type) for r in t.changes(0).collect())
     assert rows == [("new", "insert"), ("old", "delete")]
+
+
+def test_optimize_clusters_dirs_and_improves_skipping(spark, tmp_path):
+    """OPTIMIZE: interleaved appends give every dir the full key range
+    (no skipping possible); the clustering rewrite re-establishes
+    disjoint per-dir ranges so a range predicate reads ~1/n dirs."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t.append(_df(spark, [(1, "a"), (100, "b")]))   # both dirs span
+    t.append(_df(spark, [(2, "c"), (99, "d")]))    # the whole range
+    before = t.snapshot(prune=("k", 0, 10))
+    assert len({f.rsplit("/", 2)[-2] for f in before.inputFiles()}) == 2
+    v = t.optimize(cluster_by=("k",), n_dirs=2)
+    assert t.history()[v]["op"] == "optimize"
+    # values unchanged
+    assert _vals(t.snapshot()) == [(1, "a"), (2, "c"), (99, "d"), (100, "b")]
+    # skipping now prunes to one clustered dir
+    after = t.snapshot(prune=("k", 0, 10))
+    assert _vals(after.filter("k <= 10")) == [(1, "a"), (2, "c")]
+    assert len({f.rsplit("/", 2)[-2] for f in after.inputFiles()}) == 1
+    # pre-optimize snapshot unaffected
+    assert len(_vals(t.snapshot(version=1))) == 4
+    # no staging leftovers
+    import os as _os
+    leftovers = [d for d in _os.listdir(_os.path.join(str(tmp_path / "t"),
+                                                      "data"))
+                 if d.startswith("_opt-")]
+    assert leftovers == []

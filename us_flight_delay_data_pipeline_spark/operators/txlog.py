@@ -553,3 +553,52 @@ class TxTable:
         unaffected; OPTIMIZE in Delta terms)."""
         snap = self.snapshot().coalesce(target_partitions)
         return self.overwrite(snap, meta={**(meta or {}), "compaction": True})
+
+    def optimize(self, cluster_by: tuple[str, ...], n_dirs: int = 8,
+                 meta: dict | None = None) -> int:
+        """OPTIMIZE ... ZORDER BY-style clustering rewrite: the active
+        set is range-partitioned + sorted on ``cluster_by`` and
+        rewritten as ``n_dirs`` data dirs, EACH committed with its own
+        min/max stats — so after optimize a range predicate on the
+        leading cluster column skips all but ~1/n_dirs of the data,
+        where the pre-optimize append order gave every dir the full
+        value range. (For two-column rectangles compose with
+        operators/maintenance.py::zorder_compact's Morton key as the
+        cluster column.) One shuffle; committed atomically like any
+        other version, so readers at old versions are unaffected."""
+        base_v = self._resolve_version()
+        active, schema_json, _ = self._state_at(base_v)
+        if not active:
+            return base_v
+        snap = self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in active])
+        staging = os.path.join(self.path, _DATA,
+                               f"_opt-{uuid.uuid4().hex[:12]}")
+        (snap.repartitionByRange(n_dirs, *[F.col(c) for c in cluster_by])
+             .sortWithinPartitions(*cluster_by)
+             .withColumn("_bucket", F.spark_partition_id())
+             .write.mode("overwrite").partitionBy("_bucket")
+             .parquet(staging))
+        hint = base_v + 1
+        add: list[str] = []
+        stats: dict = {}
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("_bucket="):
+                continue
+            rel = os.path.join(
+                _DATA, f"tx-{hint:08d}-{uuid.uuid4().hex[:12]}")
+            os.rename(os.path.join(staging, d),
+                      os.path.join(self.path, rel))
+            add.append(rel)
+            stats.update(self._add_stats(snap, [rel]))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        def removes(version: int) -> list[str]:
+            if version == 0:
+                return []
+            still = set(self._state_at(version - 1)[0])
+            return [r for r in active if r in still]
+        meta = dict(meta or {})
+        meta["optimize"] = {"cluster_by": list(cluster_by)}
+        return self._commit("optimize", add, removes,
+                            schema_json, meta, stats)
