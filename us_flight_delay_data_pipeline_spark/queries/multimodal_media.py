@@ -177,3 +177,123 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.length(w).cast("bigint").alias("window_bytes"),
                         F.md5(w).alias("window_md5"))
                 .filter(F.col("window_bytes") > 0))
+
+
+_PHASH_HAM_MAX = 6
+
+
+@register(
+    "media_phash_dedup",
+    f"""
+    WITH {_MEDIA_CTE},
+    imgs AS (
+      SELECT media_id, payload FROM media WHERE kind = 'image'
+    ),
+    bits AS (
+      SELECT media_id,
+             list_transform(range(1, 65), i ->
+               ascii(substring(payload, ((i - 1) % length(payload))::INT + 1,
+                               1))) AS bv
+      FROM imgs
+    ),
+    hashed AS (
+      SELECT media_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(list_slice(bv, 1, 32),
+                 x -> CASE WHEN x * 64 > list_sum(bv) THEN 1::BIGINT
+                           ELSE 0::BIGINT END)),
+               (a, b) -> a * 2 + b) AS h1,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(list_slice(bv, 33, 64),
+                 x -> CASE WHEN x * 64 > list_sum(bv) THEN 1::BIGINT
+                           ELSE 0::BIGINT END)),
+               (a, b) -> a * 2 + b) AS h2
+      FROM bits
+    ),
+    banded AS (
+      SELECT media_id, h1, h2, b.band_idx,
+             CASE WHEN b.band_idx < 4
+                  THEN (h1 >> (8 * b.band_idx::INT)) & 255
+                  ELSE (h2 >> (8 * (b.band_idx::INT - 4))) & 255
+             END AS band_val
+      FROM hashed, (SELECT unnest(range(0, 8)) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+             x.h1 AS xh1, x.h2 AS xh2, y.h1 AS yh1, y.h2 AS yh2
+      FROM banded x JOIN banded y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.media_id < y.media_id
+    )
+    SELECT (bit_count(xor(xh1, yh1)) + bit_count(xor(xh2, yh2)))::INT
+             AS hamming,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN bit_count(xor(xh1, yh1))
+                              + bit_count(xor(xh2, yh2))
+                              <= {_PHASH_HAM_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
+    FROM cand GROUP BY 1
+    """,
+    doc="Perceptual-hash near-dup detection over the image corpus — "
+        "the multimodal sibling of simhash_dup_pairs: a 64-bit "
+        "average-hash per image (bit i = byte i above the 64-byte "
+        "mean, folded into two 32-bit bigints by integer Horner — no "
+        "floats, engine-exact), banded into 8x8-bit LSH buckets so "
+        "candidate generation is an equi-join (hamming <= {t} "
+        "guarantees one identical band by pigeonhole over 8 bands — "
+        "exact recall, never all-pairs), then scored with "
+        "bit_count(xor). Output is the candidate hamming histogram "
+        "with the <= {t} dup count per bucket — the threshold-tuning "
+        "diagnostic (this corpus has no near-dup images, so the dup "
+        "column is verifiably zero while the candidate pipeline "
+        "still exercises end to end). On the synthetic corpus the "
+        "'pixels' are the fake-codec payload bytes; with a real "
+        "codec the same hash+join runs on decoded pixel batches from "
+        "the mapInPandas path (multimodal/binary_ops.py) — the join "
+        "side is codec-agnostic. At 100 TB the shuffle carries "
+        "(16-byte hash, 8-bit band) pairs, never pixels."
+        .format(t=_PHASH_HAM_MAX),
+)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = (_media_table(spark, sf_dir)
+            .filter(F.col("kind") == "image")
+            .select("media_id",
+                    F.decode("content", "UTF-8").alias("p")))
+    # expr keeps the variable-position substring JVM-native (the
+    # DataFrame substring() only takes literal positions)
+    bits = imgs.withColumn(
+        "bv",
+        F.expr("transform(sequence(1, 64), i -> "
+               "ascii(substr(p, CAST(((i - 1) % length(p)) AS INT) + 1, 1)))"))
+    horner = ("aggregate(transform(slice(bv, {s}, 32), "
+              "x -> CASE WHEN x * 64 > aggregate(bv, 0L, (a, b) -> a + b) "
+              "THEN 1L ELSE 0L END), 0L, (a, b) -> a * 2 + b)")
+    hashed = bits.select(
+        "media_id",
+        F.expr(horner.format(s=1)).alias("h1"),
+        F.expr(horner.format(s=33)).alias("h2"))
+    banded = hashed.select(
+        "media_id", "h1", "h2",
+        F.posexplode(F.array(
+            *[F.shiftright("h1", 8 * i).bitwiseAND(F.lit(255))
+              for i in range(4)],
+            *[F.shiftright("h2", 8 * i).bitwiseAND(F.lit(255))
+              for i in range(4)])).alias("band_idx", "band_val"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (x.join(y, (F.col("x.band_idx") == F.col("y.band_idx"))
+                   & (F.col("x.band_val") == F.col("y.band_val"))
+                   & (F.col("x.media_id") < F.col("y.media_id")))
+             .select(F.col("x.media_id").alias("a"),
+                     F.col("y.media_id").alias("b"),
+                     F.col("x.h1").alias("xh1"), F.col("x.h2").alias("xh2"),
+                     F.col("y.h1").alias("yh1"), F.col("y.h2").alias("yh2"))
+             .distinct())
+    ham = (F.bit_count(F.col("xh1").bitwiseXOR(F.col("yh1")))
+           + F.bit_count(F.col("xh2").bitwiseXOR(F.col("yh2"))))
+    return (cand.select(ham.cast("int").alias("hamming"))
+                .groupBy("hamming")
+                .agg(F.count("*").alias("n_pairs"),
+                     F.sum(F.when(F.col("hamming") <= _PHASH_HAM_MAX, 1)
+                            .otherwise(0)).cast("bigint")
+                      .alias("n_dup_pairs")))
