@@ -56,4 +56,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import data_quality  # noqa: F401
     from . import pretrain  # noqa: F401
     from . import transactions  # noqa: F401
+    from . import streaming_gated  # noqa: F401
     return REGISTRY

@@ -1,0 +1,114 @@
+"""Structured Streaming queries UNDER the DuckDB oracle gate.
+
+The streaming layer (SURVEY.md §2.10 T1-T5) was previously verified
+only by pytest equivalence tests; these queries run REAL streaming
+jobs inside the driver's differential harness: a file-source
+``readStream`` over the same parquet the oracle reads, a stateful
+transformation, ``trigger(availableNow=True)`` (T2) so the stream
+drains the source and terminates, a memory sink, and the sink table
+returned as the query result. A wrong watermark/window/state
+semantics or a stream/batch type skew (the events ``ts`` physical-
+type normalization, sources/registry.py::normalize_event_ts) breaks
+the value hash exactly like any relational query.
+
+availableNow processes the source in potentially many micro-batches,
+so these also pin cross-batch state correctness (window accumulation,
+dedup state) — not just single-batch plumbing. Each run uses a fresh
+memory-sink name + temp checkpoint: repeated driver/bench runs are
+independent and deterministic.
+
+At 100 TB the same plans run unbounded: swap the trigger for a
+processing-time one, the memory sink for the transaction-log
+``commit_once`` sink (operators/txlog.py), and complete mode for the
+watermark+append pair (the funnel and matview modules show both).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..sources.registry import normalize_event_ts
+
+_OSUM = ("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+         " AS total_value")
+
+
+def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """readStream over the same single parquet file the batch scan and
+    the DuckDB oracle read (schema taken from a batch probe — file
+    streams require an explicit schema)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    src = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", f"{table}.parquet")
+           .parquet(sf_dir))
+    return normalize_event_ts(src)
+
+
+def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"sg_gated_{uuid.uuid4().hex[:12]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"{name}_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_hourly_kpis_gated",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_OSUM}
+    FROM events GROUP BY 1, 2
+    """,
+    doc="T1+T2+T4 under the oracle gate: a REAL streaming job — "
+        "file-source readStream over events.parquet, event-time "
+        "tumbling 1-hour window aggregate, availableNow trigger, "
+        "memory sink in complete mode — whose drained result must "
+        "value-hash-match the batch SQL over the same file. Complete "
+        "mode keeps every window in the state store across "
+        "micro-batches, so this pins cross-batch window accumulation "
+        "and the stream-side ts normalization, not just plumbing.",
+)
+def stream_hourly_kpis_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stream_source(spark, sf_dir, "events")
+    agg = (src.groupBy(F.window("ts", "1 hour"), "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(38,6)"))
+                    .cast("double").alias("total_value")))
+    out = _drain_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("window_start"),
+                      "event_type", "n_events", "total_value")
+
+
+@register(
+    "stream_dedup_gated",
+    """
+    SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="T5 stateful streaming dedup under the oracle gate: "
+        "dropDuplicates on md5(text) inside a streaming query (the "
+        "state-store dedup operator), drained with availableNow into "
+        "a memory sink, then reduced to per-lang unique counts — "
+        "which must equal the batch COUNT(DISTINCT). Which physical "
+        "row survives depends on arrival order, so the gated output "
+        "is the order-independent projection; the state machine "
+        "itself (hash set across micro-batches) is what the count "
+        "pins. The 100 TB variant bounds state with a watermark or "
+        "swaps in the persisted seen-hash set of streaming/funnel.py.",
+)
+def stream_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stream_source(spark, sf_dir, "documents")
+    deduped = (src.withColumn("h", F.md5(F.col("text").cast("binary")))
+                  .select("lang", "h")
+                  .dropDuplicates(["h"]))
+    out = _drain_to_memory(deduped, "append")
+    return (out.groupBy("lang")
+               .agg(F.count("*").alias("n_unique_docs")))

@@ -33,6 +33,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream ``unix_micros``/range-frame logic sees one type, and
     the instant equals DuckDB's naive read of the same file."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_event_ts(df)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize a ``ts`` column to UTC TIMESTAMP regardless of the
+    physical parquet type (shared by the batch scan above and the
+    streaming readers, which must apply the identical rewrite so
+    stream/batch equivalence holds)."""
     from pyspark.sql import functions as F
     for field in df.schema.fields:
         if field.name != "ts":
