@@ -181,3 +181,26 @@ def stream_upsert(stream_df: DataFrame, table_path: str, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_socket_json_source(spark: SparkSession, host: str,
+                              port: int) -> DataFrame:
+    """Network-transport streaming source (the closest local analog of
+    the reference's Kafka-protocol Event Hubs ingestion,
+    kafka-eh/produce_to_eventhub.py:55-107, without a broker): Spark's
+    TCP socket source reads newline-delimited JSON messages and wraps
+    each into the same binary-``body`` envelope the file-drop and
+    (on a cluster) Kafka sources produce, so the entire downstream
+    silver pipeline is transport-agnostic. Socket offers no replay /
+    offsets — production uses Kafka; this covers the wire-ingest code
+    path (message framing -> envelope) end to end."""
+    lines = (spark.readStream.format("socket")
+             .option("host", host).option("port", port).load())
+    # offset synthesized from the message hash (monotonically_
+    # increasing_id is not allowed on streaming frames; a real broker
+    # source carries its own offset column)
+    return lines.select(
+        F.encode(F.col("value"), "UTF-8").alias("body"),
+        F.lit(0).alias("partition"),
+        F.abs(F.xxhash64(F.col("value"))).alias("offset"),
+        F.current_timestamp().alias("enqueued_at"))
