@@ -324,8 +324,13 @@ class TxTable:
         many dirs the table has. Snapshot readers at older versions
         still see the deleted rows until vacuum. (Combining coarsens
         per-dir skipping stats for the rewritten slice; compact()
-        re-establishes granularity if needed.)"""
-        active, schema_json, _ = self._state_at(self._resolve_version())
+        re-establishes granularity if needed.) Like SQL DELETE, an
+        empty table is a valid target (commits a no-op version)."""
+        latest = self.latest_version()
+        if latest is None:
+            active, schema_json = [], None
+        else:
+            active, schema_json, _ = self._state_at(latest)
         removed = self._dirs_matching(active, condition)
         add: list[str] = []
         stats: dict = {}
@@ -361,8 +366,12 @@ class TxTable:
         transactional)."""
         assert updates.count() == updates.select(*keys).distinct().count(), \
             "updates must be unique per merge key"
-        base_v = self._resolve_version()
-        active, schema_json, stats = self._state_at(base_v)
+        latest = self.latest_version()
+        if latest is None:  # MERGE into an empty table = insert-only
+            base_v, active, schema_json, stats = -1, [], None, {}
+        else:
+            base_v = latest
+            active, schema_json, stats = self._state_at(base_v)
         # data skipping first: a single-key merge only considers dirs
         # whose recorded key range overlaps the updates' range
         candidates = active
