@@ -312,3 +312,22 @@ def test_optimize_clusters_dirs_and_improves_skipping(spark, tmp_path):
                                                       "data"))
                  if d.startswith("_opt-")]
     assert leftovers == []
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Commits may add columns over time; merge_schema=True unions the
+    dir schemas (absent columns read as NULL), while the default read
+    and the manifest's recorded schema keep the latest contract."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(spark.createDataFrame([(2, "b", 9.5)],
+                                   "k int, v string, score double"))
+    evolved = t.snapshot(merge_schema=True)
+    assert sorted(evolved.columns) == ["k", "score", "v"]
+    rows = {r.k: (r.v, r.score) for r in evolved.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # the manifest records the evolving write-side schema per commit
+    import json as _json
+    schemas = [len(_json.loads(m["schema"])["fields"])
+               for m in t.history()]
+    assert schemas == [2, 3]

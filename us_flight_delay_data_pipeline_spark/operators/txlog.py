@@ -474,7 +474,8 @@ class TxTable:
 
     def snapshot(self, version: int | None = None,
                  as_of_ts: float | None = None,
-                 prune: tuple | None = None) -> DataFrame:
+                 prune: tuple | None = None,
+                 merge_schema: bool = False) -> DataFrame:
         """Snapshot read; ``version=None, as_of_ts=None`` → latest.
         ``as_of_ts`` (epoch seconds) → newest version committed at or
         before that time (time travel).
@@ -486,7 +487,13 @@ class TxTable:
         kept, so skipping is never lossy). This is metadata-only —
         at 100 TB the planner touches the manifest, not the data.
         NOTE: pruning only skips; apply the actual row filter on the
-        returned frame as usual."""
+        returned frame as usual.
+
+        ``merge_schema=True``: union the schemas of all active dirs
+        (parquet mergeSchema) — the read-side half of schema
+        evolution, for tables whose commits added columns over time
+        (the manifest records each commit's own schema for the
+        write-side half; absent columns read as NULL)."""
         v = self._resolve_version(version, as_of_ts)
         active, schema_json, stats = self._state_at(v)
         if prune is not None and active:
@@ -504,7 +511,10 @@ class TxTable:
             schema = (StructType.fromJson(json.loads(schema_json))
                       if schema_json else StructType([]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[os.path.join(self.path, d) for d in active])
 
     def history(self) -> list[dict]:

@@ -50,13 +50,19 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    import shutil
     name = f"sg_gated_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode)
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix=f"{name}_ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # single-use drain: the checkpoint has no replay value and
+        # repeated bench/driver runs would otherwise litter /tmp
+        shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(name)
 
 

@@ -82,7 +82,14 @@ def _snapshot_agg(t: TxTable, version: int) -> DataFrame:
         "snapshots read only their own immutable dirs.",
 )
 def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = TxTable(spark, _scratch(spark, sf_dir, "tt"))
+    path = _scratch(spark, sf_dir, "tt")
+    t = TxTable(spark, path)
+    if t.latest_version() not in (None, 3):
+        # partial build from an interrupted run: appending onto it
+        # would shift every version — rebuild from scratch
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        t = TxTable(spark, path)
     if t.latest_version() != 3:
         orders = load_table(spark, sf_dir, "orders")
         t.append(orders.filter(F.col("o_orderkey") % 4 == 0))
@@ -109,7 +116,12 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the dedup check never replays the full history.",
 )
 def txlog_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = TxTable(spark, _scratch(spark, sf_dir, "eo"))
+    path = _scratch(spark, sf_dir, "eo")
+    t = TxTable(spark, path)
+    if t.latest_version() not in (None, 2):  # interrupted build: reset
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        t = TxTable(spark, path)
     if t.latest_version() is None:
         orders = load_table(spark, sf_dir, "orders")
         for bid in (0, 1, 1, 2):  # batch 1 replayed
