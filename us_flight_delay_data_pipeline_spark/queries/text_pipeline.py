@@ -635,3 +635,113 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("n_phone").cast("bigint").alias("n_phone"),
                   F.sum("n_ip").cast("bigint").alias("n_ip"),
                   F.sum("delta").cast("bigint").alias("masked_char_delta")))
+
+
+# --- Data mixing + split hygiene (the two corpus-assembly steps
+#     between dedup and tokenization) ---
+
+_MIX_M = 1_000_000
+
+
+@register(
+    "mixture_rebalance",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_before) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source
+      FROM documents d
+      JOIN counts c ON d.source = c.source
+      CROSS JOIN tot
+      WHERE ({_h32_sql("d.doc_id::VARCHAR")} % {_MIX_M})
+              * c.n_before * tot.n_src < {_MIX_M} * tot.total
+    )
+    SELECT c.source, c.n_before,
+           COALESCE(k.n_after, 0) AS n_after
+    FROM counts c
+    LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after
+               FROM kept GROUP BY source) k ON c.source = k.source
+    """,
+    doc="Data mixing (source reweighting toward a uniform target "
+        "mix — the corpus-assembly step that downsamples dominant "
+        "sources before tokenization): each source keeps "
+        "min(1, target/current) of its docs via the deterministic "
+        "h32 sampler, with the keep decision made in pure INTEGER "
+        "arithmetic ((h %% M) * n_source * n_sources < M * total) so "
+        "both engines pick the identical row set — no float rate, no "
+        "rand(). One aggregate for the histogram, one broadcast join "
+        "back, one map-side filter; at 100 TB the only shuffle is "
+        "the source histogram (|sources| rows).",
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hashing import h32
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_before"))
+    tot = counts.agg(F.sum("n_before").cast("bigint").alias("total"),
+                     F.count("*").cast("bigint").alias("n_src"))
+    bucket = h32(F.col("doc_id").cast("string")) % _MIX_M
+    kept = (d.join(F.broadcast(counts), "source")
+             .crossJoin(F.broadcast(tot))
+             .filter(bucket * F.col("n_before") * F.col("n_src")
+                     < F.lit(_MIX_M) * F.col("total")))
+    after = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_after"))
+    return (counts.join(after, "source", "left")
+                  .select("source", "n_before",
+                          F.coalesce("n_after", F.lit(0).cast("bigint"))
+                           .alias("n_after")))
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH {_PAIRS_CTE},
+    labeled AS (
+      SELECT doc_a, doc_b,
+             ({_h32_sql("doc_a::VARCHAR")} % 100 < 90) AS a_train,
+             ({_h32_sql("doc_b::VARCHAR")} % 100 < 90) AS b_train
+      FROM pairs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_split,
+           CAST(SUM(CASE WHEN a_train AND b_train THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train_train,
+           CAST(SUM(CASE WHEN NOT a_train AND NOT b_train THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_val_val
+    FROM labeled
+    """,
+    doc="Train/val split leakage audit (the hygiene check every "
+        "pretraining pipeline needs: a near-dup pair straddling the "
+        "split leaks validation content into training): documents "
+        "split 90/10 by the deterministic h32 sampler, near-dup "
+        "pairs from the exact n-gram-Jaccard generator (prefix-"
+        "filtered, lang-blocked — same operator as "
+        "ngram_jaccard_pairs), each pair classified by which sides "
+        "of the split it touches. n_cross_split > 0 means the split "
+        "must move whole dedup CLUSTERS, not documents "
+        "(dedup_clusters provides the cluster ids). Candidate "
+        "generation is the bucketed prefix join — nothing quadratic.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs as op
+    from ..operators.hashing import h32
+    pairs = op(load_table(spark, sf_dir, "documents"),
+               block_col="lang", threshold=0.3).select("doc_a", "doc_b")
+    a_train = h32(F.col("doc_a").cast("string")) % 100 < 90
+    b_train = h32(F.col("doc_b").cast("string")) % 100 < 90
+    lab = pairs.select(a_train.alias("a_train"), b_train.alias("b_train"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return lab.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        flag(F.col("a_train") != F.col("b_train")).alias("n_cross_split"),
+        flag(F.col("a_train") & F.col("b_train")).alias("n_train_train"),
+        flag(~F.col("a_train") & ~F.col("b_train")).alias("n_val_val"))
