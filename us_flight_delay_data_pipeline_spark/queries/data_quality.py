@@ -208,3 +208,88 @@ def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum("exact_monthly").alias("sum_monthly_exact"),
                         F.count("*").alias("n_months"))
                    .orderBy("year"))
+
+
+# --- Count-min sketch: the frequency sibling of the HLL/t-digest
+#     family, with ENGINE-EXACT estimates (deterministic md5-derived
+#     bucket hashes -> both engines build the identical sketch) ---
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # buckets per row
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    exact AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY term
+    ),
+    cms AS (
+      SELECT d.d,
+             (('0x' || substr(md5(d.d::VARCHAR || '|' || term), 1, 15))::BIGINT
+               % 4294967296) % {_CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, (SELECT unnest(range(0, {_CMS_D})) AS d) d
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT term, exact_count FROM exact
+      ORDER BY exact_count DESC, term LIMIT 20
+    ),
+    est AS (
+      SELECT p.term, p.exact_count, MIN(c.c) AS cms_estimate
+      FROM probes p, (SELECT unnest(range(0, {_CMS_D})) AS d) d
+      JOIN cms c
+        ON c.d = d.d
+       AND c.bucket = (('0x' || substr(md5(d.d::VARCHAR || '|' || p.term),
+                                       1, 15))::BIGINT % 4294967296)
+                      % {_CMS_W}
+      GROUP BY p.term, p.exact_count
+    )
+    SELECT term, exact_count, cms_estimate FROM est
+    """,
+    doc="Count-min sketch heavy hitters — the frequency sketch next "
+        "to HLL (distinct) and t-digest (quantiles), but ORACLE-GATED "
+        "because the bucket hashes derive from md5 (engine-portable): "
+        "both engines build the IDENTICAL {d}x{w} counter table, so "
+        "the min-over-rows estimates match bit for bit, unlike "
+        "approx_count_distinct whose sketch is engine-internal. "
+        "Estimates are provably >= exact (overestimate-only), pinned "
+        "per-term against the exact counts for the top-20 terms. The "
+        "sketch is one groupBy over (row, bucket) — {d}x{w} cells "
+        "regardless of corpus size, additive across partitions (map-"
+        "side combine IS the sketch merge), which is the 100 TB "
+        "point: frequency estimates for any later probe term without "
+        "re-scanning the corpus.".format(d=_CMS_D, w=_CMS_W),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hashing import h32
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import word_tokens
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(word_tokens(F.lower(F.col("text"))))
+                      .alias("term")))
+    exact = toks.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("exact_count"))
+
+    def bucket(row: int, term):
+        return h32(F.concat(F.lit(str(row)), F.lit("|"), term)) % _CMS_W
+
+    rows = toks.select(
+        F.posexplode(F.array(*[bucket(r, F.col("term"))
+                               for r in range(_CMS_D)])).alias("d", "bucket"))
+    cms = rows.groupBy("d", "bucket").agg(
+        F.count("*").cast("bigint").alias("c"))
+    probes = (exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(20))
+    probe_buckets = probes.select(
+        "term", "exact_count",
+        F.posexplode(F.array(*[bucket(r, F.col("term"))
+                               for r in range(_CMS_D)])).alias("d", "bucket"))
+    return (probe_buckets.join(cms, ["d", "bucket"])
+            .groupBy("term", "exact_count")
+            .agg(F.min("c").alias("cms_estimate")))
