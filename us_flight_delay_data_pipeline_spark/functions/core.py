@@ -143,3 +143,20 @@ def find_column_ci(df: DataFrame, name: str) -> str:
         if c.lower() == name.lower():
             return c
     raise RuntimeError(f"column {name!r} not found (case-insensitive) in {df.columns}")
+
+
+_SCRATCH_REGISTERED: set[str] = set()
+
+
+def cleanup_at_exit(path: str) -> None:
+    """Mark a session-scoped scratch directory for removal at
+    interpreter exit, so repeated driver/bench sessions do not
+    accumulate dirs in /tmp. Callers key scratch paths by Spark
+    applicationId, so no other live session can be using the path.
+    Idempotent per path."""
+    if path in _SCRATCH_REGISTERED:
+        return
+    _SCRATCH_REGISTERED.add(path)
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, path, True)

@@ -177,6 +177,8 @@ def jaccard_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     app = spark.sparkContext.applicationId
     path = os.path.join(tempfile.gettempdir(), f"sg_jidx_{app}_{tag}")
+    from ..functions.core import cleanup_at_exit
+    cleanup_at_exit(path)  # session-scoped: removed at interpreter exit
     build_jaccard_index(corpus, path, block_col="lang",
                         threshold=_PROBE_T, mode="overwrite")
     return dedup_against_jaccard_index(batch, path, block_col="lang",

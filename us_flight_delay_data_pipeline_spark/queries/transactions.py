@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
+from ..functions.core import cleanup_at_exit
 from ..operators.txlog import TxTable
 from ..sources.registry import load_table
 
@@ -39,7 +40,9 @@ _AGG = ("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
 def _scratch(spark: SparkSession, sf_dir: str, kind: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     app = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"sg_tx_{kind}_{app}_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"sg_tx_{kind}_{app}_{tag}")
+    cleanup_at_exit(path)  # session-scoped: removed at interpreter exit
+    return path
 
 
 def _snapshot_agg(t: TxTable, version: int) -> DataFrame:
