@@ -54,6 +54,26 @@ def _snapshot_agg(t: TxTable, version: int) -> DataFrame:
                      "n_orders", "total_price"))
 
 
+def _ensure_tt_table(spark: SparkSession, sf_dir: str) -> TxTable:
+    """The shared 4-version scratch table (append, append,
+    copy-on-write DELETE of even keys, append), built idempotently;
+    a partial chain from an interrupted run is rebuilt from scratch
+    (appending onto it would shift every version)."""
+    path = _scratch(spark, sf_dir, "tt")
+    t = TxTable(spark, path)
+    if t.latest_version() not in (None, 3):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        t = TxTable(spark, path)
+    if t.latest_version() != 3:
+        orders = load_table(spark, sf_dir, "orders")
+        t.append(orders.filter(F.col("o_orderkey") % 4 == 0))
+        t.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+        t.delete_where("o_orderkey % 2 = 0")
+        t.append(orders.filter(F.col("o_orderkey") % 4 >= 2))
+    return t
+
+
 @register(
     "txlog_time_travel",
     """
@@ -85,22 +105,46 @@ def _snapshot_agg(t: TxTable, version: int) -> DataFrame:
         "snapshots read only their own immutable dirs.",
 )
 def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _scratch(spark, sf_dir, "tt")
-    t = TxTable(spark, path)
-    if t.latest_version() not in (None, 3):
-        # partial build from an interrupted run: appending onto it
-        # would shift every version — rebuild from scratch
-        import shutil
-        shutil.rmtree(path, ignore_errors=True)
-        t = TxTable(spark, path)
-    if t.latest_version() != 3:
-        orders = load_table(spark, sf_dir, "orders")
-        t.append(orders.filter(F.col("o_orderkey") % 4 == 0))
-        t.append(orders.filter(F.col("o_orderkey") % 4 == 1))
-        t.delete_where("o_orderkey % 2 = 0")
-        t.append(orders.filter(F.col("o_orderkey") % 4 >= 2))
+    t = _ensure_tt_table(spark, sf_dir)
     return reduce(DataFrame.unionByName,
                   [_snapshot_agg(t, v) for v in range(4)])
+
+
+@register(
+    "txlog_change_data_feed",
+    """
+    WITH ch AS (
+      SELECT 1 AS commit_version, 'insert' AS change_type, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT 2, 'delete', o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT 3, 'insert', o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (2, 3)
+    )
+    SELECT commit_version, change_type, COUNT(*) AS n_rows, {agg}
+    FROM ch GROUP BY 1, 2
+    """.format(agg=_AGG),
+    doc="Change data feed under the oracle gate: changes(0, 3) over "
+        "the 4-version scratch table must emit exactly v1's appended "
+        "rows as inserts, v2's copy-on-write DELETE as deletes of the "
+        "even-key dir it rewrote (its empty replacement contributes "
+        "nothing), and v3's append as inserts — the oracle derives "
+        "each commit's delta algebraically from orders. CDF reads "
+        "touch only the dirs the commits added/removed, never the "
+        "full table, which is what makes downstream incremental "
+        "consumers (sync to a search index, feature store refresh) "
+        "cost O(delta) at 100 TB.",
+)
+def txlog_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ensure_tt_table(spark, sf_dir)
+    ch = t.changes(0, 3)
+    return (ch.groupBy(F.col("_commit_version").alias("commit_version"),
+                       F.col("_change_type").alias("change_type"))
+              .agg(F.count("*").alias("n_rows"),
+                   F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                    .cast("double").alias("total_price")))
 
 
 @register(
