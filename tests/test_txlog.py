@@ -331,3 +331,67 @@ def test_schema_evolution_merge_schema_read(spark, tmp_path):
     schemas = [len(_json.loads(m["schema"])["fields"])
                for m in t.history()]
     assert schemas == [2, 3]
+
+
+def test_restore_is_metadata_only_and_time_travelable(spark, tmp_path):
+    """Delta RESTORE: reinstating an old snapshot is a new commit that
+    adds the old dirs back without copying a byte; stats come along so
+    skipping still works; the overwritten history stays readable."""
+    import os as _os
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t.append(_df(spark, [(1, "a")]))                 # v0
+    t.overwrite(_df(spark, [(2, "b")]))              # v1
+    data_root = _os.path.join(str(tmp_path / "t"), "data")
+    n_dirs_before = len(_os.listdir(data_root))
+    v = t.restore(0)                                 # v2 == v0 content
+    assert v == 2
+    assert len(_os.listdir(data_root)) == n_dirs_before  # no new data dir
+    assert _vals(t.snapshot()) == [(1, "a")]
+    assert _vals(t.snapshot(version=1)) == [(2, "b")]  # history intact
+    # restored dirs keep their data-skipping stats
+    assert _vals(t.snapshot(prune=("k", 0, 1))) == [(1, "a")]
+    assert t.history()[2]["meta"]["restore_of"] == 0
+    # restore refuses when the target's dirs were vacuumed
+    t.overwrite(_df(spark, [(3, "c")]))              # v3
+    t.vacuum(retain_last=1)
+    with pytest.raises(ValueError):
+        t.restore(1)
+
+
+def test_concurrent_mixed_ops_keep_log_consistent(spark, tmp_path):
+    """8 threads race mixed append/overwrite/merge commits. Outcomes
+    are order-dependent by design (last-overwrite-wins), but the LOG
+    invariants must hold: contiguous versions, every version's
+    snapshot readable, every active dir existing on disk."""
+    import os as _os
+    path = str(tmp_path / "t")
+    TxTable(spark, path).append(_df(spark, [(0, "seed")]))
+    errs = []
+
+    def worker(i):
+        try:
+            tt = TxTable(spark, path)
+            if i % 3 == 0:
+                tt.append(_df(spark, [(i, "a")]))
+            elif i % 3 == 1:
+                tt.merge(_df(spark, [(i, "m")]), keys=["k"])
+            else:
+                tt.overwrite(_df(spark, [(i, "o")]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    import threading
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert errs == []
+    t = TxTable(spark, path)
+    vs = t._versions()
+    assert vs == list(range(9))  # contiguous, no gaps
+    for v in vs:
+        active, _, _ = t._state_at(v)
+        for rel in active:
+            assert _os.path.isdir(_os.path.join(path, rel)), (v, rel)
+        t.snapshot(version=v).count()  # readable

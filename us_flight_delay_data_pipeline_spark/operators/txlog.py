@@ -565,6 +565,36 @@ class TxTable:
                 deleted.append(rel)
         return deleted
 
+    def restore(self, version: int, meta: dict | None = None) -> int:
+        """Delta RESTORE: reinstate an old snapshot as a NEW commit —
+        pure metadata (the new manifest adds the old version's dirs
+        and removes the current ones; dirs are immutable so nothing
+        is copied). History is preserved: the restore itself is
+        time-travelable, and the restored-over versions remain
+        readable until vacuum. Fails if the target version's dirs
+        were already vacuumed."""
+        target_active, schema_json, target_stats = self._state_at(
+            self._resolve_version(version))
+        for rel in target_active:
+            if not os.path.isdir(os.path.join(self.path, rel)):
+                raise ValueError(
+                    f"cannot restore to version {version}: {rel} was "
+                    "vacuumed")
+
+        def removes(v: int) -> list[str]:
+            # drop EVERYTHING active at the commit base (recomputed per
+            # optimistic retry); replay applies removes before adds, so
+            # re-adding a dir that was already active stays duplicate-
+            # free even when the two sets overlap
+            return self._state_at(v - 1)[0] if v > 0 else []
+        meta = dict(meta or {})
+        meta["restore_of"] = version
+        # carry the target's data-skipping stats so restored dirs keep
+        # pruning (their original stats entries were dropped when the
+        # dirs were removed from the active set)
+        return self._commit("restore", list(target_active), removes,
+                            schema_json, meta, dict(target_stats))
+
     def compact(self, target_partitions: int = 8,
                 meta: dict | None = None) -> int:
         """Fold all active dirs into one (small-file compaction as a
