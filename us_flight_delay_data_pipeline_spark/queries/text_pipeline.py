@@ -745,3 +745,145 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(F.col("a_train") != F.col("b_train")).alias("n_cross_split"),
         flag(F.col("a_train") & F.col("b_train")).alias("n_train_train"),
         flag(~F.col("a_train") & ~F.col("b_train")).alias("n_val_val"))
+
+
+# --- BPE tokenizer training (iterative merge learning) ---
+
+_BPE_ITERS = 3
+
+
+def _bpe_iter_sql(prev: str, i: int) -> str:
+    """One unrolled BPE iteration: adjacent-pair counts over the
+    current symbol strings, argmax merge (count desc, pair lex asc),
+    greedy left-to-right replace."""
+    return f"""
+pairs{i} AS (
+  SELECT u.pr[1] AS aw, u.pr[2] AS bw, SUM(cnt) AS n
+  FROM {prev},
+       LATERAL (SELECT unnest(list_zip(
+          list_slice(string_split(s, '%'), 1,
+                     len(string_split(s, '%')) - 1),
+          list_slice(string_split(s, '%'), 2,
+                     len(string_split(s, '%'))))) AS pr) u
+  GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT aw || '%' || bw AS pat,
+         '|' || trim(aw, '|') || trim(bw, '|') || '|' AS repl,
+         trim(aw, '|') || trim(bw, '|') AS merged, n
+  FROM pairs{i} ORDER BY n DESC, aw ASC, bw ASC LIMIT 1
+),
+sym{i} AS (
+  SELECT w, cnt,
+         replace(s, (SELECT pat FROM m{i}), (SELECT repl FROM m{i})) AS s
+  FROM {prev}
+),
+stat{i} AS (
+  SELECT CAST({i} AS INT) AS step,
+         (SELECT merged FROM m{i}) AS merged_symbol,
+         (SELECT CAST(n AS BIGINT) FROM m{i}) AS pair_count,
+         CAST(SUM(cnt * len(string_split(s, '%'))) AS BIGINT)
+           AS corpus_symbols_after
+  FROM sym{i}
+)"""
+
+
+def _bpe_oracle() -> str:
+    iters = "".join("," + _bpe_iter_sql(f"sym{i-1}" if i > 1 else "sym0", i)
+                    for i in range(1, _BPE_ITERS + 1))
+    stats = " UNION ALL ".join(
+        f"SELECT * FROM stat{i}" for i in range(1, _BPE_ITERS + 1))
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_tok_sql()}) AS w FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+      WHERE length(w) > 0 GROUP BY w
+    ),
+    sym0 AS (
+      SELECT w, cnt,
+             list_aggregate(list_transform(string_split(w, ''),
+                                           c -> '|' || c || '|'),
+                            'string_agg', '%') AS s
+      FROM words
+    )
+    {iters}
+    {stats}
+    """
+
+
+@register(
+    "bpe_merges",
+    _bpe_oracle(),
+    doc="BPE tokenizer training (the merge-learning loop of "
+        "byte-pair encoding) as a distributed iterative operator — "
+        "the tokenizer-side sibling of kmeans/PageRank: each of "
+        "{k} iterations counts adjacent symbol pairs over the "
+        "word-frequency table (weighted by word count — the standard "
+        "BPE reduction: corpus-size independent, vocabulary-sized "
+        "state), broadcasts the argmax pair (ties: count desc, pair "
+        "lex asc), and applies the merge with a greedy left-to-right "
+        "literal replace over delimiter-wrapped symbol strings "
+        "('|a|%|b|' -> '|ab|'; the wrapping makes adjacent "
+        "occurrences share no boundary chars, so both engines' "
+        "non-overlapping replace() is exactly BPE's greedy scan). "
+        "Fully declarative: the 3-step chain is one plan with three "
+        "broadcast argmax joins, no driver loop; the oracle is the "
+        "same recurrence unrolled in SQL. Output per step: learned "
+        "merge, its pair count, and the corpus symbol count after "
+        "applying it (monotonically decreasing).".format(k=_BPE_ITERS),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(word_tokens(F.lower(F.col("text"))))
+                      .alias("w"))
+             .filter(F.length("w") > 0))
+    # persist the word-frequency table: it is vocabulary-sized (the
+    # standard BPE reduction) and every iteration's pair count + stat
+    # subtree hangs off it — one corpus scan total, not one per subtree
+    words = (toks.groupBy("w")
+                 .agg(F.count("*").cast("bigint").alias("cnt"))
+                 .persist())
+    sym = words.withColumn(
+        "s", F.array_join(
+            F.transform(F.split("w", ""),
+                        lambda c: F.concat(F.lit("|"), c, F.lit("|"))),
+            "%"))
+    out_rows = []
+    for i in range(1, _BPE_ITERS + 1):
+        syms = F.split("s", "%")
+        prs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("aw"), b.alias("bw")))
+        pairs = (sym.select(F.explode(prs).alias("p"), "cnt")
+                    .groupBy("p.aw", "p.bw")
+                    .agg(F.sum("cnt").alias("n")))
+        bare = lambda c: F.expr(f"trim(BOTH '|' FROM {c})")
+        m = (pairs.orderBy(F.desc("n"), F.asc("aw"), F.asc("bw")).limit(1)
+                  .select(F.concat("aw", F.lit("%"), "bw").alias("_pat"),
+                          F.concat(F.lit("|"), bare("aw"), bare("bw"),
+                                   F.lit("|")).alias("_repl"),
+                          F.concat(bare("aw"), bare("bw"))
+                           .alias("_merged"),
+                          F.col("n").cast("bigint").alias("_n")))
+        sym = (sym.crossJoin(F.broadcast(m))
+                  .withColumn("s", F.replace("s", F.col("_pat"),
+                                             F.col("_repl"))))
+        stat = (sym.agg(
+                    F.sum(F.col("cnt") * F.size(F.split("s", "%")))
+                     .cast("bigint").alias("corpus_symbols_after"),
+                    F.first("_merged").alias("merged_symbol"),
+                    F.first("_n").alias("pair_count"))
+                .select(F.lit(i).cast("int").alias("step"),
+                        "merged_symbol", "pair_count",
+                        "corpus_symbols_after"))
+        out_rows.append(stat)
+        sym = sym.drop("_pat", "_repl", "_merged", "_n")
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
