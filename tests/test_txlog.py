@@ -395,3 +395,23 @@ def test_concurrent_mixed_ops_keep_log_consistent(spark, tmp_path):
         for rel in active:
             assert _os.path.isdir(_os.path.join(path, rel)), (v, rel)
         t.snapshot(version=v).count()  # readable
+
+
+def test_stream_txlog_sink_end_to_end(spark, tmp_path):
+    """A real writeStream through the txlog sink: a file-source stream
+    drains into a versioned table; every micro-batch is one committed
+    version with its replay token recorded, and the final snapshot
+    equals the batch input."""
+    from us_flight_delay_data_pipeline_spark.streaming.ingest import (
+        stream_txlog_sink,
+    )
+    src_dir = str(tmp_path / "src")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(src_dir)
+    stream = (spark.readStream.schema("k int, v string").parquet(src_dir))
+    q = stream_txlog_sink(stream, str(tmp_path / "table"),
+                          str(tmp_path / "ckpt"), query_id="t1")
+    q.awaitTermination()
+    t = TxTable(spark, str(tmp_path / "table"))
+    assert _vals(t.snapshot()) == [(1, "a"), (2, "b")]
+    tokens = [(m.get("meta") or {}).get("token") for m in t.history()]
+    assert all(tok and tok.startswith("t1/") for tok in tokens)

@@ -204,3 +204,28 @@ def stream_socket_json_source(spark: SparkSession, host: str,
         F.lit(0).alias("partition"),
         F.abs(F.xxhash64(F.col("value"))).alias("offset"),
         F.current_timestamp().alias("enqueued_at"))
+
+
+def stream_txlog_sink(df: DataFrame, table_path: str, checkpoint: str,
+                      query_id: str = "txsink",
+                      available_now: bool = True) -> StreamingQuery:
+    """Streaming sink into a transaction-log table with END-TO-END
+    exactly-once semantics: each micro-batch commits through
+    ``TxTable.commit_once`` with token ``{query_id}/{batch_id}``, so a
+    foreachBatch replay after a crash is a no-op instead of a
+    duplicate append (operators/txlog.py; pinned directly by
+    tests/test_txlog.py::test_foreach_batch_replay_via_commit_once).
+    Readers get snapshot isolation and time travel over the streamed
+    table for free — the txlog upgrade of the plain parquet appends
+    in ``stream_silver_foreach_batch``."""
+    from ..operators.txlog import TxTable
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        TxTable(batch_df.sparkSession, table_path).commit_once(
+            batch_df, token=f"{query_id}/{batch_id}")
+
+    writer = (df.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
