@@ -145,10 +145,20 @@ class TxTable:
                                  f"(have {vs[0]}..{vs[-1]})")
             return version
         if as_of_ts is not None:
-            ok = [v for v in vs if self._read_manifest(v)["ts"] <= as_of_ts]
-            if not ok:
+            # commit timestamps are monotonic (versions are totally
+            # ordered), so binary-search the newest manifest at or
+            # before the target — O(log n) manifest reads, not a scan
+            lo, hi, best = 0, len(vs) - 1, None
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                if self._read_manifest(vs[mid])["ts"] <= as_of_ts:
+                    best = vs[mid]
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            if best is None:
                 raise ValueError(f"no version at or before ts={as_of_ts}")
-            return ok[-1]
+            return best
         return vs[-1]
 
     def _state_at(self, version: int) \
