@@ -1292,3 +1292,77 @@ def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
                      "active_users", "n_events"))
 
 
+
+
+_SEMDEDUP_T = 0.45
+
+
+def _semdedup_oracle() -> str:
+    from .llm_ext import _cosine_sql
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH {_ivf_assign_sql()},
+    cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    prs AS (
+      SELECT a.c_id, b.vec_id AS dropped
+      FROM cells a JOIN cells b
+        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_SEMDEDUP_T}
+    ),
+    drops AS (
+      SELECT c_id, CAST(COUNT(DISTINCT dropped) AS BIGINT) AS n_dropped
+      FROM prs GROUP BY c_id
+    ),
+    sizes AS (
+      SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM cells GROUP BY c_id
+    )
+    SELECT s.c_id AS cell, s.n_vectors,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(s.n_vectors - COALESCE(d.n_dropped, 0) AS BIGINT)
+             AS n_survivors
+    FROM sizes s LEFT JOIN drops d ON s.c_id = d.c_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    _semdedup_oracle(),
+    doc="Semantic deduplication (SemDeDup, Abbas et al. 2023: "
+        "cluster-then-cosine): every embedding joins its max-cosine "
+        "IVF cell, and WITHIN each cell a vector is dropped when a "
+        "lower-id neighbor has cosine >= {t} (the greedy epsilon-ball "
+        "keep-first rule; dedup_clusters supplies transitive-closure "
+        "semantics when needed). The clustering is what makes it "
+        "scale: the quadratic pair scan is confined to one cell, so "
+        "cost is sum(|cell|^2) instead of corpus^2 and each cell "
+        "dedups in its own partition — at 100 TB cells are the IVF "
+        "partitioning already on disk. Output: per-cell funnel "
+        "(size, dropped, survivors).".format(t=_SEMDEDUP_T),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+    cells = _ivf_assign(spark, sf_dir)
+    a = cells.select(F.col("vec_id").alias("a_id"),
+                     F.col("embedding").alias("a_emb"),
+                     F.col("c_id"))
+    b = cells.select(F.col("vec_id").alias("b_id"),
+                     F.col("embedding").alias("b_emb"),
+                     F.col("c_id"))
+    prs = (a.join(b, "c_id")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(cosine_similarity(F.col("a_emb"), F.col("b_emb"))
+                    >= _SEMDEDUP_T)
+            .select("c_id", F.col("b_id").alias("dropped"))
+            .distinct())
+    drops = prs.groupBy("c_id").agg(
+        F.count("*").cast("bigint").alias("n_dropped"))
+    sizes = cells.groupBy("c_id").agg(
+        F.count("*").cast("bigint").alias("n_vectors"))
+    return (sizes.join(drops, "c_id", "left")
+            .select(F.col("c_id").alias("cell"), "n_vectors",
+                    F.coalesce("n_dropped", F.lit(0).cast("bigint"))
+                     .alias("n_dropped"),
+                    (F.col("n_vectors")
+                     - F.coalesce("n_dropped", F.lit(0).cast("bigint")))
+                    .cast("bigint").alias("n_survivors")))
