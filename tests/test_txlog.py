@@ -415,3 +415,38 @@ def test_stream_txlog_sink_end_to_end(spark, tmp_path):
     assert _vals(t.snapshot()) == [(1, "a"), (2, "b")]
     tokens = [(m.get("meta") or {}).get("token") for m in t.history()]
     assert all(tok and tok.startswith("t1/") for tok in tokens)
+
+
+def test_medallion_with_versioned_silver(spark, tmp_path):
+    """End-to-end medallion with the versioned silver sink: bronze
+    envelope -> silver v0; a corrected re-run overwrites to v1; gold
+    aggregates computed from the v0 snapshot are unaffected by v1
+    (the audit/rollback property the reference's Delta sink implies),
+    and the v1 gold reflects the correction."""
+    import sys, os as _os
+    sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from tests.flight_fixtures import bronze_df, encode_bodies, \
+        make_clean_rows
+    from us_flight_delay_data_pipeline_spark.plans.silver import (
+        silver_transform, write_silver_versioned)
+    from us_flight_delay_data_pipeline_spark.plans.gold import (
+        agg_carrier, derive_kpis)
+
+    rows = make_clean_rows(n=40, seed=3)
+    silver_v0 = silver_transform(bronze_df(spark, encode_bodies(rows)))
+    path = str(tmp_path / "silver")
+    write_silver_versioned(silver_v0, path)
+
+    corrected = make_clean_rows(n=40, seed=3)[:30]  # late correction
+    silver_v1 = silver_transform(bronze_df(spark, encode_bodies(corrected)))
+    write_silver_versioned(silver_v1, path)
+
+    t = TxTable(spark, path)
+    g0 = agg_carrier(derive_kpis(t.snapshot(version=0)))
+    g1 = agg_carrier(derive_kpis(t.snapshot()))
+    n0 = sum(r["total_arr_flights"] or 0 for r in g0.collect())
+    n1 = sum(r["total_arr_flights"] or 0 for r in g1.collect())
+    exp0 = sum(int(float(r["arr_flights"])) for r in rows)
+    exp30 = sum(int(float(r["arr_flights"])) for r in corrected)
+    assert n0 == exp0 and n1 == exp30 and n0 != n1
