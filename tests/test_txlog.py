@@ -450,3 +450,30 @@ def test_medallion_with_versioned_silver(spark, tmp_path):
     exp0 = sum(int(float(r["arr_flights"])) for r in rows)
     exp30 = sum(int(float(r["arr_flights"])) for r in corrected)
     assert n0 == exp0 and n1 == exp30 and n0 != n1
+
+
+def test_merge_multi_key(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "x", "old"), (1, "y", "keep"), (2, "x", "keep2")],
+        "k int, sub string, v string"))
+    t.merge(spark.createDataFrame(
+        [(1, "x", "NEW"), (3, "z", "ins")], "k int, sub string, v string"),
+        keys=["k", "sub"])
+    got = sorted((r.k, r.sub, r.v) for r in t.snapshot().collect())
+    assert got == [(1, "x", "NEW"), (1, "y", "keep"),
+                   (2, "x", "keep2"), (3, "z", "ins")]
+
+
+def test_changes_after_restore_shows_reinserts(spark, tmp_path):
+    """CDF semantics of RESTORE: the restore commit re-adds the old
+    dirs, so changes() reports their rows as inserts at the restore
+    version and the displaced rows as deletes — exactly what an
+    incremental consumer must apply to follow a rollback."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))     # v0
+    t.overwrite(_df(spark, [(2, "b")]))  # v1
+    t.restore(0)                          # v2
+    rows = sorted((r.k, r._change_type, r._commit_version)
+                  for r in t.changes(1).collect())
+    assert rows == [(1, "insert", 2), (2, "delete", 2)]
