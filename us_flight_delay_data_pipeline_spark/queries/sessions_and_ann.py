@@ -736,15 +736,23 @@ def _pq_assign_codes(vectors, codebook, vec_col="nv", id_col="vec_id"):
     a per-subspace explode — reduced by a single groupBy with M
     struct-min aggregates (tie -> lowest k, identical to ORDER BY
     dist, k). Measured ~30x faster than the exploded form at sf0.1.
-    Requires full-width codewords (same k-set for every subspace)."""
-    sq = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    ds = F.array(*[
-        sq(F.slice(vec_col, m * _PQ_SUB + 1, _PQ_SUB),
-           F.slice("cv", m * _PQ_SUB + 1, _PQ_SUB))
-        for m in range(_PQ_M)])
-    combos = vectors.crossJoin(F.broadcast(codebook))                     .select(id_col, "k", ds.alias("ds"))
+    Requires full-width codewords (same k-set for every subspace).
+
+    The squared-diff vector materializes as ONE bound column before
+    the per-subspace sums slice it: Catalyst has no CSE for
+    higher-order-function lambdas, so 8 independent
+    zip_with(slice, slice) calls would redo the element multiplies
+    per subspace — binding ``_d2`` computes the 64 of them once per
+    (vec, codeword) row (~15% on the PQ family at sf0.1; subspace
+    sums still fold in ascending order, so codes stay bit-exact)."""
+    combos = (vectors.crossJoin(F.broadcast(codebook))
+              .withColumn("_d2", F.zip_with(vec_col, "cv",
+                                            lambda x, c: (x - c) * (x - c)))
+              .select(id_col, "k",
+                      F.array(*[F.aggregate(
+                          F.slice("_d2", m * _PQ_SUB + 1, _PQ_SUB),
+                          F.lit(0.0), lambda acc, x: acc + x)
+                          for m in range(_PQ_M)]).alias("ds")))
     aggs = [F.min(F.struct(F.col("ds")[m].alias("d"),
                            F.col("k").alias("k"))).alias(f"b{m}")
             for m in range(_PQ_M)]
