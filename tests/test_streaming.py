@@ -107,3 +107,38 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == len(bodies)
     assert got.select("body_md5").distinct().count() == len(bodies)
+
+
+def test_stream_restart_processes_only_new_files(spark, tmp_path):
+    """Crash/deploy recovery with NEW data: wave 1 streams and stops;
+    wave 2 lands; a restart against the same checkpoint processes
+    ONLY wave 2 (no reprocessing, no loss) and the final silver
+    equals the batch transform of both waves."""
+    from pyspark.sql import functions as F
+    from tests.flight_fixtures import encode_bodies, make_clean_rows
+
+    src_dir = str(tmp_path / "bronze")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def land(rows, mode):
+        bodies = encode_bodies(rows)
+        df = spark.createDataFrame(
+            [(b, str(i % 4), i, None) for i, b in enumerate(bodies)],
+            ENVELOPE_SCHEMA).withColumn("enqueued_at",
+                                        F.current_timestamp())
+        df.repartition(2).write.mode(mode).parquet(src_dir)
+
+    land(make_clean_rows(40, seed=1), "overwrite")
+    stream_silver(stream_envelope_source(spark, src_dir), out, ckpt,
+                  available_now=True).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    land(make_clean_rows(25, seed=2), "append")
+    stream_silver(stream_envelope_source(spark, src_dir), out, ckpt,
+                  available_now=True).awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 65  # 40 kept (not reprocessed) + 25 new
+    want = silver_transform(spark.read.parquet(src_dir))
+    assert got.agg(F.sum("arr_flights")).collect() == \
+        want.agg(F.sum("arr_flights")).collect()

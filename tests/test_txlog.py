@@ -477,3 +477,39 @@ def test_changes_after_restore_shows_reinserts(spark, tmp_path):
     rows = sorted((r.k, r._change_type, r._commit_version)
                   for r in t.changes(1).collect())
     assert rows == [(1, "insert", 2), (2, "delete", 2)]
+
+
+def test_long_log_checkpoints_vacuum_restore_chain(spark, tmp_path):
+    """Long-log stress: 40 commits across 4 checkpoints, mixed
+    appends/overwrites/deletes, then restore to a mid-chain version,
+    vacuum, and verify every still-reachable snapshot — the
+    maintenance lifecycle a long-lived table actually sees."""
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_every=10,
+                stats_cols=("k",))
+    import os as _os
+    expected_latest = {}
+    state: dict = {}
+    for i in range(40):
+        if i % 7 == 3:
+            t.overwrite(_df(spark, [(i, "o")]))
+            state = {i: "o"}
+        elif i % 11 == 5:
+            t.delete_where(f"k = {i - 1}")
+            state.pop(i - 1, None)
+        else:
+            t.append(_df(spark, [(i, "a")]))
+            state[i] = state.get(i, "a")
+        expected_latest[i] = dict(state)
+    cks = [f for f in _os.listdir(t.log_dir) if f.endswith(".ckpt.json")]
+    assert len(cks) == 4
+    # spot-check three historical snapshots against the model
+    for v in (9, 24, 39):
+        got = {r.k: r.v for r in t.snapshot(version=v).collect()}
+        assert got == expected_latest[v], v
+    # restore to v24, then vacuum everything but the last 2 versions
+    t.restore(24)
+    assert {r.k: r.v for r in t.snapshot().collect()} \
+        == expected_latest[24]
+    t.vacuum(retain_last=2)
+    assert {r.k: r.v for r in t.snapshot().collect()} \
+        == expected_latest[24]
