@@ -55,3 +55,36 @@ def test_upsert_idempotent(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 2
     assert got.filter(F.col("k") == 2).collect()[0].v == 20.0
+
+
+def test_upsert_many_touched_partitions_no_driver_collect(spark, tmp_path):
+    """The round-2 rewrite replaced the driver-side collect of touched
+    partition values with a broadcast semi-join prune; this drives the
+    scenario that motivated it — a delta touching MANY partitions —
+    and checks untouched partitions survive byte-identically."""
+    from pyspark.sql import functions as F
+    from us_flight_delay_data_pipeline_spark.operators.upsert import (
+        upsert_partitioned_parquet,
+    )
+    path = str(tmp_path / "t")
+    base = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("part"),
+        F.lit("old").alias("v"))
+    base.write.partitionBy("part").parquet(path)
+    # delta touches 40 of 50 partitions: update half the keys, add new
+    updates = spark.range(0, 160, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("part"),
+        F.lit("new").alias("v")).filter(F.col("part") < 40)
+    upsert_partitioned_parquet(spark, path, updates, keys=["k"],
+                               partition_col="part")
+    got = spark.read.parquet(path)
+    upd_keys = {r.k for r in updates.collect()}
+    for r in got.collect():
+        expect = "new" if r.k in upd_keys else "old"
+        assert r.v == expect, (r.k, r.part, r.v)
+    # untouched partitions (part >= 40) still fully present and old
+    assert got.filter("part >= 40").count() == \
+        base.filter("part >= 40").count()
+    assert got.filter("part >= 40 and v != 'old'").count() == 0
