@@ -314,3 +314,57 @@ def asof_prev_part_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_sec=_ASOF_90D, strict=True)
     return out.select("l_partkey", "l_shipdate",
                       F.col("asof_l_shipdate").alias("prev_shipdate"))
+
+
+_IVL_W_SEC = 30 * 86400  # band bound: synthesized transit <= 30 days
+
+
+@register(
+    "interval_overlap_pairs",
+    """
+    WITH iv AS (
+      SELECT l_partkey,
+             CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
+             epoch_us(l_shipdate) // 1000000 AS s,
+             epoch_us(l_shipdate
+                      + INTERVAL ((l_quantity::INT % 28) + 2) DAY)
+               // 1000000 AS e
+      FROM lineitem
+    )
+    SELECT a.l_partkey,
+           a.line_id AS a_line_id, b.line_id AS b_line_id,
+           a.s AS a_start_sec, b.s AS b_start_sec,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+             AS overlap_sec
+    FROM iv a JOIN iv b
+      ON a.l_partkey = b.l_partkey AND a.line_id < b.line_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+    doc="Interval overlap join [EXT] (the range-join sibling of the "
+        "as-of join): pairs of same-part shipments whose in-transit "
+        "windows [shipdate, shipdate + quantity-derived transit days] "
+        "overlap. The operator (operators/intervals.py) is the banded "
+        "range join: with interval length bounded by L, bucket width "
+        "W >= L makes overlap imply starts within one bucket of each "
+        "other, so the probe side explodes to its 3 neighboring "
+        "buckets, the build side keeps its home bucket, and the join "
+        "is pure equi on (part, bucket) — per-task fan-out bounded by "
+        "rows-per-(part, 30-day bucket), never |part history|^2, and "
+        "each qualifying pair meets in exactly one bucket (no dedup "
+        "pass). The oracle is the declarative O(n^2-per-key) "
+        "range-predicate join — same rows, different physical plan.",
+)
+def interval_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_overlap_pairs
+    li = load_table(spark, sf_dir, "lineitem")
+    transit_days = (F.col("l_quantity").cast("int") % 28) + 2
+    iv = li.select(
+        "l_partkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint").alias("line_id"),
+        F.col("l_shipdate").alias("ivl_start"),
+        F.timestamp_add("DAY", transit_days, F.col("l_shipdate"))
+         .alias("ivl_end"))
+    return interval_overlap_pairs(
+        iv, on="l_partkey", start="ivl_start", end="ivl_end",
+        id_col="line_id", max_len_sec=_IVL_W_SEC)

@@ -1374,3 +1374,78 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_vectors")
                      - F.coalesce("n_dropped", F.lit(0).cast("bigint")))
                     .cast("bigint").alias("n_survivors")))
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH {_ivf_assign_sql()},
+    cells AS (
+      SELECT a.vec_id, a.embedding, a.c_id, e.label
+      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, c_id AS q_cell,
+                 label AS q_label
+          FROM cells WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             CASE WHEN c.label = q.q_label THEN 0 ELSE 1 END AS is_negative,
+             list_sum(list_transform(
+                 list_zip(q.qv::DOUBLE[], c.embedding::DOUBLE[]),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in q.qv]))
+                  * sqrt(list_sum([x::DOUBLE * x::DOUBLE
+                                   for x in c.embedding]))) AS cosine
+      FROM q JOIN cells c ON c.c_id = q.q_cell AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, is_negative, rank, round(cosine, 6) AS cosine
+    FROM (SELECT q_id, neighbor_id, is_negative, cosine,
+                 row_number() OVER (PARTITION BY q_id, is_negative
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM sims)
+    WHERE rank <= 3
+    """,
+    doc="Hard-negative mining for contrastive training [EXT]: for "
+        "each query vector, the highest-cosine candidates from its "
+        "IVF cell split by label agreement — top-3 same-label "
+        "(positives) and top-3 different-label (HARD negatives, the "
+        "near-miss samples that dominate the contrastive gradient; "
+        "random negatives are trivially easy). Candidate generation "
+        "is the cell equi-join (cost nprobe/nlist of the corpus per "
+        "query, identical to ann_ivf_topk); the split is one extra "
+        "grouped window over (query, side). At 100 TB the corpus is "
+        "cell-partitioned on disk, so mining a batch of queries reads "
+        "only the probed cells — this is how retrieval-model training "
+        "data (e.g. DPR-style) is mined at corpus scale.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import vec_dot, vec_norm
+    labels = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label")
+    cells = (_ivf_assign(spark, sf_dir)
+             .join(labels, "vec_id")
+             .withColumn("nrm", vec_norm(F.col("embedding"))))
+    q = (cells.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("qv"),
+                      F.col("c_id").alias("q_cell"),
+                      F.col("label").alias("q_label"),
+                      F.col("nrm").alias("qnrm")))
+    sims = (cells.join(F.broadcast(q), (F.col("c_id") == F.col("q_cell"))
+                       & (F.col("vec_id") != F.col("q_id")))
+                 .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                         F.when(F.col("label") == F.col("q_label"), 0)
+                          .otherwise(1).cast("int").alias("is_negative"),
+                         (vec_dot(F.col("qv"), F.col("embedding"))
+                          / (F.col("qnrm") * F.col("nrm")))
+                         .alias("cosine")))
+    w = Window.partitionBy("q_id", "is_negative") \
+              .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3)
+                .select("q_id", "neighbor_id", "is_negative", "rank",
+                        F.round("cosine", 6).alias("cosine")))

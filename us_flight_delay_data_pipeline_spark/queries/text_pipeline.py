@@ -814,6 +814,57 @@ def _bpe_oracle() -> str:
     """
 
 
+def _bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-frequency table BPE trains on (vocabulary-sized — the
+    standard BPE reduction; persist() so every iteration's subtree
+    reuses one corpus scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(word_tokens(F.lower(F.col("text"))))
+                      .alias("w"))
+             .filter(F.length("w") > 0))
+    return (toks.groupBy("w")
+                .agg(F.count("*").cast("bigint").alias("cnt"))
+                .persist())
+
+
+def _bpe_sym0(words: DataFrame) -> DataFrame:
+    """Initial symbolization: each word as '|c|%|c|%...' (delimiter-
+    wrapped chars so greedy replace() is exactly BPE's merge scan)."""
+    return words.withColumn(
+        "s", F.array_join(
+            F.transform(F.split("w", ""),
+                        lambda c: F.concat(F.lit("|"), c, F.lit("|"))),
+            "%"))
+
+
+def _bpe_one_merge(sym: DataFrame) -> DataFrame:
+    """One BPE iteration: count adjacent symbol pairs (weighted by
+    word count), broadcast the argmax pair (ties: count desc, pair lex
+    asc), apply the greedy left-to-right replace. Returns sym with the
+    merge metadata still attached (_pat/_repl/_merged/_n) — callers
+    read what they need, then drop."""
+    syms = F.split("s", "%")
+    prs = F.zip_with(
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
+        lambda a, b: F.struct(a.alias("aw"), b.alias("bw")))
+    pairs = (sym.select(F.explode(prs).alias("p"), "cnt")
+                .groupBy("p.aw", "p.bw")
+                .agg(F.sum("cnt").alias("n")))
+    bare = lambda c: F.expr(f"trim(BOTH '|' FROM {c})")
+    m = (pairs.orderBy(F.desc("n"), F.asc("aw"), F.asc("bw")).limit(1)
+              .select(F.concat("aw", F.lit("%"), "bw").alias("_pat"),
+                      F.concat(F.lit("|"), bare("aw"), bare("bw"),
+                               F.lit("|")).alias("_repl"),
+                      F.concat(bare("aw"), bare("bw"))
+                       .alias("_merged"),
+                      F.col("n").cast("bigint").alias("_n")))
+    return (sym.crossJoin(F.broadcast(m))
+               .withColumn("s", F.replace("s", F.col("_pat"),
+                                          F.col("_repl"))))
+
+
 @register(
     "bpe_merges",
     _bpe_oracle(),
@@ -836,43 +887,11 @@ def _bpe_oracle() -> str:
         "applying it (monotonically decreasing).".format(k=_BPE_ITERS),
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = (d.filter(F.length(F.trim("text")) > 0)
-             .select(F.explode(word_tokens(F.lower(F.col("text"))))
-                      .alias("w"))
-             .filter(F.length("w") > 0))
-    # persist the word-frequency table: it is vocabulary-sized (the
-    # standard BPE reduction) and every iteration's pair count + stat
-    # subtree hangs off it — one corpus scan total, not one per subtree
-    words = (toks.groupBy("w")
-                 .agg(F.count("*").cast("bigint").alias("cnt"))
-                 .persist())
-    sym = words.withColumn(
-        "s", F.array_join(
-            F.transform(F.split("w", ""),
-                        lambda c: F.concat(F.lit("|"), c, F.lit("|"))),
-            "%"))
+    words = _bpe_word_table(spark, sf_dir)
+    sym = _bpe_sym0(words)
     out_rows = []
     for i in range(1, _BPE_ITERS + 1):
-        syms = F.split("s", "%")
-        prs = F.zip_with(
-            F.slice(syms, 1, F.size(syms) - 1),
-            F.slice(syms, 2, F.size(syms) - 1),
-            lambda a, b: F.struct(a.alias("aw"), b.alias("bw")))
-        pairs = (sym.select(F.explode(prs).alias("p"), "cnt")
-                    .groupBy("p.aw", "p.bw")
-                    .agg(F.sum("cnt").alias("n")))
-        bare = lambda c: F.expr(f"trim(BOTH '|' FROM {c})")
-        m = (pairs.orderBy(F.desc("n"), F.asc("aw"), F.asc("bw")).limit(1)
-                  .select(F.concat("aw", F.lit("%"), "bw").alias("_pat"),
-                          F.concat(F.lit("|"), bare("aw"), bare("bw"),
-                                   F.lit("|")).alias("_repl"),
-                          F.concat(bare("aw"), bare("bw"))
-                           .alias("_merged"),
-                          F.col("n").cast("bigint").alias("_n")))
-        sym = (sym.crossJoin(F.broadcast(m))
-                  .withColumn("s", F.replace("s", F.col("_pat"),
-                                             F.col("_repl"))))
+        sym = _bpe_one_merge(sym)
         stat = (sym.agg(
                     F.sum(F.col("cnt") * F.size(F.split("s", "%")))
                      .cast("bigint").alias("corpus_symbols_after"),
@@ -887,3 +906,85 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _bpe_encode_oracle() -> str:
+    iters = "".join("," + _bpe_iter_sql(f"sym{i-1}" if i > 1 else "sym0", i)
+                    for i in range(1, _BPE_ITERS + 1))
+    return f"""
+    WITH dtoks AS (
+      SELECT doc_id, unnest({_tok_sql()}) AS w FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    dwords AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM dtoks
+      WHERE length(w) > 0 GROUP BY doc_id, w
+    ),
+    words AS (
+      SELECT w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM dwords GROUP BY w
+    ),
+    sym0 AS (
+      SELECT w, cnt,
+             list_aggregate(list_transform(string_split(w, ''),
+                                           c -> '|' || c || '|'),
+                            'string_agg', '%') AS s
+      FROM words
+    )
+    {iters},
+    enc AS (
+      SELECT w, CAST(len(string_split(s, '%')) AS BIGINT) AS n_sym
+      FROM sym{_BPE_ITERS}
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(d.cnt * len(d.w)) AS BIGINT) AS n_chars_tok,
+           CAST(SUM(d.cnt * e.n_sym) AS BIGINT) AS n_tokens
+    FROM dwords d JOIN enc e ON d.w = e.w
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "bpe_encode_docs",
+    _bpe_encode_oracle(),
+    doc="BPE ENCODE — apply the merges bpe_merges learned to tokenize "
+        "the corpus (the other half of the tokenizer lifecycle: train "
+        "once, encode everything): the same {k}-step merge recurrence "
+        "runs over the vocabulary-sized word table, each word's final "
+        "symbol count is its encoded token length, and documents get "
+        "their token counts by joining their (word, count) profile to "
+        "that word->length map — the corpus is never re-scanned per "
+        "merge, and the join key is the word, so the encode cost is "
+        "corpus-pass + vocab-sized iterations, which is why real "
+        "tokenizers precompute word->tokens caches. Output per doc: "
+        "whitespace-token count, pre-merge symbol (char) count, and "
+        "post-merge BPE token count — n_tokens/n_chars_tok is the "
+        "compression the learned merges bought; the per-doc "
+        "tokens-per-doc histogram is what a pretraining pipeline "
+        "feeds the sequence packer (pack_sequences)."
+        .format(k=_BPE_ITERS),
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dtoks = (d.filter(F.length(F.trim("text")) > 0)
+              .select("doc_id",
+                      F.explode(word_tokens(F.lower(F.col("text"))))
+                       .alias("w"))
+              .filter(F.length("w") > 0))
+    dwords = (dtoks.groupBy("doc_id", "w")
+                   .agg(F.count("*").cast("bigint").alias("cnt"))
+                   .persist())
+    words = dwords.groupBy("w").agg(F.sum("cnt").cast("bigint")
+                                     .alias("cnt"))
+    sym = _bpe_sym0(words)
+    for _ in range(_BPE_ITERS):
+        sym = _bpe_one_merge(sym).drop("_pat", "_repl", "_merged", "_n")
+    enc = sym.select("w", F.size(F.split("s", "%")).cast("bigint")
+                          .alias("n_sym"))
+    return (dwords.join(enc, "w")
+                  .groupBy("doc_id")
+                  .agg(F.sum("cnt").cast("bigint").alias("n_words"),
+                       F.sum(F.col("cnt") * F.length("w")).cast("bigint")
+                        .alias("n_chars_tok"),
+                       F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint")
+                        .alias("n_tokens")))
