@@ -183,3 +183,65 @@ def jaccard_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         threshold=_PROBE_T, mode="overwrite")
     return dedup_against_jaccard_index(batch, path, block_col="lang",
                                        threshold=_PROBE_T)
+
+
+@register(
+    "copurchase_triangles",
+    """
+    WITH inst AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cop AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+      FROM inst a JOIN inst b ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT p1 AS a, p2 AS b FROM cop WHERE n >= 2),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+                THEN 3.0 * (SELECT n_triangles FROM tri)
+                     / (SELECT SUM(d * (d - 1) // 2) FROM deg)::DOUBLE
+           END AS clustering
+    """,
+    doc="Triangle census (operators/graph.py::triangle_count) over "
+        "the part co-purchase graph: parts are linked when they "
+        "co-occur in >= 2 distinct orders (the support floor prunes "
+        "coincidental co-occurrence, which is also what keeps the "
+        "graph sparse as the corpus grows). The Spark side is the "
+        "distributed degree-ordered orientation (each edge points "
+        "low->high (degree, id); wedge join on source + closing-edge "
+        "join counts each triangle exactly once, with out-degrees "
+        "bounded ~sqrt(m) even on skewed graphs — the MR-"
+        "NodeIterator++ shape); the oracle enumerates id-ordered "
+        "triangles declaratively — different physical strategy, "
+        "provably the same census. Per-order pair fan-out is bounded "
+        "by lines-per-order (<= 7), so edge building is linear. "
+        "Output: node/edge/wedge/triangle counts + global clustering "
+        "coefficient (one double division of exact ints).",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("p2"))
+    cop = (li.join(b, (F.col("l_orderkey") == F.col("_ok"))
+                   & (F.col("l_partkey") < F.col("p2")))
+             .groupBy(F.col("l_partkey").alias("p1"), "p2")
+             .agg(F.count("*").alias("n")))
+    edges = cop.filter(F.col("n") >= 2).select("p1", "p2")
+    return triangle_count(edges, a="p1", b="p2")
