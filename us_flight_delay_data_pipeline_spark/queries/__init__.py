@@ -57,4 +57,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import pretrain  # noqa: F401
     from . import transactions  # noqa: F401
     from . import streaming_gated  # noqa: F401
+    from . import corpus_lm  # noqa: F401
     return REGISTRY
