@@ -138,11 +138,23 @@ def test_media_fanout_is_arrow_batched(q):
 
 def test_no_python_udfs_in_any_query(q):
     """Every registered query must stay JVM-side — zero Python worker
-    round-trips in the hot path (SURVEY.md §2.9 contract)."""
+    round-trips in the hot path (SURVEY.md §2.9 contract). The ONE
+    exemption is doc_chunks_udtf, the sanctioned Python-UDTF surface
+    demo (queries/udtf_surface.py) — checked separately below."""
     for name in REGISTRY:
+        if name == "doc_chunks_udtf":
+            continue
         p = plan(q(name), "simple")
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
+
+
+def test_udtf_demo_is_arrow_batched(q):
+    """The sanctioned UDTF query must plan the Arrow-optimized node —
+    a row-pickling BatchEvalPythonUDTF fallback is a regression."""
+    p = plan(q("doc_chunks_udtf"), "simple")
+    assert "ArrowEvalPythonUDTF" in p
+    assert "BatchEvalPythonUDTF" not in p
 
 
 def test_q2_shape_broadcasts_all_dimensions(q):

@@ -58,4 +58,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import transactions  # noqa: F401
     from . import streaming_gated  # noqa: F401
     from . import corpus_lm  # noqa: F401
+    from . import udtf_surface  # noqa: F401
     return REGISTRY

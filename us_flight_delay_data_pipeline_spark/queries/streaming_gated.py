@@ -118,3 +118,53 @@ def stream_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drain_to_memory(deduped, "append")
     return (out.groupBy("lang")
                .agg(F.count("*").alias("n_unique_docs")))
+
+
+@register(
+    "stream_stream_join_gated",
+    f"""
+    WITH v AS (SELECT user_id, ts AS view_ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts AS buy_ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT v.user_id, COUNT(*) AS n_attributed,
+           CAST(SUM(CAST(p.value AS DECIMAL(38,6))) AS DOUBLE)
+             AS attributed_value
+    FROM v JOIN p ON v.user_id = p.user_id
+      AND p.buy_ts >= v.view_ts
+      AND p.buy_ts <= v.view_ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+    doc="Stream-STREAM join under the oracle gate (the missing §2.10 "
+        "join shape): two file-source streams over the same events "
+        "parquet — views and purchases — joined on user with an "
+        "event-time range (purchase within 30 min after the view, the "
+        "attribution-window join), both sides watermarked so the "
+        "state store can evict rows older than the join window, "
+        "drained with availableNow and rolled up in batch. The value "
+        "hash must equal the batch time-range join, pinning the "
+        "streaming join's buffering/matching semantics. At 100 TB "
+        "the watermark bound is what keeps join state finite: each "
+        "side holds only the last 30+delta minutes of rows per "
+        "shuffle partition, independent of stream length.",
+)
+def stream_stream_join_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (_stream_source(spark, sf_dir, "events")
+             .filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 hour"))
+    buys = (_stream_source(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("ts").alias("buy_ts"), "value")
+            .withWatermark("buy_ts", "1 hour"))
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")))
+    out = _drain_to_memory(joined, "append")
+    return (out.groupBy("user_id")
+               .agg(F.count("*").alias("n_attributed"),
+                    F.sum(F.col("value").cast("decimal(38,6)"))
+                     .cast("double").alias("attributed_value")))

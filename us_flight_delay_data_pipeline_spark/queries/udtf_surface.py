@@ -1,0 +1,95 @@
+"""[EXT] Python UDTF surface (SURVEY.md §2.9) — the ONE sanctioned
+user-defined TABLE function, mirroring the one sanctioned
+``applyInPandas`` demo (``user_value_trend``).
+
+The repo's contract is zero Python in the hot path: every production
+operator is native Catalyst expressions, and the registry-wide plan
+audit enforces it. But a complete engine exposes the 1-row-to-N-rows
+Python extension point too (Spark 4 Python UDTFs, Arrow-batched), so
+this module carries exactly one query exercising it under the full
+DuckDB differential gate — same chunking semantics as the native
+``doc_chunks``, so the two serve as each other's cross-check and the
+native query documents what the fast path looks like.
+
+The plan audit (tests/test_plan_audit.py) exempts exactly this query
+from the no-Python rule and instead asserts the Arrow-optimized node
+(``ArrowEvalPythonUDTF``) is used — a row-pickling ``BatchEvalPython``
+fallback is still a failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+from ..sources.registry import load_table
+from . import register
+from .llm_ext import _CHUNK_STRIDE, _CHUNK_TOKENS, _tok_sql
+
+
+@register(
+    "doc_chunks_udtf",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, g.i::INT AS chunk_idx,
+             toks[(g.i::INT * {_CHUNK_STRIDE} + 1):
+                  (g.i::INT * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})] AS chunk
+      FROM sized,
+           LATERAL (SELECT unnest(range(0,
+                      greatest(1, ceil((n - {_CHUNK_TOKENS}) /
+                                       {_CHUNK_STRIDE}.0)::BIGINT + 1))) AS i) g
+    )
+    SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks WHERE len(chunk) > 0
+    """,
+    doc="Python UDTF surface (§2.9): sliding-window chunking as an "
+        "Arrow-batched user-defined table function in a LATERAL join "
+        "— deliberately the same semantics as the native doc_chunks "
+        "so the differential gate pins the UDTF row-expansion "
+        "machinery itself (1-to-N lateral, schema contract, Arrow "
+        "transfer) against both DuckDB and the native twin. This is "
+        "the sanctioned slow-path demo: at 100 TB you use doc_chunks "
+        "(pure codegen explode); the UDTF exists because a complete "
+        "engine must offer the Python table-function extension point "
+        "for logic Catalyst genuinely cannot express.",
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="chunk_idx: int, n_tokens: bigint, chunk_md5: string")
+    class ChunkDoc:
+        # mirrors the oracle exactly: trim+lower, \s+ split, 64-token
+        # windows at stride 48, md5 of the space-joined chunk
+        def eval(self, text: str):
+            import hashlib
+            import math
+            import re
+            toks = re.split(r"\s+", text.strip().lower())
+            n = len(toks)
+            if n == 0:
+                return
+            n_chunks = max(1, math.ceil((n - _CHUNK_TOKENS)
+                                        / _CHUNK_STRIDE) + 1)
+            for i in range(n_chunks):
+                chunk = toks[i * _CHUNK_STRIDE:i * _CHUNK_STRIDE
+                             + _CHUNK_TOKENS]
+                if chunk:
+                    joined = " ".join(chunk)
+                    yield (i, len(chunk),
+                           hashlib.md5(joined.encode("utf-8")).hexdigest())
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.chunk_idx, t.n_tokens, t.chunk_md5 "
+        "FROM _udtf_docs d, LATERAL chunk_doc_udtf(d.text) t")
