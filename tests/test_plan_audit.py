@@ -149,6 +149,16 @@ def test_no_python_udfs_in_any_query(q):
         assert "ArrowEvalPython" not in p, name
 
 
+def test_group_topk_uses_window_group_limit(q):
+    """rank<=k window filters must plan WindowGroupLimit (Spark's
+    per-group partial top-k): each map task keeps only k rows per
+    group BEFORE the shuffle, so a 100 TB ranked-filter never
+    materializes full ranked groups."""
+    for name in ("top_parts_per_brand", "ann_bruteforce_topk"):
+        p = plan(q(name), "simple")
+        assert "WindowGroupLimit" in p, name
+
+
 def test_udtf_demo_is_arrow_batched(q):
     """The sanctioned UDTF query must plan the Arrow-optimized node —
     a row-pickling BatchEvalPythonUDTF fallback is a regression."""

@@ -156,8 +156,14 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("vec_id").alias("c_id"),
                      F.col("embedding").alias("cv"),
                      vec_norm(F.col("embedding")).alias("cnrm")))
-    scored = (e.select("vec_id", "embedding",
-                       vec_norm(F.col("embedding")).alias("nrm"))
+    # rebalance: the byte-tiny embeddings scan plans 1-2 partitions,
+    # and the 16-centroid scoring below is CPU-bound per row — spread
+    # to cluster width before the crossJoin (same rationale and
+    # measured effect as _normed_vectors)
+    from ..functions.core import rebalance
+    scored = (rebalance(e)
+                .select("vec_id", "embedding",
+                        vec_norm(F.col("embedding")).alias("nrm"))
                 .crossJoin(F.broadcast(cent))
                 .withColumn("sim",
                             vec_dot(F.col("embedding"), F.col("cv"))
@@ -718,10 +724,18 @@ def _normed_vectors(emb):
     """(vec_id, nv): L2-normalized double vectors. Normalizing first
     makes PQ's L2 distances rank identically to cosine (||a-b||^2 =
     2 - 2cos on unit vectors) — without it a 16-entry codebook
-    quantizes magnitude instead of direction and recall collapses."""
+    quantizes magnitude instead of direction and recall collapses.
+
+    Rebalanced first: the embeddings file is tiny in BYTES (float
+    arrays), so the scan plans 1-2 partitions, and everything a PQ
+    query does downstream — normalize, 128-entry codebook scoring,
+    dimension explodes — is CPU-bound per ROW. One cheap rebalance of
+    the raw vectors buys full cluster width for the whole family
+    (measured 2.3x on pq_encode_trained at sf0.1)."""
+    from ..functions.core import rebalance
     from ..functions.vectors import vec_norm
-    v = emb.select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("ev"))
+    v = rebalance(emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev"))
     return (v.withColumn("nrm", vec_norm(F.col("ev")))
              .select("vec_id",
                      F.transform("ev", lambda x: x / F.col("nrm"))
@@ -1349,20 +1363,25 @@ def _semdedup_oracle() -> str:
         "(size, dropped, survivors).".format(t=_SEMDEDUP_T),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine_similarity
-    cells = _ivf_assign(spark, sf_dir)
-    a = cells.select(F.col("vec_id").alias("a_id"),
-                     F.col("embedding").alias("a_emb"),
-                     F.col("c_id"))
-    b = cells.select(F.col("vec_id").alias("b_id"),
-                     F.col("embedding").alias("b_emb"),
-                     F.col("c_id"))
-    prs = (a.join(b, "c_id")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .filter(cosine_similarity(F.col("a_emb"), F.col("b_emb"))
-                    >= _SEMDEDUP_T)
-            .select("c_id", F.col("b_id").alias("dropped"))
-            .distinct())
+    from ..functions.vectors import vec_dot, vec_norm
+    from ..operators.skew import all_pairs_within_block
+    # persist: the assignment subtree feeds pairs AND sizes; norms are
+    # precomputed per ROW so the quadratic scan pays one dot product
+    # per pair instead of dot + two norms (sqrt(sa)*sqrt(sb) is the
+    # same double product either way — bit-identical to the oracle)
+    cells = (_ivf_assign(spark, sf_dir)
+             .withColumn("nrm", vec_norm(F.col("embedding")))
+             .persist())
+    # in-cell all-pairs via bucket fan-out: a plain self-join on c_id
+    # caps parallelism at n_cells tasks and each cell's O(n^2) scan
+    # serializes — CPU-quadratic skew AQE cannot split
+    joined = all_pairs_within_block(cells, "c_id", "vec_id")
+    sim = (vec_dot(F.col("a.embedding"), F.col("b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    prs = (joined.filter(sim >= _SEMDEDUP_T)
+                 .select(F.col("a.c_id").alias("c_id"),
+                         F.col("b.vec_id").alias("dropped"))
+                 .distinct())
     drops = prs.groupBy("c_id").agg(
         F.count("*").cast("bigint").alias("n_dropped"))
     sizes = cells.groupBy("c_id").agg(
