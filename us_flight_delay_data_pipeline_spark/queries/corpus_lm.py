@@ -221,6 +221,68 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_curriculum",
+    """
+    WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h
+    ),
+    b AS (
+      SELECT MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q2,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+      FROM cum
+    )
+    SELECT CASE WHEN d.n_chars <= b.q1 THEN 0
+                WHEN d.n_chars <= b.q2 THEN 1
+                WHEN d.n_chars <= b.q3 THEN 2
+                ELSE 3 END::INT AS bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d CROSS JOIN b
+    GROUP BY 1
+    """,
+    doc="Length-curriculum binning: EXACT document-length quartiles "
+        "as order statistics (smallest value whose cumulative count "
+        "reaches ceil(qN) — pure integer ranks, no interpolated "
+        "percentile whose float formula could differ between "
+        "engines), then every doc assigned its quartile bucket — the "
+        "sequence-length curriculum / length-bucketed batching prep "
+        "step. Scale shape: the cumulative count runs over the "
+        "VALUE HISTOGRAM (bounded by the length domain, not corpus "
+        "size) through operators/prefix.py's two-pass distributed "
+        "prefix sum — no single-partition window — and the 1-row "
+        "boundary table broadcasts into a map-side bucket assign.",
+)
+def length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import with_global_running
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    cum = with_global_running(h, [F.col("n_chars")], sum_col="c",
+                              cum_name="cum", totals=True)
+    bounds = cum.agg(
+        F.expr("MIN(CASE WHEN cum >= (_sum_total + 3) DIV 4 "
+               "THEN n_chars END) AS q1"),
+        F.expr("MIN(CASE WHEN cum >= (_sum_total + 1) DIV 2 "
+               "THEN n_chars END) AS q2"),
+        F.expr("MIN(CASE WHEN cum >= (3 * _sum_total + 3) DIV 4 "
+               "THEN n_chars END) AS q3"))
+    bucket = (F.when(F.col("n_chars") <= F.col("q1"), 0)
+               .when(F.col("n_chars") <= F.col("q2"), 1)
+               .when(F.col("n_chars") <= F.col("q3"), 2)
+               .otherwise(3))
+    return (d.crossJoin(F.broadcast(bounds))
+             .select(bucket.alias("bucket"), "n_chars")
+             .groupBy("bucket")
+             .agg(F.count("*").cast("bigint").alias("n_docs"),
+                  F.min("n_chars").cast("bigint").alias("min_chars"),
+                  F.max("n_chars").cast("bigint").alias("max_chars"),
+                  F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+@register(
     "lsh_recall_audit",
     f"""
     WITH {_sig_cte_sql()},
