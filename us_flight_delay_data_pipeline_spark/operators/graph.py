@@ -32,7 +32,9 @@ PR_QUANT = 1e12  # contribution quantum: floor(c * PR_QUANT) units
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping: float = 0.85,
              src: str = "src", dst: str = "dst",
-             distinct_edges: bool = True) -> DataFrame:
+             distinct_edges: bool = True,
+             nodes: DataFrame | None = None,
+             complete_inedges: bool = False) -> DataFrame:
     """PageRank over a DIRECTED edge list (undirected graphs: pass
     both directions). Returns (node, rank) after ``iterations``
     synchronous updates from a uniform start.
@@ -44,14 +46,25 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     no in-edges keep the teleport term; dangling nodes (no out-edges)
     contribute nothing — their mass leaks, the simplest standard
     variant and the one an unrolled SQL oracle mirrors exactly.
+
+    ``nodes``: optional precomputed (node) vertex set — when the
+    caller can derive it from a table far smaller than the edge list
+    (e.g. the pre-fan-out pair set), passing it skips a full edge-list
+    distinct. Must equal the edge endpoints exactly.
+    ``complete_inedges=True``: assert-by-contract that every node has
+    at least one in-edge (always true for an undirected graph fed as
+    both directions), which drops the per-iteration nodes-left-join
+    teleport fallback — the aggregate already covers every node.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if distinct_edges:  # pass False when the input is distinct by
         e = e.distinct()  # construction — saves a full edge shuffle
     e = e.persist()
-    nodes = (e.select(F.col("src").alias("node"))
-              .union(e.select(F.col("dst").alias("node")))
-              .distinct().persist())
+    if nodes is None:
+        nodes = (e.select(F.col("src").alias("node"))
+                  .union(e.select(F.col("dst").alias("node")))
+                  .distinct())
+    nodes = nodes.persist()
     n_total = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # (src, dst, deg) — reused every iteration; the degree table is
@@ -76,11 +89,15 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             (F.lit(teleport)
              + F.lit(damping)
              * (F.sum("u").cast("double") / F.lit(PR_QUANT))).alias("rank"))
-        # nodes with no in-edges fall back to the teleport term
-        ranks = (nodes.join(summed, "node", "left")
-                      .select("node",
-                              F.coalesce("rank", F.lit(teleport))
-                               .alias("rank")))
+        if complete_inedges:
+            # every node received mass — the agg IS the rank vector
+            ranks = summed
+        else:
+            # nodes with no in-edges fall back to the teleport term
+            ranks = (nodes.join(summed, "node", "left")
+                          .select("node",
+                                  F.coalesce("rank", F.lit(teleport))
+                                   .alias("rank")))
         ranks = ranks.localCheckpoint()  # truncate the per-iter lineage
     e.unpersist(); nodes.unpersist(); adj.unpersist()
     return ranks

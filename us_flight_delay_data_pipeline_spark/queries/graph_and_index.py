@@ -109,14 +109,22 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
               .select((2 * F.col("o_custkey")).alias("a"),
                       (2 * F.col("l_suppkey") + 1).alias("b"))
-              .distinct())
+              .distinct().persist())
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                   .union(pairs.select(F.col("b").alias("src"),
                                       F.col("a").alias("dst"))))
     # both directions of a distinct pair set with disjoint id spaces
-    # are distinct by construction — skip the operator's edge dedup
+    # are distinct by construction — skip the operator's edge dedup;
+    # the vertex set derives from the HALF-SIZE pair table (disjoint
+    # even/odd id spaces: union of two distincts is distinct), and
+    # every node of an undirected both-directions graph has in-edges,
+    # so the operator can skip its edge-list distinct AND the
+    # per-iteration teleport fallback join
+    nodes = (pairs.select(F.col("a").alias("node")).distinct()
+                  .union(pairs.select(F.col("b").alias("node")).distinct()))
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP,
-                     distinct_edges=False)
+                     distinct_edges=False, nodes=nodes,
+                     complete_inedges=True)
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return (ranks.select(kind.alias("kind"),
                          (F.col("node") / 2).cast("bigint")
