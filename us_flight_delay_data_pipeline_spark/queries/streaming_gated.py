@@ -121,6 +121,37 @@ def stream_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_watermark_gated",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type
+    """,
+    doc="dropDuplicatesWithinWatermark under the oracle gate — the "
+        "BOUNDED-state streaming dedup (§2.10 T5 at scale): unlike "
+        "dropDuplicates, whose key set grows forever, state here is "
+        "evicted once the event-time watermark passes a key's last "
+        "sighting, so an unbounded stream holds only the trailing "
+        "window of keys. Dedup key (event_type, user_id) with a "
+        "1-hour watermark on ts; which physical row survives depends "
+        "on arrival order, so the gated output is the order-free "
+        "projection (distinct-user counts), which must equal the "
+        "batch COUNT(DISTINCT). availableNow over one file = one "
+        "micro-batch, so no key is ever re-admitted after eviction "
+        "and the counts are exact — the determinism boundary a real "
+        "deployment manages by sizing the watermark to the max "
+        "duplicate lag.",
+)
+def stream_dedup_watermark_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stream_source(spark, sf_dir, "events")
+    deduped = (src.select("event_type", "user_id", "ts")
+                  .withWatermark("ts", "1 hour")
+                  .dropDuplicatesWithinWatermark(["event_type", "user_id"]))
+    out = _drain_to_memory(deduped, "append")
+    return (out.groupBy("event_type")
+               .agg(F.count("*").alias("n_unique_users")))
+
+
+@register(
     "stream_stream_join_gated",
     f"""
     WITH v AS (SELECT user_id, ts AS view_ts FROM events
