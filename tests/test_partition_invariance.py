@@ -1,0 +1,75 @@
+"""Partition-count invariance: registered queries must return
+IDENTICAL values when the shuffle width changes — the property that
+makes results reproducible across cluster sizes (32 executors today,
+400 after a scale-up) and that float-accumulation-order or
+collect-order bugs silently break.
+
+This is the registry-wide generalization of
+test_pagerank.test_bit_exact_under_repartitioning: a risk-weighted
+sample of queries (double aggregates, collected arrays, windows,
+quantized iterative sums, hash sampling) runs under the session's 32
+shuffle partitions and again under 7 (coprime, so every hash
+distribution changes), comparing full canonicalized results.
+Streaming-gated queries are excluded only for runtime; their
+determinism is pinned by their own oracle rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from us_flight_delay_data_pipeline_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+# risk-weighted sample: decimal-summed doubles, array collects,
+# windows, iterative quantized sums, deterministic sampling, UDTF
+RISKY = [
+    "overall_kpis",            # decimal-exact double sums
+    "monthly_trend_rates",     # ratio-of-sums per group
+    "tfidf_top_terms",         # doc-frequency joins + top-k
+    "customer_running_total",  # running window sums
+    "collect_sorted_sets",     # collected-array ordering contract
+    "minhash_lsh_pairs",       # band join + jaccard verify
+    "pq_encode",               # argmin over float distances
+    "label_centroids",         # dimension-exploded exact means
+    "pack_sequences",          # distributed prefix sum boundaries
+    "bigram_lm_scores",        # quantized rational sums
+    "semantic_dedup",          # bucketed all-pairs + persist reuse
+    "balanced_stratified_sample",  # hash sampling w/ derived rates
+    "length_curriculum",       # order statistics via prefix sum
+    "doc_chunks_udtf",         # Arrow UDTF row expansion
+    "pagerank_trade_graph",    # iterative quantized contributions
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+
+    def cell(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        if isinstance(v, list):
+            return tuple(v)
+        return v
+
+    return sorted([tuple(cell(r[c]) for c in cols) for r in rows],
+                  key=repr)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_result_invariant_to_shuffle_width(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    base = _canon(spec.fn(spark, sf_dir))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        narrow = _canon(spec.fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == narrow, (
+        f"{name}: result depends on shuffle partition count "
+        f"({len(base)} vs {len(narrow)} rows)")
