@@ -62,3 +62,41 @@ def test_video_frame_fanout(media):
     assert len(rows) == 8
     assert [r["frame_idx"] for r in rows] == list(range(8))
     assert rows[0]["frame"] == bytes(range(16))
+
+
+def test_resize_stub_raises_without_fake(media):
+    from us_flight_delay_data_pipeline_spark.multimodal.binary_ops import \
+        resize_image_batch
+    with pytest.raises(Exception) as exc:
+        resize_image_batch(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc.value) or \
+        isinstance(exc.value, NotImplementedError)
+
+
+def test_resize_nearest_neighbor_exact(media):
+    """The fake resample is a pure nearest-neighbor gather over a
+    16-wide byte raster — pin it against a direct Python reference,
+    including the short-payload (empty) and NULL cases."""
+    from us_flight_delay_data_pipeline_spark.multimodal.binary_ops import \
+        resize_image_batch
+    out = {r["media_id"]: r for r in
+           resize_image_batch(media, target_w=8, target_h=4,
+                              fake_decode=True).collect()}
+
+    def ref(blob, tw=8, th=4, sw=16):
+        blob = blob or b""
+        h = len(blob) // sw
+        if h == 0:
+            return b""
+        return bytes(blob[(r * h // th) * sw + (c * sw // tw)]
+                     for r in range(th) for c in range(tw))
+
+    src = {1: b"\xff\xd8" + b"a" * 100,
+           2: b"\x89PNG" + b"b" * 37,
+           3: bytes(range(256)),
+           4: None}
+    for mid, blob in src.items():
+        assert out[mid]["content"] == ref(blob), mid
+        assert (out[mid]["width"], out[mid]["height"]) == (8, 4)
+    # fixed output size regardless of input size (when >= one row)
+    assert len(out[1]["content"]) == len(out[3]["content"]) == 32

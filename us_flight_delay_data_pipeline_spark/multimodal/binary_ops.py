@@ -30,7 +30,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
 
 __all__ = [
     "MEDIA_SCHEMA", "attach_media_metadata", "decode_image_batch",
-    "extract_image_features", "sample_video_frames",
+    "extract_image_features", "resize_image_batch",
+    "sample_video_frames",
 ]
 
 # Typed metadata contract for an opaque media column.
@@ -124,6 +125,53 @@ def extract_image_features(df: DataFrame, dim: int = 8,
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.select("media_id", "content").mapInPandas(gen, _FEATURE_SCHEMA)
+
+
+_RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("content", BinaryType(), True),
+])
+
+
+def resize_image_batch(df: DataFrame, target_w: int = 8, target_h: int = 4,
+                       src_width: int = 16,
+                       fake_decode: bool = False) -> DataFrame:
+    """image binary → resized image binary (the resample stage between
+    decode and feature extraction).
+
+    Real implementation resamples decoded pixel buffers; the fake
+    treats the payload as a ``src_width``-wide byte raster (full rows
+    only) and nearest-neighbor-gathers it to (target_w, target_h):
+    out[r][c] = raster[r*h//target_h][c*src_width//target_w] — pure
+    integer index math, so an SQL oracle can reproduce the output
+    bytes exactly on ASCII payloads. Payloads shorter than one row
+    resize to empty content (NULL-safe)."""
+    def gen(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+        for pdf in batches:
+            if not fake_decode:
+                _require_codec("image-resize")
+            outs = []
+            for blob in pdf["content"]:
+                blob = blob or b""
+                h = len(blob) // src_width
+                if h == 0:
+                    outs.append(b"")
+                    continue
+                outs.append(bytes(
+                    blob[(r * h // target_h) * src_width
+                         + (c * src_width // target_w)]
+                    for r in range(target_h) for c in range(target_w)))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array([target_w] * len(pdf), dtype="int32"),
+                "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                "content": outs,
+            })
+
+    return df.select("media_id", "content").mapInPandas(gen, _RESIZED_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 2,

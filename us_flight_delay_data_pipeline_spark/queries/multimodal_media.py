@@ -126,6 +126,54 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", arr_str(q).alias("feature"))
 
 
+_RSZ_W, _RSZ_H, _RSZ_SRC_W = 8, 4, 16
+
+
+@register(
+    "media_resize",
+    f"""
+    WITH {_MEDIA_CTE},
+    resized AS (
+      SELECT media_id,
+             CASE WHEN octet_length(encode(payload)) // {_RSZ_SRC_W} = 0
+                  THEN ''
+                  ELSE array_to_string(
+                    [substring(payload,
+                       ((i // {_RSZ_W})
+                         * (octet_length(encode(payload)) // {_RSZ_SRC_W})
+                         // {_RSZ_H}) * {_RSZ_SRC_W}
+                       + (i % {_RSZ_W}) * ({_RSZ_SRC_W} // {_RSZ_W}) + 1, 1)
+                     for i in range(0, {_RSZ_W * _RSZ_H})], '')
+             END AS rs
+      FROM media WHERE kind = 'image'
+    )
+    SELECT media_id, CAST({_RSZ_W} AS INT) AS width,
+           CAST({_RSZ_H} AS INT) AS height,
+           octet_length(encode(rs))::BIGINT AS n_bytes,
+           md5(rs) AS out_md5
+    FROM resized
+    """,
+    doc="Image resize as an Arrow-batched mapInPandas resample stage "
+        "(decode -> RESIZE -> featurize): the fake treats the payload "
+        "as a 16-byte-wide raster and nearest-neighbor-gathers it to "
+        "8x4 — pure integer index math, so the oracle reproduces the "
+        "output BYTES exactly on the ASCII payload and the md5 value-"
+        "hash pins the whole resample path (real codec stubbed behind "
+        "NotImplementedError like every media kernel). Per-row map, "
+        "no shuffle; output is fixed 32 bytes per image regardless of "
+        "input size — the memory contract a 100 TB media pipeline "
+        "relies on.",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import resize_image_batch
+    imgs = _media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    rs = resize_image_batch(imgs, target_w=_RSZ_W, target_h=_RSZ_H,
+                            src_width=_RSZ_SRC_W, fake_decode=True)
+    return rs.select("media_id", "width", "height",
+                     F.length("content").cast("bigint").alias("n_bytes"),
+                     F.md5("content").alias("out_md5"))
+
+
 _AUDIO_WIN, _AUDIO_STRIDE = 32, 16
 
 
