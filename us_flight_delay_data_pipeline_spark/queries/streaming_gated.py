@@ -112,9 +112,13 @@ def stream_hourly_kpis_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stream_source(spark, sf_dir, "documents")
+    # dedup key includes lang: the oracle is a PER-LANG distinct
+    # count, and the same text can appear under two languages (first
+    # occurs at sf0.1 — caught by the scale-up differential; a global
+    # dropDuplicates(h) credits only one lang for a cross-lang dup)
     deduped = (src.withColumn("h", F.md5(F.col("text").cast("binary")))
                   .select("lang", "h")
-                  .dropDuplicates(["h"]))
+                  .dropDuplicates(["lang", "h"]))
     out = _drain_to_memory(deduped, "append")
     return (out.groupBy("lang")
                .agg(F.count("*").alias("n_unique_docs")))
