@@ -124,6 +124,49 @@ def stream_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("n_unique_docs")))
 
 
+def _session_gated_oracle() -> str:
+    from .sessions_and_ann import _SESSION_ORACLE, SESSION_GAP_MIN
+    return f"""
+    WITH base AS ({_SESSION_ORACLE}),
+    m AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id, n_events, session_start,
+           session_end + INTERVAL {SESSION_GAP_MIN} MINUTE AS window_end,
+           total_value
+    FROM base CROSS JOIN m
+    WHERE session_end + INTERVAL {SESSION_GAP_MIN} MINUTE <= m.mx
+    """
+
+
+@register(
+    "stream_session_window_gated",
+    _session_gated_oracle(),
+    doc="Streaming session_window under the oracle gate: gap-merged "
+        "sessions (30-min inactivity) as a WATERMARKED streaming "
+        "aggregate in append mode. The watermark finalization rule IS "
+        "the semantics being pinned: append emits exactly the "
+        "sessions the terminal watermark closed — last_event + gap "
+        "<= max event time — so the oracle is the batch "
+        "sessionization FILTERED to closed sessions (verified: 9542 "
+        "of 9549 at sf0.01; the 7 still-open tails are correctly "
+        "withheld). This boundary is what a real deployment reasons "
+        "about when it drains a session stream: open sessions live "
+        "in the state store, not the sink.",
+)
+def stream_session_window_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sessions_and_ann import SESSION_GAP_MIN, dsum
+    src = _stream_source(spark, sf_dir, "events")
+    agg = (src.withWatermark("ts", "0 seconds")
+              .groupBy("user_id",
+                       F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+              .agg(F.count("*").alias("n_events"),
+                   F.min("ts").alias("session_start"),
+                   dsum("value").alias("total_value")))
+    out = _drain_to_memory(agg, "append")
+    return out.select("user_id", "n_events", "session_start",
+                      F.col("session_window.end").alias("window_end"),
+                      "total_value")
+
+
 @register(
     "stream_dedup_watermark_gated",
     """
