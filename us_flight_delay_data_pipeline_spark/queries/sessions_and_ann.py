@@ -926,6 +926,23 @@ def _ivfpq_oracle() -> str:
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
+    scored = _ivfpq_adc_scored(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    # adc itself is omitted from the output: it accumulates ~80 float
+    # additions and engines associate list folds differently in the
+    # last bits, so the VALUE is not hash-portable — the rank (with
+    # neighbor tie-break) is the contract, same policy as
+    # tfidf_top_terms omitting its ln-based score.
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 3)
+                  .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                          "rank"))
+
+
+def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, adc): every own-cell candidate scored by
+    asymmetric PQ distance — shared by the plain top-k and the
+    rerank composite."""
     emb = load_table(spark, sf_dir, "embeddings")
     cells = _ivf_assign(spark, sf_dir).select("vec_id", "c_id").persist()
     # PQ codebook + per-vector codes over NORMALIZED vectors (same
@@ -959,24 +976,89 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("vec_id") != F.col("q_id")))
                  .select("q_id", "vec_id"))
     # fold subspace distances in ascending m order (pinned float order)
-    scored = (cand.join(codes, "vec_id")
-                  .join(F.broadcast(qd), ["q_id", "m", "k"])
-                  .groupBy("q_id", "vec_id")
-                  .agg(F.aggregate(
-                      F.transform(
-                          F.array_sort(F.collect_list(F.struct("m", "d"))),
-                          lambda s: s.d),
-                      F.lit(0.0), lambda acc, x: acc + x).alias("adc")))
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    # adc itself is omitted from the output: it accumulates ~80 float
-    # additions and engines associate list folds differently in the
-    # last bits, so the VALUE is not hash-portable — the rank (with
-    # neighbor tie-break) is the contract, same policy as
-    # tfidf_top_terms omitting its ln-based score.
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= 3)
-                  .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                          "rank"))
+    return (cand.join(codes, "vec_id")
+                .join(F.broadcast(qd), ["q_id", "m", "k"])
+                .groupBy("q_id", "vec_id")
+                .agg(F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "d"))),
+                        lambda s: s.d),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("adc")))
+
+
+_RERANK_POOL = 10
+
+
+def _ivfpq_rerank_oracle() -> str:
+    from .llm_ext import _cosine_sql
+    base = _ivfpq_oracle()
+    tail = "SELECT q_id, neighbor_id, rank"
+    assert base.count(tail) == 1
+    body = base[:base.index(tail)].rstrip()
+    return f"""
+    {body},
+    pq_top AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc, neighbor_id) AS pq_rank
+        FROM adc_scored) WHERE pq_rank <= {_RERANK_POOL}
+    ),
+    rr AS (
+      SELECT t.q_id, t.neighbor_id,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM pq_top t
+      JOIN embeddings a ON a.vec_id = t.q_id
+      JOIN embeddings b ON b.vec_id = t.neighbor_id
+    )
+    SELECT q_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM rr)
+    WHERE rank <= 3
+    """
+
+
+@register(
+    "ann_ivfpq_rerank_topk",
+    _ivfpq_rerank_oracle(),
+    doc="Two-stage retrieve-then-rerank — the production ANN serving "
+        "stack completed: IVF routes to the query's cell, asymmetric "
+        "PQ distance ranks the cell's candidates from 8-byte codes "
+        "(coarse stage — never touches candidate floats), the top-10 "
+        "PQ candidates ALONE fetch their raw vectors for an exact "
+        "cosine rerank, and the final top-3 is by true similarity. "
+        "At 100 TB the exact stage reads 10 vectors per query "
+        "instead of a cell's worth — the float fetch is the "
+        "expensive hop PQ exists to amortize. Output rank + 6dp "
+        "cosine both value-hash-portable (ADC stays internal, same "
+        "policy as ann_ivfpq_topk).",
+)
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import cosine_similarity
+    scored = _ivfpq_adc_scored(spark, sf_dir)
+    wp = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    pq_top = (scored.withColumn("pq_rank", F.row_number().over(wp))
+                    .filter(F.col("pq_rank") <= _RERANK_POOL)
+                    .select("q_id", F.col("vec_id").alias("neighbor_id")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("qe"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ne"))
+    rr = (pq_top.join(F.broadcast(a), "q_id")
+                .join(b, "neighbor_id")
+                .select("q_id", "neighbor_id",
+                        cosine_similarity(F.col("qe"), F.col("ne"))
+                         .alias("cosine")))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                            F.asc("neighbor_id"))
+    return (rr.withColumn("rank", F.row_number().over(wr))
+              .filter(F.col("rank") <= 3)
+              .select("q_id", "neighbor_id", "rank",
+                      F.round("cosine", 6).alias("cosine")))
 
 
 _RPQ_CODE_IDS = tuple(range(1, 321, 5))  # residual codebook -> K=64
