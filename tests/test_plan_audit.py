@@ -159,6 +159,25 @@ def test_group_topk_uses_window_group_limit(q):
         assert "WindowGroupLimit" in p, name
 
 
+def test_embedding_family_rebalances_the_tiny_scan(q):
+    """The embeddings file is byte-tiny, so its scan plans 1-2
+    partitions while the PQ/IVF math is CPU-bound per row — the
+    family roots must spread it to cluster width (a round-robin
+    exchange above the scan; measured 2.3x on pq_encode_trained).
+    Regression here silently serializes the whole family."""
+    for name in ("pq_encode", "ann_ivf_topk", "semantic_dedup"):
+        p = plan(q(name), "formatted")
+        assert "ROUNDROBIN" in p.upper(), name
+
+
+def test_semdedup_pair_scan_is_bucket_parallel(q):
+    """SemDeDup's in-cell quadratic scan must join on (cell, bucket),
+    not cell alone — a bare c_id join caps parallelism at n_cells
+    tasks with CPU-quadratic skew AQE cannot split."""
+    p = plan(q("semantic_dedup"), "formatted")
+    assert "_bkt" in p
+
+
 def test_udtf_demo_is_arrow_batched(q):
     """The sanctioned UDTF query must plan the Arrow-optimized node —
     a row-pickling BatchEvalPythonUDTF fallback is a regression."""
