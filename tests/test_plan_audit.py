@@ -186,6 +186,15 @@ def test_udtf_demo_is_arrow_batched(q):
     assert "BatchEvalPythonUDTF" not in p
 
 
+def test_udaf_demo_aggregates_in_pandas(q):
+    """The grouped-agg pandas UDAF must plan the Arrow aggregate node
+    (ArrowAggregatePython in Spark 4.1; AggregateInPandas in earlier
+    lines), never a row-pickling evaluator."""
+    p = plan(q("median_value_udaf"), "simple")
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_q2_shape_broadcasts_all_dimensions(q):
     """min_cost_part_supplier: part/supplier/nation all broadcast;
     the only shuffle is the windowed argmin on partkey."""

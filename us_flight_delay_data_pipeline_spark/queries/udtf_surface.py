@@ -93,3 +93,50 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.chunk_idx, t.n_tokens, t.chunk_md5 "
         "FROM _udtf_docs d, LATERAL chunk_doc_udtf(d.text) t")
+
+
+@register(
+    "median_value_udaf",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           median(value) AS median_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDAF (the remaining §2.9 API "
+        "shape next to grouped-map applyInPandas, mapInPandas, and "
+        "the UDTF): exact per-group median as a PandasUDFType."
+        "GROUPED_AGG function — Arrow ships each group's value "
+        "column to Python once, the plan node is AggregateInPandas "
+        "(not the banned row-pickling evaluators). Median is a "
+        "SELECTION statistic, so unlike a float SUM it is "
+        "accumulation-order-free: sort-select is deterministic and "
+        "the even-count midpoint mean (x+y)/2 is one IEEE op both "
+        "engines perform identically — which is why this UDAF can "
+        "sit under the full value-hash gate while engine avg() "
+        "cannot. Scale note: a grouped-agg UDAF materializes each "
+        "group in one Python worker — fine for |group| ~ corpus/"
+        "|event types|; for unbounded groups use the sort-based "
+        "exact percentile (quantity_percentiles) instead.",
+)
+def median_value_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: `from __future__ import
+    # annotations` stringifies hints module-wide, so the hint-based
+    # signature inference path is unavailable here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def exact_median(v):
+        return float(v.median())
+
+    # Spark refuses to mix pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas
+    # aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(n_rows(F.col("value")).alias("n_events"),
+                  exact_median(F.col("value")).alias("median_value")))
