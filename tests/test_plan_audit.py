@@ -138,11 +138,13 @@ def test_media_fanout_is_arrow_batched(q):
 
 def test_no_python_udfs_in_any_query(q):
     """Every registered query must stay JVM-side — zero Python worker
-    round-trips in the hot path (SURVEY.md §2.9 contract). The ONE
-    exemption is doc_chunks_udtf, the sanctioned Python-UDTF surface
-    demo (queries/udtf_surface.py) — checked separately below."""
+    round-trips in the hot path (SURVEY.md §2.9 contract). The TWO
+    exemptions are the sanctioned Python-surface demos whose plan
+    nodes carry the generic Arrow-eval names (queries/udtf_surface.py:
+    the UDTF and the scalar pandas UDF) — each pinned positively
+    below."""
     for name in REGISTRY:
-        if name == "doc_chunks_udtf":
+        if name in ("doc_chunks_udtf", "token_count_pandas_udf"):
             continue
         p = plan(q(name), "simple")
         assert "BatchEvalPython" not in p, name
@@ -184,6 +186,22 @@ def test_udtf_demo_is_arrow_batched(q):
     p = plan(q("doc_chunks_udtf"), "simple")
     assert "ArrowEvalPythonUDTF" in p
     assert "BatchEvalPythonUDTF" not in p
+
+
+def test_scalar_pandas_udf_demo_is_arrow(q):
+    """The sanctioned scalar pandas UDF must plan the vectorized
+    Arrow evaluator, never the row-pickling one."""
+    p = plan(q("token_count_pandas_udf"), "simple")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_map_in_arrow_demo(q):
+    """mapInArrow plans its own Arrow map node (no pandas
+    materialization, no row pickling)."""
+    p = plan(q("media_bytes_arrow"), "simple")
+    assert "MapInArrow" in p
+    assert "BatchEvalPython" not in p
 
 
 def test_udaf_demo_aggregates_in_pandas(q):

@@ -1,20 +1,26 @@
-"""[EXT] Python UDTF surface (SURVEY.md §2.9) — the ONE sanctioned
-user-defined TABLE function, mirroring the one sanctioned
-``applyInPandas`` demo (``user_value_trend``).
+"""[EXT] the sanctioned Python extension surface (SURVEY.md §2.9).
 
 The repo's contract is zero Python in the hot path: every production
 operator is native Catalyst expressions, and the registry-wide plan
-audit enforces it. But a complete engine exposes the 1-row-to-N-rows
-Python extension point too (Spark 4 Python UDTFs, Arrow-batched), so
-this module carries exactly one query exercising it under the full
-DuckDB differential gate — same chunking semantics as the native
-``doc_chunks``, so the two serve as each other's cross-check and the
-native query documents what the fast path looks like.
+audit enforces it. But a complete engine exposes every Python
+extension shape, so this module (plus ``user_value_trend``'s grouped-
+map applyInPandas and the multimodal MapInPandas codecs) carries ONE
+differential-gated query per remaining shape, each with a native twin
+documenting the fast path:
 
-The plan audit (tests/test_plan_audit.py) exempts exactly this query
-from the no-Python rule and instead asserts the Arrow-optimized node
-(``ArrowEvalPythonUDTF``) is used — a row-pickling ``BatchEvalPython``
-fallback is still a failure.
+- ``doc_chunks_udtf`` — Python UDTF (1-row-to-N LATERAL,
+  ``ArrowEvalPythonUDTF``); twin: ``doc_chunks``.
+- ``median_value_udaf`` — grouped-agg pandas UDAF
+  (``ArrowAggregatePython``); relative: ``quantity_percentiles``.
+- ``token_count_pandas_udf`` — scalar pandas UDF
+  (``ArrowEvalPython``); twin: ``text_stats``'s native token_count.
+- ``media_bytes_arrow`` — ``mapInArrow`` over raw RecordBatches;
+  twin: ``media_metadata``'s native octet_length.
+
+The plan audit exempts exactly the two queries whose nodes carry the
+generic Arrow-eval names (the UDTF and the scalar UDF) from the
+no-Python rule and pins each shape's Arrow node positively — a
+row-pickling ``BatchEvalPython`` fallback is a failure everywhere.
 """
 
 from __future__ import annotations
@@ -140,3 +146,71 @@ def median_value_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("event_type")
              .agg(n_rows(F.col("value")).alias("n_events"),
                   exact_median(F.col("value")).alias("median_value")))
+
+
+@register(
+    "token_count_pandas_udf",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+'))
+           END::BIGINT AS n_tokens
+    FROM documents
+    """,
+    doc="Scalar pandas UDF (vectorized, Arrow-batched — the most "
+        "common Python extension shape, §2.9): whitespace token "
+        "count computed by pandas string ops on whole Arrow columns. "
+        "Plan node ArrowEvalPython — the SECOND and last audit "
+        "exemption next to doc_chunks_udtf, existing for API parity "
+        "with the native twin (functions/text.py::token_count, used "
+        "by text_stats), which documents the fast path: the same "
+        "count as pure Catalyst expressions with no Python worker "
+        "round-trip. Differential-gated, so the UDF's value contract "
+        "is pinned, not just its plumbing.",
+)
+def token_count_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def n_tokens(text):
+        s = text.fillna("").str.strip()
+        return s.str.split(r"\s+", regex=True).str.len() \
+                .where(s.str.len() > 0, 0).astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "media_bytes_arrow",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(repeat(md5(text),
+                                      1 + (doc_id % 5)::INT)))::BIGINT
+             AS n_bytes
+    FROM documents
+    """,
+    doc="mapInArrow (§2.9): per-partition iteration over raw pyarrow "
+        "RecordBatches — the zero-copy sibling of mapInPandas for "
+        "kernels that speak Arrow natively (tokenizers, codecs, "
+        "FFI). Computes blob byte lengths with pyarrow.compute on "
+        "the batch, no pandas materialization. Plan node "
+        "(Python)MapInArrow — not a banned row-pickling evaluator, "
+        "same class as the sanctioned MapInPandas media codecs. "
+        "Differential-gated against the native octet_length.",
+)
+def media_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal_media import _media_table
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("media_id"),
+                 pc.cast(pc.binary_length(batch.column("content")),
+                         pa.int64())],
+                names=["media_id", "n_bytes"])
+
+    m = _media_table(spark, sf_dir).select("media_id", "content")
+    return m.mapInArrow(gen, "media_id bigint, n_bytes bigint")
