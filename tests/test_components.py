@@ -65,3 +65,43 @@ def test_labels_invariant_under_partitioning(spark):
     m8 = {r.node: r.component for r in connected_components(df8).collect()}
     assert m1 == m8
     assert m1[8] == 0 and m1[109] == 100 and m1[601] == 600
+
+
+def test_star_equals_min_label_on_random_graph(spark):
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).filter("src != dst")
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        connected_components, connected_components_star)
+    a = {(r.node, r.component)
+         for r in connected_components(df).collect()}
+    b = {(r.node, r.component)
+         for r in connected_components_star(df).collect()}
+    assert a == b
+
+
+def test_star_collapses_long_path_quickly(spark):
+    """A 64-node path has diameter 63 — min-label needs ~63 rounds;
+    large/small-star must finish well inside its 40-round guard and
+    label every node with the path minimum."""
+    from us_flight_delay_data_pipeline_spark.operators.components import \
+        connected_components_star
+    n = 64
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               ["src", "dst"])
+    rows = connected_components_star(df, max_iter=12).collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+
+
+def test_star_two_components_and_self_loops(spark):
+    from us_flight_delay_data_pipeline_spark.operators.components import \
+        connected_components_star
+    df = spark.createDataFrame(
+        [(5, 6), (6, 7), (9, 9), (10, 11), (11, 10)], ["src", "dst"])
+    got = {(r.node, r.component)
+           for r in connected_components_star(df).collect()}
+    # self-loop-only node 9 drops out (no real edge), like the
+    # min-label operator's contract over its symmetrized edge set
+    assert got == {(5, 5), (6, 5), (7, 5), (10, 10), (11, 10)}

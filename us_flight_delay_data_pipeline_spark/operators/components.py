@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_star"]
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -73,3 +73,83 @@ def connected_components(edges: DataFrame, src: str = "src",
             break
     sym.unpersist()
     return labels
+
+
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_iter: int = 40) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log² n)-round algorithm for graphs whose
+    DIAMETER breaks min-label propagation (a path of n nodes needs
+    ~n label rounds but ~log² n star rounds).
+
+    One round = two groupBy-min + join passes over the edge list:
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      rewires each LARGER neighbor v > u to m — long chains collapse
+      toward minima from every node simultaneously;
+    - small-star: on the ≤-oriented edges, u rewires itself and all
+      smaller neighbors to their collective minimum — turning local
+      minima into star centers.
+
+    Convergence: the edge set is a fixpoint (every edge already
+    (node → component-min)); detected with an exact anti-join count,
+    not a collect. Labels: each non-center node's single neighbor is
+    its component; centers label themselves. Same contract as
+    :func:`connected_components` (nodes appearing in ``edges``;
+    component = min node id), and pinned equal to it in tests — use
+    this variant when cluster diameter is unbounded (chains of
+    near-dup pairs, long citation/link paths); min-label when
+    clusters are small and dense (typical near-dup corpora).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+             .filter(F.col("a") != F.col("b"))
+    # canonical undirected pair set (x < y)
+    pairs = (e.select(F.least("a", "b").alias("x"),
+                      F.greatest("a", "b").alias("y"))
+              .distinct().localCheckpoint(eager=True))
+    all_nodes = (pairs.select(F.col("x").alias("node"))
+                      .union(pairs.select(F.col("y").alias("node")))
+                      .distinct().persist())
+
+    for _ in range(max_iter):
+        sym = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")) \
+                   .union(pairs.select(F.col("y").alias("u"),
+                                       F.col("x").alias("v")))
+        # large-star: m(u) = min over Γ(u) ∪ {u}; rewire v > u to m
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.least("v", "m").alias("x"),
+                         F.greatest("v", "m").alias("y"))
+                 .filter(F.col("x") != F.col("y"))
+                 .distinct())
+        # small-star over ≤-oriented edges of the large-star output:
+        # u and its smaller neighbors all rewire to their minimum
+        down = ls.select(F.col("y").alias("u"), F.col("x").alias("v"))
+        smins = down.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (down.join(smins, "u")
+                  .select(F.col("v").alias("n"), "m")
+                  .union(smins.select(F.col("u").alias("n"), "m"))
+                  .filter(F.col("n") != F.col("m"))
+                  .select(F.least("n", "m").alias("x"),
+                          F.greatest("n", "m").alias("y"))
+                  .distinct()
+                  .localCheckpoint(eager=True))
+        changed = (ss.join(pairs, ["x", "y"], "left_anti").count()
+                   + pairs.join(ss, ["x", "y"], "left_anti").count())
+        pairs = ss
+        if changed == 0:
+            break
+
+    # fixpoint is a star forest: every y's single partner is its
+    # component min; centers (never on the y side) label themselves
+    labels = pairs.select(F.col("y").alias("node"),
+                          F.col("x").alias("component"))
+    centers = (all_nodes.join(labels, "node", "left_anti")
+                        .select("node", F.col("node").alias("component")))
+    out = labels.union(centers)
+    all_nodes.unpersist()
+    return out

@@ -102,6 +102,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+    """,
+    doc="Fuzzy-dedup clustering via alternating large-star/small-star "
+        "(Kiveris et al. SoCC'14, operators/components.py::"
+        "connected_components_star) — the O(log^2 n)-round variant "
+        "whose round count is independent of component DIAMETER, vs "
+        "min-label's O(diameter) (dedup_clusters). Same transitive-"
+        "closure oracle, same output contract; ship both because the "
+        "right choice is data-dependent: min-label wins on small "
+        "dense near-dup clusters, star wins when duplicates chain "
+        "(A~B~C~... drifting template versions).",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components_star
+    from ..operators.dedup import ngram_jaccard_pairs
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.3) \
+        .select("doc_a", "doc_b")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+@register(
     "vocab_coverage",
     f"""
     WITH toks AS (
