@@ -73,3 +73,40 @@ def test_result_invariant_to_shuffle_width(spark, sf_dir, name):
     assert base == narrow, (
         f"{name}: result depends on shuffle partition count "
         f"({len(base)} vs {len(narrow)} rows)")
+
+
+PLANNER_SAMPLE = [
+    "region_revenue",          # broadcast dimension chain -> SMJ
+    "monthly_trend_rates",     # AQE coalesce + partial aggs
+    "minhash_lsh_pairs",       # AQE skew handling on band joins
+    "top_suppliers",           # broadcast + re-agg top-k
+    "point_in_time_join",      # hash join + validity windows
+    "semantic_dedup",          # explicit repartitions AQE must respect
+    "pagerank_trade_graph",    # iterative joins w/ explicit broadcasts
+]
+
+
+@pytest.mark.parametrize("name", PLANNER_SAMPLE)
+def test_result_invariant_to_planner_config(spark, sf_dir, name):
+    """AQE disabled AND auto-broadcast disabled must not change any
+    value: queries may RELY on hints they set explicitly (those
+    survive both switches) but never on the optimizer's runtime
+    choices. A mismatch means a result depends on join strategy or
+    runtime coalescing — a latent wrong-answer bug on any cluster
+    whose thresholds differ."""
+    spec = REGISTRY[name]
+    base = _canon(spec.fn(spark, sf_dir))
+    saved = {
+        "spark.sql.adaptive.enabled":
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stripped = _canon(spec.fn(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert base == stripped, f"{name}: result depends on planner config"
