@@ -69,7 +69,11 @@ _LM_SCALE = 1_000_000_000  # conditional-probability quantum (1e-9)
         "derive from it by re-aggregation (map-side partials), so the "
         "token stream is scanned once, and the count tables — "
         "vocabulary-sized, not corpus-sized — join back by hash. "
-        "Linear in corpus tokens at 100 TB.",
+        "Linear in corpus tokens at 100 TB. Overflow ceiling: "
+        "c12 * 1e9 must stay under 2^63, i.e. the hottest single "
+        "bigram may occur ~9e9 times — beyond a ~trillion-token "
+        "corpus drop the quantum to 1e6 (same constant, BOTH "
+        "engines) or lift q into DECIMAL(38,0).",
 )
 def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens

@@ -1044,8 +1044,13 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .filter(F.col("pq_rank") <= _RERANK_POOL)
                     .select("q_id", F.col("vec_id").alias("neighbor_id")))
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("qe"))
+    # query-side floats: ONLY the query subset broadcasts (the same
+    # vec_id < 10 predicate that defines q in _ivfpq_adc_scored) —
+    # broadcasting the full embeddings table here would ship the
+    # corpus to every task, the exact cost PQ exists to avoid
+    a = (emb.filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("qe")))
     b = emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("ne"))
     rr = (pq_top.join(F.broadcast(a), "q_id")

@@ -95,10 +95,14 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("chunk_doc_udtf", ChunkDoc)
     d = load_table(spark, sf_dir, "documents")
-    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    # per-call view name: a fixed name is a shared session resource
+    # two concurrent callers would silently clobber
+    import uuid
+    view = f"_udtf_docs_{uuid.uuid4().hex[:12]}"
+    d.select("doc_id", "text").createOrReplaceTempView(view)
     return spark.sql(
-        "SELECT d.doc_id, t.chunk_idx, t.n_tokens, t.chunk_md5 "
-        "FROM _udtf_docs d, LATERAL chunk_doc_udtf(d.text) t")
+        f"SELECT d.doc_id, t.chunk_idx, t.n_tokens, t.chunk_md5 "
+        f"FROM {view} d, LATERAL chunk_doc_udtf(d.text) t")
 
 
 @register(
