@@ -253,3 +253,68 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n")))
     edges = cop.filter(F.col("n") >= 2).select("p1", "p2")
     return triangle_count(edges, a="p1", b="p2")
+
+
+def _ivf_index_probe_oracle() -> str:
+    from .sessions_and_ann import _ivf_assign_sql
+    return f"""
+    WITH {_ivf_assign_sql()},
+    cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, c_id AS q_cell
+          FROM cells WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.qv::DOUBLE[], c.embedding::DOUBLE[]),
+                                     p -> p[1] * p[2]))
+               / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in q.qv]))
+                  * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in c.embedding]))) AS cosine
+      FROM q JOIN cells c ON c.c_id = q.q_cell AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM (SELECT q_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sims)
+    WHERE rank <= 3
+    """
+
+
+@register(
+    "ann_ivf_index_probe",
+    _ivf_index_probe_oracle(),
+    doc="The ON-DISK IVF index path under the driver gate (previously "
+        "pytest-only, tests/test_ivf_index.py): build the cell-"
+        "partitioned parquet layout once per session at an "
+        "applicationId-keyed scratch path, then answer top-3 by "
+        "PROBING it — the equi-join on the partition column plans "
+        "dynamic partition pruning, so each query reads its own "
+        "cell's partition, corpus/nlist of the data. Same centroids, "
+        "tie-breaks, and cosine arithmetic as the inline ann_ivf_topk, "
+        "so the same oracle pins that the persisted layout + pruned "
+        "probe computes EXACTLY what the inline plan computes. This "
+        "is the build-once/probe-forever serving shape of ANN at "
+        "100 TB; incremental ingest appends new vectors to their "
+        "cell partitions without touching the rest.",
+)
+def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import cleanup_at_exit
+    from ..operators.similarity import (assign_ivf_cells, build_ivf_index,
+                                        probe_ivf_index)
+    from .sessions_and_ann import _IVF_CENTROID_IDS
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.filter(F.col("vec_id").isin(*_IVF_CENTROID_IDS))
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("cv")))
+    # disjoint scratch per (session, sf_dir): no overwrite-vs-probe
+    # race across concurrent runs; removed at interpreter exit
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"sg_ivfidx_{app}_{tag}")
+    marker = os.path.join(path, "_SUCCESS_LAYOUT")
+    if not os.path.exists(marker):
+        cleanup_at_exit(path)
+        build_ivf_index(e, cent, path)
+        open(marker, "w").close()
+    q = (assign_ivf_cells(e.filter(F.col("vec_id") < 10), cent)
+         .select(F.col("vec_id").alias("q_id"), "embedding", "cell"))
+    return probe_ivf_index(spark, path, q, k=3)
