@@ -102,6 +102,7 @@ def test_star_two_components_and_self_loops(spark):
         [(5, 6), (6, 7), (9, 9), (10, 11), (11, 10)], ["src", "dst"])
     got = {(r.node, r.component)
            for r in connected_components_star(df).collect()}
-    # self-loop-only node 9 drops out (no real edge), like the
-    # min-label operator's contract over its symmetrized edge set
-    assert got == {(5, 5), (6, 5), (7, 5), (10, 10), (11, 10)}
+    # self-loop-only node 9 is its own singleton component — same
+    # contract as the min-label operator (pinned by the union-find
+    # property test)
+    assert got == {(5, 5), (6, 5), (7, 5), (9, 9), (10, 10), (11, 10)}

@@ -103,15 +103,18 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     near-dup pairs, long citation/link paths); min-label when
     clusters are small and dense (typical near-dup corpora).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
-             .filter(F.col("a") != F.col("b"))
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node set BEFORE dropping self-loops: a node whose only edge is
+    # (n, n) is still its own singleton component — matching
+    # connected_components' contract over its symmetrized edge set
+    all_nodes = (e0.select(F.col("a").alias("node"))
+                   .union(e0.select(F.col("b").alias("node")))
+                   .distinct().persist())
+    e = e0.filter(F.col("a") != F.col("b"))
     # canonical undirected pair set (x < y)
     pairs = (e.select(F.least("a", "b").alias("x"),
                       F.greatest("a", "b").alias("y"))
               .distinct().localCheckpoint(eager=True))
-    all_nodes = (pairs.select(F.col("x").alias("node"))
-                      .union(pairs.select(F.col("y").alias("node")))
-                      .distinct().persist())
 
     for _ in range(max_iter):
         sym = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")) \
