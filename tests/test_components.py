@@ -38,13 +38,50 @@ def test_self_loops_and_duplicate_edges(spark):
     assert got == {1: 1, 2: 1}
 
 
-def test_max_iter_caps_rounds(spark):
-    """With max_iter=1 a long path must NOT fully converge (labels
-    only move one hop per round) — guards against the loop silently
-    running to convergence regardless of the cap."""
+def test_max_iter_exhaustion_raises_not_wrong_labels(spark):
+    """A path longer than max_iter rounds is still mid-propagation at
+    the cap; returning those labels would be silently wrong (node 9
+    would not carry component-min 0 after 1 round). The operator must
+    raise loudly instead of returning inconsistent labels."""
     edges = [(i, i + 1) for i in range(9)]
-    got = _cc(spark, edges, max_iter=1)
-    assert got[9] != 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, max_iter=1)
+
+
+def test_max_iter_exhaustion_star_raises(spark):
+    """Same contract for the star variant: a non-fixpoint edge set at
+    max_iter must raise, never emit conflicting (node, component)
+    rows from a non-star-forest edge set."""
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        connected_components_star)
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_star(df, max_iter=1).collect()
+
+
+def test_auto_falls_back_to_star_beyond_min_label_budget(spark):
+    """connected_components_auto on a path longer than the min-label
+    round budget must transparently fall back to the star variant and
+    return the correct labeling (the dedup_clusters default path)."""
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        connected_components_auto)
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = connected_components_auto(df, max_iter=1).collect()
+    assert {r.node: r.component for r in rows} == {i: 0 for i in range(10)}
+
+
+def test_long_path_converges_under_star_default_budget(spark):
+    """The 'diameter unknown' escape hatch: a 60-node path (diameter
+    59, far beyond min-label's 25-round default) converges under the
+    star variant's O(log^2 n) default budget."""
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        connected_components_star)
+    edges = [(i, i + 1) for i in range(59)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = connected_components_star(df).collect()
+    assert {r.node: r.component for r in rows} == {i: 0 for i in range(60)}
 
 
 def test_labels_invariant_under_partitioning(spark):

@@ -32,7 +32,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star"]
+__all__ = ["connected_components", "connected_components_star",
+           "connected_components_auto"]
+
+
+def connected_components_auto(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_iter: int = 25) -> DataFrame:
+    """The diameter-unknown default: run min-label propagation (fast
+    on the small dense clusters typical of near-dup graphs, one
+    join+agg per round), and if the graph's diameter exhausts its
+    round budget, fall back to the large/small-star formulation whose
+    O(log² n) round count is diameter-independent. Safe because both
+    variants return the identical (node, component=min-id) labeling
+    and the min-label operator now RAISES rather than returning
+    mid-propagation labels."""
+    try:
+        return connected_components(edges, src=src, dst=dst,
+                                    max_iter=max_iter)
+    except RuntimeError:
+        return connected_components_star(edges, src=src, dst=dst)
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -51,6 +70,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .agg(F.min("b").alias("nmin"))
                  .select("node", F.least("node", "nmin").alias("component"))
                  .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
                            .groupBy(F.col("a").alias("node"))
@@ -70,8 +90,19 @@ def connected_components(edges: DataFrame, src: str = "src",
                            .localCheckpoint(eager=True))
         labels = new_state.select("node", "component")
         if new_state.filter("changed").count() == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # Returning here would emit labels that are NOT component
+        # minima (a path longer than max_iter rounds is still mid-
+        # propagation) — silently-wrong clusters. Fail loudly; the
+        # caller either raises max_iter or switches to the O(log^2 n)
+        # star formulation, whose rounds scale with log(diameter).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds (graph diameter exceeds max_iter); use "
+            f"connected_components_star for high-diameter graphs")
     return labels
 
 
@@ -116,6 +147,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                       F.greatest("a", "b").alias("y"))
               .distinct().localCheckpoint(eager=True))
 
+    converged = False
     for _ in range(max_iter):
         sym = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")) \
                    .union(pairs.select(F.col("y").alias("u"),
@@ -145,7 +177,20 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                    + pairs.join(ss, ["x", "y"], "left_anti").count())
         pairs = ss
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # The label-extraction step below assumes a star forest; a
+        # non-fixpoint edge set can put one node on the y side of two
+        # different edges and emit conflicting (node, component) rows.
+        # O(log^2 n) rounds bounds any graph, so hitting this means
+        # max_iter was set far too low — raise rather than return
+        # possibly-inconsistent labels.
+        all_nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not reach an edge-set "
+            f"fixpoint in {max_iter} rounds; raise max_iter "
+            f"(O(log^2 n) rounds suffice for any graph)")
 
     # fixpoint is a star forest: every y's single partner is its
     # component min; centers (never on the y side) label themselves

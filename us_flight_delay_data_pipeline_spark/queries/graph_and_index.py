@@ -312,9 +312,22 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"sg_ivfidx_{app}_{tag}")
     marker = os.path.join(path, "_SUCCESS_LAYOUT")
     if not os.path.exists(marker):
+        # build into a private staging dir, publish with one atomic
+        # rename — no check-then-act window where a concurrent caller
+        # could probe a half-built layout or overwrite a published one
+        import shutil
+        import uuid
         cleanup_at_exit(path)
-        build_ivf_index(e, cent, path)
-        open(marker, "w").close()
+        staged = f"{path}.staging.{uuid.uuid4().hex[:12]}"
+        cleanup_at_exit(staged)
+        build_ivf_index(e, cent, staged)
+        open(os.path.join(staged, "_SUCCESS_LAYOUT"), "w").close()
+        try:
+            os.rename(staged, path)
+        except OSError:
+            # another builder published first; its layout is
+            # identical (same deterministic inputs) — use it
+            shutil.rmtree(staged, ignore_errors=True)
     q = (assign_ivf_cells(e.filter(F.col("vec_id") < 10), cent)
          .select(F.col("vec_id").alias("q_id"), "embedding", "cell"))
     return probe_ivf_index(spark, path, q, k=3)

@@ -636,12 +636,15 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS slope
     FROM s
     """,
-    doc="Grouped custom aggregate via applyInPandas (the sanctioned "
-        "Python path for operators Spark can't express natively, like "
-        "the multimodal codecs): per-user OLS slope of event value "
-        "over time. One shuffle on user_id, Arrow-batched groups, "
-        "FlatMapGroupsInPandas in the plan (never row-at-a-time "
-        "BatchEvalPython). Exactness across engines: timestamps "
+    doc="Grouped-map applyInPandas API EXEMPLAR (the §2.9 shape demo, "
+        "like doc_chunks_udtf for UDTFs): per-user OLS slope of event "
+        "value over time. One shuffle on user_id, Arrow-batched "
+        "groups, FlatMapGroupsInPandas in the plan (never row-at-a-"
+        "time BatchEvalPython). NOTE this operator IS natively "
+        "expressible — the hot-path twin is user_value_trend_native "
+        "(integer-quantized DECIMAL(38,0) normal equations, no Python "
+        "worker); keep this version only as the documented "
+        "applyInPandas surface. Exactness across engines: timestamps "
         "rebase to per-user epoch-second offsets and values to "
         "integer cents, the normal-equation sums run in arbitrary-"
         "precision Python ints (HUGEINT in the oracle), and only the "
@@ -672,6 +675,76 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.groupBy("user_id").applyInPandas(
         slope, schema="user_id bigint, n_events bigint, slope double")
+
+
+@register(
+    "user_value_trend_native",
+    """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS xsec,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS ycents
+      FROM events
+    ),
+    reb AS (
+      SELECT user_id,
+             xsec - min(xsec) OVER (PARTITION BY user_id) AS x,
+             ycents AS y
+      FROM base
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM reb GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ((n * sxy - sx * sy)::DOUBLE
+                      / (n * sxx - sx * sx)::DOUBLE) / 100.0
+           END AS slope
+    FROM s
+    """,
+    doc="The NATIVE hot-path twin of user_value_trend: per-user OLS "
+        "slope as plain grouped sums — zero Python workers, zero "
+        "Arrow hops, whole-stage codegen end to end. Exactness is "
+        "preserved by the same quantization contract as the pandas "
+        "version: timestamps rebase to per-user epoch-second offsets "
+        "(min() over a user_id-partitioned window — the rebase keeps "
+        "magnitudes small enough that every product fits DECIMAL"
+        "(38,0)), values quantize to integer cents, the five normal-"
+        "equation sums accumulate as exact DECIMAL(38,0) integers "
+        "(HUGEINT in the oracle), and only the final slope divides "
+        "as double. One effective shuffle: the window hash-partitions "
+        "on user_id and the following groupBy reuses that "
+        "distribution. This is the production formulation at 100 TB; "
+        "the applyInPandas twin remains as the §2.9 API exemplar.",
+)
+def user_value_trend_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("xsec"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+         .alias("ycents"))
+    w = Window.partitionBy("user_id")
+    reb = e.select(
+        "user_id",
+        (F.col("xsec") - F.min("xsec").over(w)).cast("decimal(38,0)")
+        .alias("x"),
+        F.col("ycents").cast("decimal(38,0)").alias("y"))
+    s = reb.groupBy("user_id").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.when(den == F.lit(0), F.lit(None).cast("double"))
+         .otherwise((num.cast("double") / den.cast("double")) / 100.0)
+         .alias("slope"))
 
 
 @register(
@@ -1473,13 +1546,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_dropped"))
     sizes = cells.groupBy("c_id").agg(
         F.count("*").cast("bigint").alias("n_vectors"))
-    return (sizes.join(drops, "c_id", "left")
-            .select(F.col("c_id").alias("cell"), "n_vectors",
-                    F.coalesce("n_dropped", F.lit(0).cast("bigint"))
-                     .alias("n_dropped"),
-                    (F.col("n_vectors")
-                     - F.coalesce("n_dropped", F.lit(0).cast("bigint")))
-                    .cast("bigint").alias("n_survivors")))
+    out = (sizes.join(drops, "c_id", "left")
+           .select(F.col("c_id").alias("cell"), "n_vectors",
+                   F.coalesce("n_dropped", F.lit(0).cast("bigint"))
+                    .alias("n_dropped"),
+                   (F.col("n_vectors")
+                    - F.coalesce("n_dropped", F.lit(0).cast("bigint")))
+                   .cast("bigint").alias("n_survivors")))
+    # materialize both consumers of `cells`, then release executor
+    # storage (matching the min-label operator's cache discipline) —
+    # a lingering persist would pin the assignment subtree for the
+    # whole session
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out
 
 
 @register(

@@ -247,6 +247,10 @@ def stream_stream_join_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SF 32 stores are pure overhead (measured 8.0s -> 4.3s with 8).
     # The partition count is pinned at the first checkpoint, so a real
     # deployment sizes it once for peak state, not per-run.
+    # NOTE: this mutates SESSION-wide conf for the duration of the
+    # drain (restored in finally) — fine for the single-threaded
+    # harness; a concurrent caller in the same session should run
+    # under spark.newSession() to scope the override.
     conf = spark.conf
     old_parts = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", "8")

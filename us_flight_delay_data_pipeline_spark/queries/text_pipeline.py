@@ -83,15 +83,19 @@ _PAIRS_CTE = f"""
         "(operators/components.py::connected_components). Each doc in "
         "the pair graph gets its cluster id (min doc_id in component) "
         "and a canonical flag — keep canonicals, drop the rest. The "
-        "oracle computes the same closure with a recursive CTE.",
+        "oracle computes the same closure with a recursive CTE. "
+        "Diameter is data-dependent and unknown up front, so this "
+        "defaults to connected_components_auto: min-label first, "
+        "automatic fall-back to the O(log^2 n) star variant if the "
+        "round budget is exhausted (never silently-wrong labels).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
+    from ..operators.components import connected_components_auto
     from ..operators.dedup import ngram_jaccard_pairs
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.3) \
         .select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = connected_components_auto(pairs, src="doc_a", dst="doc_b")
     w = Window.partitionBy("component")
     return labels.select(
         F.col("node").alias("doc_id"),

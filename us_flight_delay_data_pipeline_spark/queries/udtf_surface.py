@@ -69,9 +69,12 @@ from .llm_ext import _CHUNK_STRIDE, _CHUNK_TOKENS, _tok_sql
 def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
-
-    @udtf(returnType="chunk_idx: int, n_tokens: bigint, chunk_md5: string")
+    # per-function Arrow opt-in (useArrow=True) instead of flipping
+    # spark.sql.execution.pythonUDTF.arrow.enabled on the shared
+    # session: the conf is read lazily at execution time, so a
+    # set/restore around this builder would race the actual collect
+    @udtf(returnType="chunk_idx: int, n_tokens: bigint, chunk_md5: string",
+          useArrow=True)
     class ChunkDoc:
         # mirrors the oracle exactly: trim+lower, \s+ split, 64-token
         # windows at stride 48, md5 of the space-joined chunk
@@ -100,9 +103,15 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
     view = f"_udtf_docs_{uuid.uuid4().hex[:12]}"
     d.select("doc_id", "text").createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT d.doc_id, t.chunk_idx, t.n_tokens, t.chunk_md5 "
-        f"FROM {view} d, LATERAL chunk_doc_udtf(d.text) t")
+    try:
+        # spark.sql analyzes eagerly, so the returned DataFrame's
+        # resolved plan no longer needs the view — drop it here
+        # rather than leak one catalog entry per invocation
+        return spark.sql(
+            f"SELECT d.doc_id, t.chunk_idx, t.n_tokens, t.chunk_md5 "
+            f"FROM {view} d, LATERAL chunk_doc_udtf(d.text) t")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @register(
