@@ -148,7 +148,11 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"))
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (vector, centroid) pair with the centroid's cosine rank
+    for that vector: rn=1 is the cell assignment, rn<=p is the
+    nprobe=p probe list. Shared by the assignment path and the
+    recall audit."""
     from pyspark.sql.window import Window
     from ..functions.vectors import vec_dot, vec_norm
     e = load_table(spark, sf_dir, "embeddings")
@@ -170,8 +174,13 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("nrm") * F.col("cnrm"))))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select("vec_id", "embedding", "c_id"))
+                  .select("vec_id", "embedding", "c_id", "rn"))
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_ivf_scored(spark, sf_dir)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "c_id"))
 
 
 @register(
@@ -221,6 +230,112 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rank") <= 3)
                 .select("q_id", "neighbor_id", "rank",
                         F.round("cosine", 6).alias("cosine")))
+
+
+def _ivf_recall_sql() -> str:
+    from .llm_ext import _cosine_sql
+    return f"""
+    WITH {_ivf_assign_sql()},
+    cells AS (SELECT vec_id, c_id FROM assigned WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, c_id, rn AS probe_rank
+               FROM assigned WHERE vec_id < 10),
+    q AS (SELECT vec_id AS q_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.qv', 'e.embedding')} AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ),
+    truth AS (
+      SELECT q_id, neighbor_id
+      FROM (SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                     AS rank
+            FROM sims)
+      WHERE rank <= 10
+    ),
+    marked AS (
+      SELECT t.q_id, t.neighbor_id, p.probe_rank
+      FROM truth t
+      JOIN cells c ON c.vec_id = t.neighbor_id
+      JOIN probes p ON p.q_id = t.q_id AND p.c_id = c.c_id
+    ),
+    lvl AS (SELECT g.i::INT AS nprobe
+            FROM (SELECT unnest(range(1, 17)) AS i) g)
+    SELECT l.nprobe,
+           COUNT(*)::BIGINT AS n_true,
+           CAST(SUM(CASE WHEN m.probe_rank <= l.nprobe
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           CAST(SUM(CASE WHEN m.probe_rank <= l.nprobe
+                         THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / COUNT(*)::DOUBLE AS recall
+    FROM lvl l CROSS JOIN marked m
+    GROUP BY l.nprobe
+    """
+
+
+@register(
+    "ivf_recall_audit",
+    None,  # oracle patched below (built by a helper)
+    doc="IVF candidate-recall audit — the trust gate before running "
+        "the IVF serving stack (ann_ivf_topk / ann_ivfpq_topk / "
+        "ann_ivfpq_rerank_topk / the on-disk ann_ivf_index_probe, all "
+        "of which share this cell assignment) at 100 TB: exact brute-"
+        "force cosine top-10 as ground truth, and for every nprobe in "
+        "1..nlist the fraction of true neighbors whose cell is among "
+        "the query's nprobe nearest centroids. probe_rank is computed "
+        "once from the same corpus-x-centroid scoring the assignment "
+        "uses, so a true neighbor is 'caught' at level p iff "
+        "probe_rank <= p — the audit is a pair-key hash join plus a "
+        "16-way conditional aggregate, linear in corpus size (the "
+        "truth join is the only quadratic piece and it reuses the "
+        "brute-force baseline's broadcast plan). Built-in sanity: "
+        "recall at nprobe = nlist must be exactly 1.0. "
+        "tests/test_ivf_index.py pins the recall floor.",
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    truth = brute_force_topk(e, q, k=10).select("q_id", "neighbor_id")
+    scored = _ivf_scored(spark, sf_dir).select("vec_id", "c_id", "rn") \
+                                       .persist()
+    cells = (scored.filter(F.col("rn") == 1)
+                   .select(F.col("vec_id").alias("n_id"),
+                           F.col("c_id").alias("n_cell")))
+    probes = (scored.filter(F.col("vec_id") < 10)
+                    .select(F.col("vec_id").alias("q_id"),
+                            F.col("c_id").alias("p_cell"),
+                            F.col("rn").alias("probe_rank")))
+    marked = (truth.join(cells, truth["neighbor_id"] == cells["n_id"])
+                   .join(F.broadcast(probes),
+                         (truth["q_id"] == probes["q_id"])
+                         & (F.col("n_cell") == F.col("p_cell")))
+                   .select(truth["q_id"], "neighbor_id", "probe_rank"))
+    # 16-level fan-out via explode (not a cartesian join): each truth
+    # row contributes one caught/missed observation per probe depth
+    lvl = marked.select("probe_rank",
+                        F.explode(F.sequence(F.lit(1), F.lit(16)))
+                         .alias("nprobe"))
+    out = (lvl.groupBy("nprobe")
+              .agg(F.count("*").cast("bigint").alias("n_true"),
+                   F.sum(F.when(F.col("probe_rank") <= F.col("nprobe"), 1)
+                          .otherwise(0)).cast("bigint").alias("n_caught"))
+              .select("nprobe", "n_true", "n_caught",
+                      (F.col("n_caught").cast("double")
+                       / F.col("n_true").cast("double")).alias("recall")))
+    out = out.localCheckpoint(eager=True)
+    scored.unpersist()
+    return out
+
+
+from . import QuerySpec as _QS1  # noqa: E402
+from . import REGISTRY as _REG1  # noqa: E402
+_REG1["ivf_recall_audit"] = _QS1(
+    fn=_REG1["ivf_recall_audit"].fn, oracle=_ivf_recall_sql(),
+    doc=_REG1["ivf_recall_audit"].doc)
 
 
 @register(
