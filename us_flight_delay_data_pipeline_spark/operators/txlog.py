@@ -42,10 +42,12 @@ ACID how:
 a checkpoint every ``checkpoint_every`` commits so snapshot
 resolution replays a bounded tail, never the whole history (Delta's
 _last_checkpoint pattern). Data dirs are immutable, so vacuum is a
-pure GC of dirs unreachable from retained versions. ``os.link``
-semantics hold on POSIX and HDFS-style stores; on S3-style object
-stores swap `_publish` for a conditional PUT (If-None-Match) — the
-rest of the protocol is unchanged.
+pure GC of dirs unreachable from retained versions. All log I/O rides
+the ``log_store`` seam (operators/logstore.py): ``PosixLogStore``
+publishes with tmp-file + ``os.link`` (POSIX/HDFS), and
+``ObjectStoreLogStore`` publishes with a conditional PUT
+(If-None-Match) for S3-style rename-less stores — the protocol is
+identical on both (pinned by tests/test_txlog_object_store.py).
 
 Data skipping: pass ``stats_cols`` to record per-dir [min, max] in
 each commit's manifest; ``snapshot(prune=(col, lo, hi))`` then drops
@@ -64,7 +66,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,44 +96,52 @@ class TxTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  checkpoint_every: int = 10, max_retries: int = 20,
-                 stats_cols: tuple[str, ...] = ()):
+                 stats_cols: tuple[str, ...] = (), log_store=None):
         """``stats_cols``: columns to record per-dir min/max for at
         commit time — the data-skipping index (Delta's dataSkippingNumIndexedCols
         equivalent). ``snapshot(prune=...)`` then skips whole dirs
         whose range cannot match, without opening a single parquet
-        footer. Numeric / string / date columns only."""
+        footer. Numeric / string / date columns only.
+
+        ``log_store``: where the transaction log lives — any object
+        with ``list() / read(name) / put_if_absent(name, content)``
+        (operators/logstore.py). Default: :class:`PosixLogStore`
+        under ``path/_txlog`` (tmp-file + os.link publish, POSIX and
+        HDFS). Pass :class:`ObjectStoreLogStore` for S3-style
+        rename-less semantics (conditional PUT publish); the rest of
+        the protocol is byte-identical either way."""
+        from .logstore import PosixLogStore
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG)
         self.checkpoint_every = checkpoint_every
         self.max_retries = max_retries
         self.stats_cols = tuple(stats_cols)
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.log_store = log_store or PosixLogStore(self.log_dir)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
     # ---- log primitives -------------------------------------------------
 
     def _versions(self) -> list[int]:
         return sorted(
-            int(f[:8]) for f in os.listdir(self.log_dir)
-            if f.endswith(".json") and not f.endswith(".ckpt.json"))
+            int(f[:8]) for f in self.log_store.list()
+            if f.endswith(".json") and not f.endswith(".ckpt.json")
+            and not f.endswith(".tmp"))
 
     def latest_version(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
 
     def _read_manifest(self, version: int) -> dict:
-        with open(os.path.join(self.log_dir, _manifest_name(version))) as f:
-            return json.load(f)
+        return json.loads(self.log_store.read(_manifest_name(version)))
 
     def _latest_checkpoint(self, at_or_before: int) -> dict | None:
         cks = sorted(
-            int(f[:8]) for f in os.listdir(self.log_dir)
+            int(f[:8]) for f in self.log_store.list()
             if f.endswith(".ckpt.json") and int(f[:8]) <= at_or_before)
         if not cks:
             return None
-        with open(os.path.join(self.log_dir, _ckpt_name(cks[-1]))) as f:
-            return json.load(f)
+        return json.loads(self.log_store.read(_ckpt_name(cks[-1])))
 
     def _resolve_version(self, version: int | None = None,
                          as_of_ts: float | None = None) -> int:
@@ -186,19 +195,11 @@ class TxTable:
 
     def _publish(self, version: int, manifest: dict) -> bool:
         """Atomically publish a manifest; False if the version is taken
-        (optimistic-concurrency loss)."""
-        final = os.path.join(self.log_dir, _manifest_name(version))
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-            try:
-                os.link(tmp, final)  # atomic create-if-absent with content
-                return True
-            except FileExistsError:
-                return False
-        finally:
-            os.unlink(tmp)
+        (optimistic-concurrency loss). Atomicity is delegated to the
+        log store's conditional create: os.link on POSIX/HDFS,
+        conditional PUT (If-None-Match) on object stores."""
+        return self.log_store.put_if_absent(
+            _manifest_name(version), json.dumps(manifest))
 
     # ---- commits --------------------------------------------------------
 
@@ -543,17 +544,9 @@ class TxTable:
                 tokens.append(t)
         ck = {"version": version, "active": active, "schema": schema,
               "tokens": tokens, "stats": stats}
-        final = os.path.join(self.log_dir, _ckpt_name(version))
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(ck, f)
-            try:
-                os.link(tmp, final)
-            except FileExistsError:
-                pass  # another writer checkpointed the same version
-        finally:
-            os.unlink(tmp)
+        # a lost race means another writer checkpointed the same
+        # version with identical content — ignore
+        self.log_store.put_if_absent(_ckpt_name(version), json.dumps(ck))
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """GC data dirs unreachable from the last ``retain_last``
