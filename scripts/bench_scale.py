@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Scale-stress bench (VERDICT r2 task #2): run a cross-family sample
+of registered queries at the recorded baseline SF (single-row-group
+sf0.1) AND at the make_scale_data.py 10x multi-file/multi-row-group
+copy, and record per-query scaling factors to BENCH_scale.json.
+
+Reading the factors: data grows 10x, so a perfectly linear operator
+with zero fixed overhead shows factor ~10; in practice most queries
+sit WELL below 10 because local-mode fixed overhead (JVM job launch,
+planning, Python round-trips) dominates at sf0.1. Factors
+meaningfully above the replica count flag super-linear behavior —
+those become perf bugs for the next round.
+
+Usage: python scripts/bench_scale.py [base_dir] [scale_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from us_flight_delay_data_pipeline_spark.session import get_spark
+
+# one query per major plan family; streaming_gated excluded (drain
+# overhead dominates, data volume is not the knob there)
+SCALE_QUERIES = [
+    # scan/agg/sort
+    "monthly_trend", "segment_sales", "topk_orders", "overall_kpis",
+    # joins: broadcast, shuffled, semi, theta, as-of
+    "region_revenue", "top_suppliers", "customer_order_stats",
+    "price_band_orders", "asof_latest_order",
+    # windows / sessions / prefix sums
+    "customer_running_total", "sessionize_events", "events_hourly",
+    "pack_sequences", "user_value_trend_native",
+    # skew + salting
+    "salted_event_type_stats",
+    # text / dedup family
+    "text_stats", "dedup_exact", "doc_fingerprints",
+    "minhash_lsh_pairs", "substring_dedup", "dedup_clusters_star",
+    # ANN / embeddings
+    "ann_bruteforce_topk", "ann_ivf_topk", "pq_encode",
+    # iterative graph
+    "pagerank_trade_graph",
+]
+
+
+def run_all(spark, queries, sf_dir: str, reps: int = 2) -> dict:
+    out = {}
+    for name in SCALE_QUERIES:
+        fn = queries[name]
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        print(f"  {name}: {best:.2f}s", flush=True)
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scale = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sg_scale10"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scale.json"
+    spark = get_spark()
+    queries = entrymod.queries()
+    print(f"== base: {base}", flush=True)
+    t_base = run_all(spark, queries, base)
+    print(f"== scale: {scale}", flush=True)
+    t_scale = run_all(spark, queries, scale)
+    factors = {q: (round(t_scale[q] / t_base[q], 2) if t_base[q] else None)
+               for q in t_base}
+    doc = {
+        "base_dir": base, "scale_dir": scale, "replicas": 10,
+        "base_s": t_base, "scale_s": t_scale, "factor": factors,
+        "superlinear": sorted(q for q, f in factors.items()
+                              if f is not None and f > 10.0),
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps({"superlinear": doc["superlinear"]}, indent=1))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -347,3 +347,235 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("decile", "n_true", "n_caught",
                           (F.col("n_caught").cast("double")
                            / F.col("n_true").cast("double")).alias("recall")))
+
+
+_REP_TOP2_T = 0.20   # Gopher: filter when top-2-gram fraction > 0.20
+_REP_DUP5_T = 0.30   # and when duplicated-5-gram fraction > 0.30
+
+
+@register(
+    "repetition_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 5
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS glen,
+             array_to_string(toks[u.i:u.i+1], ' ') AS g
+      FROM sized, LATERAL (SELECT unnest(range(1, n)) AS i) u
+      UNION ALL
+      SELECT doc_id, 3, array_to_string(toks[u.i:u.i+2], ' ')
+      FROM sized, LATERAL (SELECT unnest(range(1, n - 1)) AS i) u
+      UNION ALL
+      SELECT doc_id, 5, array_to_string(toks[u.i:u.i+4], ' ')
+      FROM sized, LATERAL (SELECT unnest(range(1, n - 3)) AS i) u
+    ),
+    gc AS (SELECT doc_id, glen, g, COUNT(*) AS c FROM grams GROUP BY ALL),
+    per AS (
+      SELECT doc_id,
+             MAX(CASE WHEN glen = 2 THEN c END) AS top2,
+             MAX(CASE WHEN glen = 3 THEN c END) AS top3,
+             SUM(CASE WHEN glen = 5 AND c >= 2 THEN c ELSE 0 END) AS dup5n,
+             SUM(CASE WHEN glen = 5 THEN c ELSE 0 END) AS dup5d
+      FROM gc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n::BIGINT AS n_tokens,
+           len(list_distinct(s.toks))::BIGINT AS n_distinct,
+           (p.top2 * 2)::DOUBLE / s.n::DOUBLE AS top2_frac,
+           (p.top3 * 3)::DOUBLE / s.n::DOUBLE AS top3_frac,
+           p.dup5n::DOUBLE / p.dup5d::DOUBLE AS dup5_frac,
+           len(list_distinct(s.toks))::DOUBLE / s.n::DOUBLE
+             AS distinct_ratio,
+           ((p.top2 * 2)::DOUBLE / s.n::DOUBLE > {_REP_TOP2_T}
+            OR p.dup5n::DOUBLE / p.dup5d::DOUBLE > {_REP_DUP5_T})
+             AS flag_repetitive
+    FROM sized s JOIN per p USING (doc_id)
+    """,
+    doc="Gopher-style repetition filters (Rae et al. 2021, App. A — "
+        "the pretrain quality rules that remove boilerplate/spam "
+        "before dedup even runs), token-exact: per doc, the fraction "
+        "of tokens covered by the single most frequent 2-gram and "
+        "3-gram, the fraction of 5-gram positions whose 5-gram "
+        "repeats WITHIN the doc, the distinct-token ratio, and the "
+        "Gopher-thresholded flag (top2 > 0.20 or dup5 > 0.30). All "
+        "counts are exact integers; only the final fractions divide "
+        "as double. One union-of-explodes pass builds (doc, glen, "
+        "gram); the gram count groups by doc so the shuffle "
+        "partitions by document and no gram table is corpus-global — "
+        "at 100 TB this is embarrassingly parallel per doc, the "
+        "cheapest filter in the funnel (contrast substring_dedup, "
+        "whose gram counts are corpus-global by design).",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_tokens
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sized = (d.select("doc_id", toks.alias("toks"))
+              .withColumn("n", F.size("toks")).filter(F.col("n") >= 5))
+
+    def grams(glen: int) -> DataFrame:
+        return (sized.select(
+                    "doc_id", "toks",
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        (F.col("n") - F.lit(glen - 1)).cast("int")))
+                     .alias("i"))
+                .select("doc_id", F.lit(glen).alias("glen"),
+                        F.concat_ws(" ", F.slice("toks", F.col("i"),
+                                                 F.lit(glen))).alias("g")))
+
+    gc = (grams(2).unionByName(grams(3)).unionByName(grams(5))
+          .groupBy("doc_id", "glen", "g").agg(F.count("*").alias("c")))
+    per = gc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("glen") == 2, F.col("c"))).alias("top2"),
+        F.max(F.when(F.col("glen") == 3, F.col("c"))).alias("top3"),
+        F.sum(F.when((F.col("glen") == 5) & (F.col("c") >= 2),
+                     F.col("c")).otherwise(F.lit(0))).alias("dup5n"),
+        F.sum(F.when(F.col("glen") == 5, F.col("c"))
+               .otherwise(F.lit(0))).alias("dup5d"))
+    base = sized.select(
+        "doc_id", F.col("n").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"))
+    top2f = (F.col("top2") * 2).cast("double") / F.col("n_tokens").cast("double")
+    top3f = (F.col("top3") * 3).cast("double") / F.col("n_tokens").cast("double")
+    dup5f = F.col("dup5n").cast("double") / F.col("dup5d").cast("double")
+    return (base.join(per, "doc_id")
+            .select("doc_id", "n_tokens", "n_distinct",
+                    top2f.alias("top2_frac"), top3f.alias("top3_frac"),
+                    dup5f.alias("dup5_frac"),
+                    (F.col("n_distinct").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("distinct_ratio"),
+                    ((top2f > F.lit(_REP_TOP2_T))
+                     | (dup5f > F.lit(_REP_DUP5_T)))
+                    .alias("flag_repetitive")))
+
+
+_DSIR_B = 1024            # hashed feature buckets
+_DSIR_SCALE = 1_000_000   # likelihood-ratio quantum (1e-6)
+_DSIR_TARGET = "src0"     # target domain = one source slice
+
+
+@register(
+    "dsir_importance",
+    None,  # oracle patched below (needs the h32 helper)
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection "
+        "for Language Models via Importance Resampling'): hashed "
+        "n-gram features (unigrams + bigrams -> {B} buckets via the "
+        "engine-portable md5 h32), bucket distributions estimated for "
+        "the TARGET domain (source='{t}') and the RAW corpus with "
+        "add-one smoothing, and each doc scored by its features' "
+        "target/raw likelihood ratios. Cross-engine exactness: the "
+        "per-bucket ratio is floor-quantized to 1e-6 units ENTIRELY "
+        "in int64 (numerator product <= ~1e16 at this SF; document "
+        "DECIMAL(38,0) for trillion-token corpora), and the doc score "
+        "is an exact integer sum of count*ratio_q — the arithmetic-"
+        "mean-ratio variant of DSIR's log-ratio (chosen because ln() "
+        "is the one scalar whose last bit differs across engines; at "
+        "deploy time swap the quantized ratio for log p_t - log p_r "
+        "and keep everything else). Plan shape: one explode pass -> "
+        "bucket counts ({B} rows, broadcast back) -> per-doc "
+        "conditional sum. Linear in corpus tokens; the only global "
+        "state is the {B}-row ratio table.".format(
+            B=_DSIR_B, t=_DSIR_TARGET),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_tokens
+    from ..operators.hashing import h32
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sized = (d.select("doc_id", "source", toks.alias("toks"))
+              .withColumn("n", F.size("toks")).filter(F.col("n") >= 2))
+    uni = (sized.select("doc_id", "source",
+                        F.explode("toks").alias("tok"))
+                .select("doc_id", "source",
+                        (h32(F.col("tok")) % F.lit(_DSIR_B)).alias("b")))
+    bi = (sized.select(
+              "doc_id", "source", "toks",
+              F.explode(F.sequence(F.lit(1),
+                                   (F.col("n") - F.lit(1)).cast("int")))
+               .alias("i"))
+          .select("doc_id", "source",
+                  (h32(F.concat_ws(" ", F.slice("toks", F.col("i"),
+                                                F.lit(2))))
+                   % F.lit(_DSIR_B)).alias("b")))
+    feats = uni.unionByName(bi)
+    cr = feats.groupBy("b").agg(F.count("*").alias("c_r"))
+    ct = (feats.filter(F.col("source") == _DSIR_TARGET)
+               .groupBy("b").agg(F.count("*").alias("c_t")))
+    tot = feats.agg(
+        F.count("*").alias("n_r"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("n_t"))
+    ratio = (cr.join(ct, "b", "left")
+               .crossJoin(F.broadcast(tot))
+               .select("b", F.expr(
+                   f"((coalesce(c_t, 0) + 1) * (n_r + {_DSIR_B}) "
+                   f"* {_DSIR_SCALE}) div ((c_r + 1) * (n_t + {_DSIR_B}))")
+                   .alias("r_q")))
+    docf = feats.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
+    return (docf.join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("k").cast("bigint").alias("n_feats"),
+                 F.sum(F.col("k") * F.col("r_q")).cast("bigint")
+                  .alias("score_q"))
+            .select("doc_id", "n_feats", "score_q",
+                    (F.col("score_q").cast("double")
+                     / (F.col("n_feats").cast("double")
+                        * float(_DSIR_SCALE))).alias("mean_ratio")))
+
+
+def _dsir_sql() -> str:
+    from .llm_ext import _h32_sql
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, {_tok_sql()} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, source, toks, len(toks) AS n FROM base
+      WHERE len(toks) >= 2
+    ),
+    uni AS (
+      SELECT doc_id, source, {_h32_sql('tok')} % {_DSIR_B} AS b
+      FROM (SELECT doc_id, source, unnest(toks) AS tok FROM sized)
+    ),
+    bi AS (
+      SELECT doc_id, source,
+             {_h32_sql("array_to_string(toks[u.i:u.i+1], ' ')")}
+               % {_DSIR_B} AS b
+      FROM sized, LATERAL (SELECT unnest(range(1, n)) AS i) u
+    ),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    cr AS (SELECT b, COUNT(*)::BIGINT AS c_r FROM feats GROUP BY b),
+    ct AS (SELECT b, COUNT(*)::BIGINT AS c_t FROM feats
+           WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_r,
+                   SUM(CASE WHEN source = '{_DSIR_TARGET}'
+                            THEN 1 ELSE 0 END)::BIGINT AS n_t
+            FROM feats),
+    ratio AS (
+      SELECT cr.b,
+             ((COALESCE(ct.c_t, 0) + 1) * (t.n_r + {_DSIR_B})
+              * {_DSIR_SCALE}) // ((cr.c_r + 1) * (t.n_t + {_DSIR_B}))
+               AS r_q
+      FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot t
+    ),
+    docf AS (SELECT doc_id, b, COUNT(*)::BIGINT AS k
+             FROM feats GROUP BY doc_id, b)
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_feats,
+           CAST(SUM(d.k * r.r_q) AS BIGINT) AS score_q,
+           CAST(SUM(d.k * r.r_q) AS BIGINT)::DOUBLE
+             / (CAST(SUM(d.k) AS BIGINT)::DOUBLE * {_DSIR_SCALE}.0)
+             AS mean_ratio
+    FROM docf d JOIN ratio r USING (b) GROUP BY d.doc_id
+    """
+
+
+from . import QuerySpec as _QS3  # noqa: E402
+from . import REGISTRY as _REG3  # noqa: E402
+_REG3["dsir_importance"] = _QS3(
+    fn=_REG3["dsir_importance"].fn, oracle=_dsir_sql(),
+    doc=_REG3["dsir_importance"].doc)
