@@ -579,3 +579,116 @@ from . import REGISTRY as _REG3  # noqa: E402
 _REG3["dsir_importance"] = _QS3(
     fn=_REG3["dsir_importance"].fn, oracle=_dsir_sql(),
     doc=_REG3["dsir_importance"].doc)
+
+
+_BAND_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # from the same 16 hashes
+
+
+def _band_tuning_sql() -> str:
+    def cand_cte(b: int, r: int) -> str:
+        unions = " UNION ".join(
+            f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b
+                  ON array_to_string(a.sig[{i * r + 1}:{i * r + r}], ',')
+                     = array_to_string(b.sig[{i * r + 1}:{i * r + r}], ',')
+                 AND a.doc_id < b.doc_id"""
+            for i in range(b))
+        return f"cand_{b}_{r} AS (SELECT DISTINCT doc_a, doc_b FROM ({unions}))"
+
+    def stat_row(b: int, r: int) -> str:
+        return f"""SELECT {b} AS bands, {r} AS rows_per_band,
+               (SELECT COUNT(*) FROM cand_{b}_{r})::BIGINT AS n_candidates,
+               (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+               (SELECT COUNT(*) FROM truth t JOIN cand_{b}_{r} c
+                 ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)::BIGINT
+                 AS n_caught"""
+
+    cands = ",\n".join(cand_cte(b, r) for b, r in _BAND_CONFIGS)
+    stats = " UNION ALL ".join(stat_row(b, r) for b, r in _BAND_CONFIGS)
+    return f"""
+    WITH {_sig_cte_sql()},
+    hn AS (
+      SELECT s.doc_id, d.lang, s.hsd, len(s.hsd) AS n
+      FROM sig s JOIN documents d USING (doc_id)
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hn a JOIN hn b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND least(a.n, b.n)::DOUBLE >= 0.3 * greatest(a.n, b.n)::DOUBLE
+      WHERE len(list_intersect(a.hsd, b.hsd))::DOUBLE
+               / (a.n + b.n - len(list_intersect(a.hsd, b.hsd)))::DOUBLE
+            >= 0.3
+    ),
+    {cands}
+    SELECT bands, rows_per_band, n_candidates, n_true, n_caught,
+           n_caught::DOUBLE / n_true::DOUBLE AS recall
+    FROM ({stats})
+    """
+
+
+@register(
+    "minhash_band_tuning",
+    None,  # oracle patched below (built by a helper)
+    doc="LSH banding tradeoff audit — the tuning table you read "
+        "BEFORE choosing (bands, rows) for a 100 TB dedup run: from "
+        "the SAME 16-hash MinHash signatures, evaluate every "
+        "factorization (16x1, 8x2, 4x4, 2x8) and report candidate-"
+        "pair volume (the cost axis: each candidate pays an exact-"
+        "Jaccard verification) against recall of the exact truth "
+        "pairs (within-language hashed-shingle Jaccard >= 0.3, the "
+        "same truth as lsh_recall_audit). Banding theory says "
+        "P(candidate) = 1-(1-J^r)^b — more bands/fewer rows moves "
+        "the S-curve left (higher recall, more junk candidates); "
+        "this measures the actual tradeoff on the actual corpus. "
+        "Each config is one extra band-exploded self-join over the "
+        "already-computed signature table (signatures are computed "
+        "ONCE and persisted); rows are 4 tiny aggregates unioned.",
+)
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_key, ngram_jaccard_pairs
+    from .llm_ext import _signature_table
+    d = load_table(spark, sf_dir, "documents")
+    sig = _signature_table(spark, sf_dir).persist()
+    truth = (ngram_jaccard_pairs(d, block_col="lang", threshold=0.3)
+             .select("doc_a", "doc_b").persist())
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    rows = []
+    for b, r in _BAND_CONFIGS:
+        banded = sig.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         band_key(F.col("sig"), i, r).alias("key"))
+                for i in range(b)])).alias("bk"))
+        x, y = banded.alias("a"), banded.alias("b")
+        cands = (x.join(y, (F.col("a.bk") == F.col("b.bk"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .select(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                  .dropDuplicates(["doc_a", "doc_b"]))
+        n_cand = cands.agg(F.count("*").cast("bigint")
+                            .alias("n_candidates"))
+        n_caught = (truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+                         .agg(F.count("*").cast("bigint")
+                               .alias("n_caught")))
+        rows.append(
+            n_cand.crossJoin(F.broadcast(n_caught))
+                  .crossJoin(F.broadcast(n_true))
+                  .select(F.lit(b).alias("bands"),
+                          F.lit(r).alias("rows_per_band"),
+                          "n_candidates", "n_true", "n_caught",
+                          (F.col("n_caught").cast("double")
+                           / F.col("n_true").cast("double"))
+                          .alias("recall")))
+    # lazy return; sig/truth persists are harness-scoped (see
+    # semantic_dedup's note) — the signature table and truth pairs
+    # are vocabulary/pair-sized, and bench.py clearCache()s per query
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+_REG3["minhash_band_tuning"] = _QS3(
+    fn=_REG3["minhash_band_tuning"].fn, oracle=_band_tuning_sql(),
+    doc=_REG3["minhash_band_tuning"].doc)

@@ -319,16 +319,16 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl = marked.select("probe_rank",
                         F.explode(F.sequence(F.lit(1), F.lit(16)))
                          .alias("nprobe"))
-    out = (lvl.groupBy("nprobe")
-              .agg(F.count("*").cast("bigint").alias("n_true"),
-                   F.sum(F.when(F.col("probe_rank") <= F.col("nprobe"), 1)
-                          .otherwise(0)).cast("bigint").alias("n_caught"))
-              .select("nprobe", "n_true", "n_caught",
-                      (F.col("n_caught").cast("double")
-                       / F.col("n_true").cast("double")).alias("recall")))
-    out = out.localCheckpoint(eager=True)
-    scored.unpersist()
-    return out
+    # lazy return; the persist on `scored` is harness-scoped (see
+    # semantic_dedup's note) — unpersisting a lazy builder's cache
+    # here would fire before execution
+    return (lvl.groupBy("nprobe")
+               .agg(F.count("*").cast("bigint").alias("n_true"),
+                    F.sum(F.when(F.col("probe_rank") <= F.col("nprobe"), 1)
+                           .otherwise(0)).cast("bigint").alias("n_caught"))
+               .select("nprobe", "n_true", "n_caught",
+                       (F.col("n_caught").cast("double")
+                        / F.col("n_true").cast("double")).alias("recall")))
 
 
 from . import QuerySpec as _QS1  # noqa: E402
@@ -1661,20 +1661,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_dropped"))
     sizes = cells.groupBy("c_id").agg(
         F.count("*").cast("bigint").alias("n_vectors"))
-    out = (sizes.join(drops, "c_id", "left")
-           .select(F.col("c_id").alias("cell"), "n_vectors",
-                   F.coalesce("n_dropped", F.lit(0).cast("bigint"))
-                    .alias("n_dropped"),
-                   (F.col("n_vectors")
-                    - F.coalesce("n_dropped", F.lit(0).cast("bigint")))
-                   .cast("bigint").alias("n_survivors")))
-    # materialize both consumers of `cells`, then release executor
-    # storage (matching the min-label operator's cache discipline) —
-    # a lingering persist would pin the assignment subtree for the
-    # whole session
-    out = out.localCheckpoint(eager=True)
-    cells.unpersist()
-    return out
+    # NOTE on the persist above: the builder returns a LAZY frame, so
+    # unpersisting here would un-cache BEFORE execution, and eager
+    # materialization (localCheckpoint) would blind the plan audits
+    # (tests/test_plan_audit.py pins ROUNDROBIN + _bkt in THIS plan)
+    # and execute jobs at build time. The cache is scoped by the
+    # harness instead: bench.py clearCache()s after every query; the
+    # cached subtree is the (vec_id, cell, nrm) assignment — MBs, not
+    # data-scale.
+    return (sizes.join(drops, "c_id", "left")
+            .select(F.col("c_id").alias("cell"), "n_vectors",
+                    F.coalesce("n_dropped", F.lit(0).cast("bigint"))
+                     .alias("n_dropped"),
+                    (F.col("n_vectors")
+                     - F.coalesce("n_dropped", F.lit(0).cast("bigint")))
+                    .cast("bigint").alias("n_survivors")))
 
 
 @register(
