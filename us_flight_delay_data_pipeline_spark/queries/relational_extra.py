@@ -368,3 +368,100 @@ def interval_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_pairs(
         iv, on="l_partkey", start="ivl_start", end="ivl_end",
         id_col="line_id", max_len_sec=_IVL_W_SEC)
+
+
+_SALT_N = 16
+
+
+@register(
+    "salted_segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Deterministic SALTED skew join under the oracle gate (the "
+        "salted-AGG twin salted_event_type_stats is already gated; "
+        "this gates the JOIN pattern): the fact side salts each row "
+        "with h32(orderkey) %% 16 — engine-portable, no rand() — and "
+        "the dimension side replicates 16x (operators/skew.py::"
+        "replicate_for_salted_join), so the equi-join key becomes "
+        "(custkey, salt) and a hot customer's rows spread over 16 "
+        "reducers instead of one. The oracle runs the PLAIN join: "
+        "identical aggregates prove salting is a pure physical "
+        "rewrite. At 100 TB this is the escape hatch when one key "
+        "holds a double-digit percent of the fact table and AQE's "
+        "skew split cannot help (e.g. the join side of a broadcast-"
+        "ineligible dimension).",
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hashing import h32
+    from ..operators.skew import replicate_for_salted_join
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice",
+        (h32(F.col("o_orderkey").cast("string")) % F.lit(_SALT_N))
+        .cast("int").alias("_salt"))
+    c = replicate_for_salted_join(
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment"), n_salts=_SALT_N)
+    j = o.join(c, (o["o_custkey"] == c["c_custkey"])
+               & (o["_salt"] == c["_salt"]))
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count("*").cast("bigint").alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                   .cast("double").alias("total_revenue")))
+
+
+_DOMAIN_CAP = 20
+
+
+@register(
+    "domain_cap_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                        % 4294967296, doc_id) AS pri
+      FROM documents
+    ),
+    kept AS (SELECT doc_id, source FROM ranked WHERE pri <= {_DOMAIN_CAP})
+    SELECT s.source,
+           CAST(s.cnt AS BIGINT) AS n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source) s
+    LEFT JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+      USING (source)
+    """,
+    doc="Per-domain document caps (the 'no more than K docs per "
+        "domain/source' curation rule every web-scale corpus applies "
+        "— C4 caps per URL-host, Gopher per domain — to stop a "
+        "single crawler-friendly site dominating the mixture): each "
+        "source keeps its top-{K} docs by a DETERMINISTIC hash "
+        "priority (h32(doc_id), tie-broken by doc_id — a seedless "
+        "uniform 'reservoir' both engines replay bit-identically; "
+        "swap in a quality score for quality-ranked caps). One "
+        "source-partitioned window + per-source counts; at 100 TB "
+        "the window shuffles (source, doc_id, 8-byte hash) rows and "
+        "hot domains are exactly the rows the cap discards.".format(
+            K=_DOMAIN_CAP),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..operators.hashing import h32
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        h32(F.col("doc_id").cast("string")), F.col("doc_id"))
+    kept = (d.withColumn("pri", F.row_number().over(w))
+             .filter(F.col("pri") <= _DOMAIN_CAP)
+             .groupBy("source").agg(F.count("*").alias("n_kept")))
+    totals = d.groupBy("source").agg(F.count("*").cast("bigint")
+                                     .alias("n_docs"))
+    return (totals.join(kept, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                     .alias("n_kept")))
