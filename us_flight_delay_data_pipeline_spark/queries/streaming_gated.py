@@ -262,3 +262,48 @@ def stream_stream_join_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("n_attributed"),
                     F.sum(F.col("value").cast("decimal(38,6)"))
                      .cast("double").alias("attributed_value")))
+
+
+@register(
+    "stream_matview_gated",
+    """
+    SELECT year(o_orderdate::DATE)::INT AS year,
+           month(o_orderdate::DATE)::INT AS month,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-view maintenance under the oracle "
+        "gate (previously pytest-only, tests/test_matview.py): a REAL "
+        "streaming job writes month-grain PARTIAL aggregates to a "
+        "batch_id-partitioned log (streaming/matview.py — dynamic "
+        "partition overwrite makes replayed batches idempotent), and "
+        "the returned view is read_rollup's re-aggregation of that "
+        "log — which must value-hash-match a direct batch group-by "
+        "over all the data (the algebraic-fold guarantee "
+        "mergeable_partial_aggs pins, here exercised through the "
+        "actual foreachBatch -> log -> fold machinery). Revenue folds "
+        "as integer cents, so the maintained view is bit-equal, not "
+        "approximately equal. At 100 TB the log holds |months| x "
+        "|batches| rows regardless of fact volume and the view never "
+        "rescans history.",
+)
+def stream_matview_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from ..functions.core import cleanup_at_exit
+    from ..streaming.matview import read_rollup, stream_monthly_revenue_log
+    src = _stream_source(spark, sf_dir, "orders")
+    tag = uuid.uuid4().hex[:12]
+    log = tempfile.mkdtemp(prefix=f"sg_mv_{tag}_log_")
+    ckpt = tempfile.mkdtemp(prefix=f"sg_mv_{tag}_ckpt_")
+    try:
+        q = stream_monthly_revenue_log(src, log, ckpt, available_now=True)
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # the returned view stays LAZY (no driver collect): the log dir
+    # outlives this builder and is removed at interpreter exit, the
+    # same scratch policy as ann_ivf_index_probe's on-disk layout
+    cleanup_at_exit(log)
+    return read_rollup(spark, log)
