@@ -458,3 +458,16 @@ def test_no_unpartitioned_window_in_any_query(q):
             if groups == 1 or (groups == 2 and "NULLS" in last):
                 bad.append((name, s[:120]))
     assert not bad, bad
+
+
+def test_salted_join_is_shuffled_on_salted_key(q):
+    """salted_segment_revenue exists to pin the salted-JOIN pattern:
+    the join must be a ShuffledHashJoin whose keys include the salt
+    (spreading a hot key over n_salts reducers) — a broadcast join
+    here would make the salt dead code and the demo a lie."""
+    p = plan(q("salted_segment_revenue"), "simple")
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+    join_line = [ln for ln in p.splitlines()
+                 if "ShuffledHashJoin" in ln][0]
+    assert "_salt" in join_line

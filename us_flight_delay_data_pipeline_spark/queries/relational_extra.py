@@ -404,9 +404,16 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_totalprice",
         (h32(F.col("o_orderkey").cast("string")) % F.lit(_SALT_N))
         .cast("int").alias("_salt"))
+    # hint the SHUFFLE join explicitly: at this SF Catalyst would
+    # broadcast the dim — which has no skew problem and would make
+    # the salt dead code. The pattern exists for the 100 TB case
+    # where the dim exceeds the broadcast threshold, so the query
+    # pins that exact physical shape (plan-audited: ShuffledHashJoin
+    # on (custkey, _salt), no broadcast).
     c = replicate_for_salted_join(
         load_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_mktsegment"), n_salts=_SALT_N)
+        .select("c_custkey", "c_mktsegment"), n_salts=_SALT_N) \
+        .hint("shuffle_hash")
     j = o.join(c, (o["o_custkey"] == c["c_custkey"])
                & (o["_salt"] == c["_salt"]))
     return (j.groupBy("c_mktsegment")
