@@ -503,16 +503,18 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 F.lit(2))))
                    % F.lit(_DSIR_B)).alias("b")))
     feats = uni.unionByName(bi)
-    cr = feats.groupBy("b").agg(F.count("*").alias("c_r"))
-    ct = (feats.filter(F.col("source") == _DSIR_TARGET)
-               .groupBy("b").agg(F.count("*").alias("c_t")))
-    tot = feats.agg(
-        F.count("*").alias("n_r"),
-        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("n_t"))
-    ratio = (cr.join(ct, "b", "left")
-               .crossJoin(F.broadcast(tot))
+    # ONE pass over the exploded features builds both distributions
+    # (raw count + conditional target count per bucket, map-side
+    # combined to <= B rows per task); the totals then derive from
+    # the B-row bucket table, not from a third corpus scan
+    bc = feats.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1))
+         .alias("c_t"))
+    tot = bc.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    ratio = (bc.crossJoin(F.broadcast(tot))
                .select("b", F.expr(
-                   f"((coalesce(c_t, 0) + 1) * (n_r + {_DSIR_B}) "
+                   f"((c_t + 1) * (n_r + {_DSIR_B}) "
                    f"* {_DSIR_SCALE}) div ((c_r + 1) * (n_t + {_DSIR_B}))")
                    .alias("r_q")))
     docf = feats.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
