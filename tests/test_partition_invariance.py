@@ -110,3 +110,32 @@ def test_result_invariant_to_planner_config(spark, sf_dir, name):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert base == stripped, f"{name}: result depends on planner config"
+
+
+CODEGEN_SAMPLE = [
+    "overall_kpis",            # decimal-exact double sums
+    "substring_dedup",         # md5 grams + islands windows
+    "dsir_importance",         # int64 div quantization
+    "pack_sequences",          # distributed prefix sum
+    "bitwise_funcs",           # shift/and/or Morton interleave
+    "repetition_stats",        # union-of-explodes + conditional aggs
+]
+
+
+@pytest.mark.parametrize("name", CODEGEN_SAMPLE)
+def test_result_invariant_to_codegen_mode(spark, sf_dir, name):
+    """Whole-stage codegen OFF (interpreted expression evaluation)
+    must not change any value: generated-code vs interpreter
+    divergence is a real Spark bug class (overflow handling, null
+    short-circuits), and a query whose answer depends on the codegen
+    path would silently drift across Spark upgrades or fallbacks
+    (codegen bails out beyond 64KB methods / 100 fields)."""
+    spec = REGISTRY[name]
+    base = _canon(spec.fn(spark, sf_dir))
+    saved = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        interp = _canon(spec.fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", saved)
+    assert base == interp, f"{name}: result depends on codegen mode"
