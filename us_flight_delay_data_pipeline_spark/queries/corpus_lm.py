@@ -694,3 +694,110 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG3["minhash_band_tuning"] = _QS3(
     fn=_REG3["minhash_band_tuning"].fn, oracle=_band_tuning_sql(),
     doc=_REG3["minhash_band_tuning"].doc)
+
+
+@register(
+    "ccnet_buckets",
+    f"""
+    WITH tgt AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+      WHERE source = '{_DSIR_TARGET}' AND length(trim(text)) > 0
+    ),
+    tbg AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM tgt, unnest(range(1, len(toks))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM tbg GROUP BY ALL),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    stats AS (SELECT w1, w2, (c12 * {_LM_SCALE}) // c1 AS q
+              FROM c12 JOIN c1 USING (w1)),
+    base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM base, unnest(range(1, len(toks))) AS u(i)
+    ),
+    doc_bg AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY ALL),
+    scored AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_matched,
+             CAST(SUM(k * q) AS BIGINT) AS score_q,
+             (CAST(SUM(k * q) AS BIGINT)::DOUBLE
+                / CAST(SUM(k) AS BIGINT)::DOUBLE) / {_LM_SCALE}.0
+               AS mean_cond_prob
+      FROM doc_bg JOIN stats USING (w1, w2) GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY mean_cond_prob DESC, doc_id)
+                  AS rnk,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, n_matched, score_q, mean_cond_prob,
+           CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+                WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020, the "
+        "classic corpus-filtering pipeline): a bigram LM is trained "
+        "on the TARGET domain only (source='{t}' — Wikipedia's role "
+        "in CCNet), every document is scored by its mean target-LM "
+        "conditional probability over matched bigrams (the exact "
+        "integer-rational recipe of bigram_lm_scores, so scores are "
+        "bit-portable — no libm log), and documents split into the "
+        "head/middle/tail TERCILES CCNet keeps/inspects/drops. "
+        "Terciles are exact rank thirds — rank by (score desc, "
+        "doc_id) via the distributed two-pass prefix rank "
+        "(operators/prefix.py), NEVER a single-partition global "
+        "window; the oracle's row_number() OVER (ORDER BY ...) "
+        "reproduces the identical total order because the sort key "
+        "is a bit-exact double + unique tiebreak. Target LM tables "
+        "are vocabulary-sized and broadcast back into the scoring "
+        "join; docs sharing no bigram with the target LM are "
+        "excluded (CCNet's unscorable bucket).".format(
+            t=_DSIR_TARGET),
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_tokens
+    from ..operators.prefix import with_global_running
+    d = load_table(spark, sf_dir, "documents")
+    base = (d.filter(F.length(F.trim("text")) > 0)
+             .select("doc_id", "source",
+                     word_tokens(F.lower(F.col("text"))).alias("toks"))
+             .filter(F.size("toks") >= 2))
+    bigrams = F.explode(F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("b")
+    tbg = (base.filter(F.col("source") == _DSIR_TARGET)
+               .select(bigrams).select("b.w1", "b.w2"))
+    c12 = tbg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    stats = (c12.join(c1, "w1")
+                .select("w1", "w2",
+                        F.expr(f"(c12 * {_LM_SCALE}) DIV c1").alias("q")))
+    doc_bg = (base.select("doc_id", bigrams)
+                  .select("doc_id", "b.w1", "b.w2")
+                  .groupBy("doc_id", "w1", "w2")
+                  .agg(F.count("*").alias("k")))
+    scored = (doc_bg.join(stats, ["w1", "w2"])
+                    .groupBy("doc_id")
+                    .agg(F.sum("k").cast("bigint").alias("n_matched"),
+                         F.sum(F.col("k") * F.col("q")).cast("bigint")
+                          .alias("score_q"))
+                    .select("doc_id", "n_matched", "score_q",
+                            ((F.col("score_q").cast("double")
+                              / F.col("n_matched").cast("double"))
+                             / F.lit(float(_LM_SCALE)))
+                            .alias("mean_cond_prob")))
+    ranked = with_global_running(
+        scored, [F.desc("mean_cond_prob"), F.asc("doc_id")],
+        rank="rnk", totals=True)
+    third1 = F.expr("(_n_total + 2) div 3")
+    third2 = F.expr("(2 * _n_total + 2) div 3")
+    return ranked.select(
+        "doc_id", "n_matched", "score_q", "mean_cond_prob",
+        F.when(F.col("rnk") <= third1, F.lit("head"))
+         .when(F.col("rnk") <= third2, F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"))
