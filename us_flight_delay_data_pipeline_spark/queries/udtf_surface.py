@@ -227,3 +227,64 @@ def media_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _media_table(spark, sf_dir).select("media_id", "content")
     return m.mapInArrow(gen, "media_id bigint, n_bytes bigint")
+
+
+@register(
+    "pyds_envelope_counts",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Custom PYTHON DataSource connector under the oracle gate "
+        "(Spark 4 pyspark.sql.datasource API — the remaining Python "
+        "extension shape next to the UDTF/UDAF/scalar-UDF/mapInArrow "
+        "demos): the documents table is landed once per session as a "
+        "multi-file JSONL envelope drop (the local stand-in for the "
+        "reference's Event Hubs feed), then read back through "
+        "sources/pyds.py::JsonlEnvelopeDataSource — one "
+        "InputPartition PER FILE, typed rows parsed in executor "
+        "Python workers, corrupt lines dropped (the na.drop "
+        "contract) — and aggregated per language. The oracle "
+        "aggregates the original table directly, so the gate pins "
+        "the whole connector round-trip (serialize -> custom scan -> "
+        "parse -> agg) value-for-value. Scale note: a Python source "
+        "is the format-coverage path, not the hot path — no codegen, "
+        "no vectorized decode; the JVM envelope reader stays the "
+        "performance path.",
+)
+def pyds_envelope_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.core import cleanup_at_exit
+    from ..sources.pyds import JsonlEnvelopeDataSource
+    from ..sources.registry import load_table
+
+    spark.dataSource.register(JsonlEnvelopeDataSource)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"sg_jsonl_{app}_{tag}")
+    if not os.path.isdir(path):
+        # staged build + atomic rename (same publish discipline as
+        # ann_ivf_index_probe's on-disk layout)
+        import uuid
+        staged = f"{path}.staging.{uuid.uuid4().hex[:12]}"
+        cleanup_at_exit(path)
+        cleanup_at_exit(staged)
+        (load_table(spark, sf_dir, "documents")
+         .select(F.to_json(F.struct("doc_id", "lang", "source",
+                                    "n_chars")).alias("value"))
+         .repartition(4)
+         .write.mode("overwrite").text(staged))
+        try:
+            os.rename(staged, path)
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+    env = (spark.read.format("sg_jsonl_envelope")
+           .option("path", path).load())
+    return (env.groupBy("lang")
+               .agg(F.count("*").cast("bigint").alias("n_docs"),
+                    F.sum("n_chars").cast("bigint").alias("total_chars")))
