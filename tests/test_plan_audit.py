@@ -471,3 +471,12 @@ def test_salted_join_is_shuffled_on_salted_key(q):
     join_line = [ln for ln in p.splitlines()
                  if "ShuffledHashJoin" in ln][0]
     assert "_salt" in join_line
+
+
+def test_python_datasource_scan_node(q):
+    """The custom Python DataSource query must actually scan through
+    the connector (BatchScan sg_jsonl_envelope (Python)) — a silent
+    fallback to a JVM file reader would unpin the whole surface."""
+    p = plan(q("pyds_envelope_counts"), "simple")
+    assert "sg_jsonl_envelope" in p
+    assert "(Python)" in p
