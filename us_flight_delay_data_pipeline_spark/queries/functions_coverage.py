@@ -571,3 +571,53 @@ def listagg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)")
                    .alias("suppliers_csv"),
                   F.count("*").alias("n_suppliers")))
+
+
+@register(
+    "sql_udf_rates",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CASE WHEN CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                     AS DOUBLE) = 0 THEN 0
+                ELSE CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                            AS DOUBLE)
+           END AS price_per_unit
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Declarative SQL UDF surface (CREATE TEMPORARY FUNCTION ... "
+        "RETURN expr, Spark 4's SQL-defined functions): the engine's "
+        "safe-divide contract (F6 — CASE WHEN denominator = 0 THEN 0, "
+        "SURVEY.md §2.8) declared ONCE as a catalog function and "
+        "applied in a grouped rate query. Unlike Python UDFs, a SQL "
+        "UDF inlines into the plan at analysis time — the physical "
+        "plan is identical codegen'd expressions, zero extension-"
+        "surface cost (audited: no Python evaluators) — making it "
+        "the right home for org-wide expression contracts (KPI "
+        "definitions, safe-divide policies) that must not fork per "
+        "notebook. Function name is session-unique to keep parallel "
+        "harness runs independent.",
+)
+def sql_udf_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    fn = f"sg_safe_div_{uuid.uuid4().hex[:8]}"
+    view = f"_sqludf_li_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION {fn}(num DOUBLE, den DOUBLE)
+        RETURNS DOUBLE
+        RETURN CASE WHEN den = 0 THEN 0 ELSE num / den END""")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   {fn}(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                             AS DOUBLE),
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                             AS DOUBLE)) AS price_per_unit
+            FROM {view} GROUP BY l_returnflag""")
+    finally:
+        spark.catalog.dropTempView(view)
