@@ -16,11 +16,17 @@ documenting the fast path:
   (``ArrowEvalPython``); twin: ``text_stats``'s native token_count.
 - ``media_bytes_arrow`` — ``mapInArrow`` over raw RecordBatches;
   twin: ``media_metadata``'s native octet_length.
+- ``pyds_envelope_counts`` — custom Python DataSource connector
+  (``pyspark.sql.datasource``, Spark 4): partition-per-file batch
+  scan through ``sources/pyds.py``; the JVM envelope reader stays
+  the performance path.
 
 The plan audit exempts exactly the two queries whose nodes carry the
 generic Arrow-eval names (the UDTF and the scalar UDF) from the
 no-Python rule and pins each shape's Arrow node positively — a
-row-pickling ``BatchEvalPython`` fallback is a failure everywhere.
+row-pickling ``BatchEvalPython`` fallback is a failure everywhere
+(the DataSource scan plans as ``BatchScan ... (Python)``, pinned by
+its own audit).
 """
 
 from __future__ import annotations
