@@ -294,3 +294,70 @@ def pyds_envelope_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (env.groupBy("lang")
                .agg(F.count("*").cast("bigint").alias("n_docs"),
                     F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+@register(
+    "pyds_stream_counts_gated",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="The Python DataSource's STREAMING half under the oracle "
+        "gate: readStream through sources/pyds.py's "
+        "SimpleDataSourceStreamReader (file-index offsets over the "
+        "same session-keyed JSONL drop the batch query lands), "
+        "grouped aggregation in complete mode, availableNow drain to "
+        "a memory sink — the drained result must value-hash-match "
+        "the batch SQL over the original table. Pins the custom "
+        "streaming connector end to end: offset management, "
+        "micro-batch planning over Python-produced rows, and "
+        "replay-deterministic file slicing (readBetweenOffsets). "
+        "Same production caveat as every memory-sink gate: at scale "
+        "the sink is txlog commit_once and the trigger is "
+        "processing-time.",
+)
+def pyds_stream_counts_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.core import cleanup_at_exit
+    from ..sources.pyds import JsonlEnvelopeDataSource
+
+    spark.dataSource.register(JsonlEnvelopeDataSource)
+    # share the batch query's drop dir (build if this runs first)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"sg_jsonl_{app}_{tag}")
+    if not os.path.isdir(path):
+        staged = f"{path}.staging.{uuid.uuid4().hex[:12]}"
+        cleanup_at_exit(path)
+        cleanup_at_exit(staged)
+        (load_table(spark, sf_dir, "documents")
+         .select(F.to_json(F.struct("doc_id", "lang", "source",
+                                    "n_chars")).alias("value"))
+         .repartition(4)
+         .write.mode("overwrite").text(staged))
+        try:
+            os.rename(staged, path)
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+    src = (spark.readStream.format("sg_jsonl_envelope")
+           .option("path", path).load())
+    agg = (src.groupBy("lang")
+              .agg(F.count("*").cast("bigint").alias("n_docs"),
+                   F.sum("n_chars").cast("bigint").alias("total_chars")))
+    name = f"pyds_gated_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
