@@ -139,3 +139,33 @@ def test_result_invariant_to_codegen_mode(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.codegen.wholeStage", saved)
     assert base == interp, f"{name}: result depends on codegen mode"
+
+
+ANSI_SAMPLE = [
+    "overall_kpis",              # decimal sums + safe-divide guards
+    "master_derive",             # row-grain casts and derived ratios
+    "envelope_silver_roundtrip", # permissive parse + cast + null-drop
+    "substring_dedup",           # md5 grams + integer islands
+    "dsir_importance",           # int64 div quantization
+    "pack_sequences",            # prefix-sum boundaries
+]
+
+
+@pytest.mark.parametrize("name", ANSI_SAMPLE)
+def test_result_invariant_to_ansi_mode(spark, sf_dir, name):
+    """Flipping spark.sql.ansi.enabled must not change any value:
+    ANSI mode turns silent cast/overflow nulls into errors and is a
+    per-deployment setting, so a query whose ANSWER depends on it
+    contains a hidden invalid cast or overflow. Every expression in
+    the registry is written to be valid under BOTH regimes (try_cast
+    where the data may be dirty, DECIMAL(38) headroom on sums)."""
+    spec = REGISTRY[name]
+    base = _canon(spec.fn(spark, sf_dir))
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled",
+                   "false" if old == "true" else "true")
+    try:
+        flipped = _canon(spec.fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert base == flipped, f"{name}: result depends on ANSI mode"
