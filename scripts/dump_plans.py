@@ -73,6 +73,23 @@ SHOWCASE = [
      "tiny broadcast agg + map-side integer-exact filter"),
     ("ann_ivfpq_rerank_topk", "retrieve-then-rerank — PQ coarse rank "
      "from 8-byte codes, exact cosine only on the top-10 pool"),
+    ("substring_dedup", "ExactSubstr ngram-run dedup — stride-1 gram "
+     "hash shuffle, doc-partitioned islands window over marked "
+     "positions only, text never shuffles"),
+    ("user_value_trend_native", "native OLS twin — DECIMAL(38,0) "
+     "normal equations, window + groupBy sharing one user_id hash "
+     "partitioning"),
+    ("salted_segment_revenue", "salted skew join — ShuffledHashJoin "
+     "on (custkey, _salt), dim replicated 16x, no broadcast"),
+    ("dsir_importance", "DSIR selection — one bucket-stats pass with "
+     "map-side combine, 1024-row ratio table broadcast back"),
+    ("ivf_recall_audit", "IVF trust gate — brute-force truth join + "
+     "16-level explode, no cartesian"),
+    ("pyds_envelope_counts", "custom Python DataSource scan — "
+     "BatchScan sg_jsonl_envelope (Python), partition-per-file"),
+    ("monthly_spine_gapfill", "recursive CTE date spine — "
+     "UnionLoop year recursion + vectorized month fan-out + "
+     "broadcast spine join"),
 ]
 
 
