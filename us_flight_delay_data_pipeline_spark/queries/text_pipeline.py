@@ -1040,3 +1040,55 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("n_chars_tok"),
                        F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint")
                         .alias("n_tokens")))
+
+
+@register(
+    "dup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*)::BIGINT AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz
+    """,
+    doc="Duplicate-cluster size distribution — the corpus-health "
+        "chart a curation team reads after fuzzy dedup: how many "
+        "clusters exist at each size, how many documents they hold, "
+        "and how many are removable (size-1 per cluster under the "
+        "keep-canonical rule — the exact document count dedup will "
+        "delete). A long tail of large clusters means boilerplate/"
+        "template contamination; mostly-pairs means true near-dups. "
+        "One extra two-level aggregate over the connected-components "
+        "labels (diameter-safe via connected_components_auto); "
+        "output is bounded by the largest cluster size.",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components_auto
+    from ..operators.dedup import ngram_jaccard_pairs
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.3) \
+        .select("doc_a", "doc_b")
+    labels = connected_components_auto(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy("sz")
+            .agg(F.count("*").cast("bigint").alias("n_clusters"),
+                 F.sum("sz").cast("bigint").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).cast("bigint")
+                  .alias("n_removable"))
+            .select(F.col("sz").cast("bigint").alias("cluster_size"),
+                    "n_clusters", "n_docs", "n_removable"))
