@@ -1,0 +1,98 @@
+"""Curation-wave-5 pins (queries/curation_extra.py) beyond the DuckDB
+differential: the sorted-neighborhood pipeline must be partitioning-
+invariant (the live regression that exposed the with_global_running
+boundary-sampling hazard), the priority sample must actually favor
+weight, and the chi-square decomposition must be internally exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_flight_delay_data_pipeline_spark.queries import load_registry
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_snm_pairs_match_single_partition_reference(spark):
+    """Regression for the with_global_running recomputation hazard:
+    on a multi-partition compute-heavy input the rank-offset self-join
+    silently lost pairs (79 -> 52 at sf0.1) before the operator pinned
+    its ranged frame with persist(); single-partition inputs are
+    immune because range sampling is exhaustive there. The registered
+    query (rebalanced 32-way input) must produce exactly the pair set
+    of a from-scratch single-partition run of the same logic."""
+    from us_flight_delay_data_pipeline_spark.functions.text import (
+        word_ngrams, word_tokens)
+    from us_flight_delay_data_pipeline_spark.operators.hashing import h32
+    from us_flight_delay_data_pipeline_spark.queries.curation_extra import (
+        _SNM_KEY_LEN, _SNM_THRESHOLD, _SNM_WINDOW)
+    from us_flight_delay_data_pipeline_spark.sources.registry import (
+        load_table)
+    from pyspark.sql.window import Window
+
+    reg = load_registry()
+    got = {(r.doc_a, r.doc_b, r.rank_gap)
+           for r in reg["sorted_neighborhood_pairs"]
+           .fn(spark, SF01).collect()}
+
+    # reference: same semantics, one partition, plain global window
+    docs = load_table(spark, SF01, "documents").coalesce(1)
+    toks = word_tokens(F.lower(F.col("text")))
+    hsd = F.array_distinct(F.transform(word_ngrams(F.col("text"), 3), h32))
+    base = (docs.filter(F.size(toks) >= 3)
+                .select("doc_id", "lang",
+                        F.substring(F.trim(F.lower(F.col("text"))),
+                                    1, _SNM_KEY_LEN).alias("k"),
+                        hsd.alias("hsd")))
+    w = Window.partitionBy(F.lit(1)).orderBy("lang", "k", "doc_id")
+    ranked = base.withColumn("rnk", F.row_number().over(w)).collect()
+    by_rank = sorted(ranked, key=lambda r: r.rnk)
+    expect = set()
+    for i, a in enumerate(by_rank):
+        for d in range(1, _SNM_WINDOW):
+            if i + d >= len(by_rank):
+                continue
+            b = by_rank[i + d]
+            ha, hb = set(a.hsd), set(b.hsd)
+            common = len(ha & hb)
+            jac = common / (len(ha) + len(hb) - common)
+            if jac >= _SNM_THRESHOLD:
+                expect.add((a.doc_id, b.doc_id, d))
+    assert got == expect
+
+
+def test_priority_sample_favors_weight(spark):
+    """Kept docs should skew long: the mean weight of the kept sample
+    must exceed the corpus mean weight (priority q = w/u rises with
+    w), and per-lang exactly K=20 rows are kept."""
+    reg = load_registry()
+    out = reg["quality_weighted_sample"].fn(spark, SF01)
+    rows = out.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.weight)
+    assert all(len(v) == 20 for v in per_lang.values())
+    kept_mean = sum(r.weight for r in rows) / len(rows)
+    from us_flight_delay_data_pipeline_spark.sources.registry import (
+        load_table)
+    from us_flight_delay_data_pipeline_spark.functions.text import (
+        word_tokens)
+    docs = load_table(spark, SF01, "documents")
+    stats = docs.select(
+        F.avg(F.greatest(F.size(word_tokens(F.col("text"))).cast("bigint"),
+                         F.lit(1).cast("bigint"))).alias("m")).collect()[0]
+    assert kept_mean > stats.m
+
+
+def test_chi2_contributions_nonnegative_and_exact(spark):
+    """Every bin contribution is >= 0 and equals the integer-exact
+    floor of the chi-square identity recomputed in Python bignums."""
+    reg = load_registry()
+    rows = reg["chi2_drift_audit"].fn(spark, SF01).collect()
+    na_tot = sum(r.n_a for r in rows)
+    nb_tot = sum(r.n_b for r in rows)
+    for r in rows:
+        d = r.n_a * nb_tot - r.n_b * na_tot
+        assert r.scaled_diff == d
+        expect = (d * d * 1_000_000) // (na_tot * nb_tot * (r.n_a + r.n_b))
+        assert r.chi2_contrib_ppm == expect >= 0

@@ -54,3 +54,49 @@ def test_totals_and_null_partition_sums(spark):
     # in k-order: id2 (+5) -> 5, id3 (+7) -> 12
     assert rows[2].cum == 5
     assert rows[3].cum == 12
+
+
+def test_rank_consistent_across_subtree_recomputation(spark):
+    """Regression: every computation of a with_global_running result
+    must see the SAME complete rank assignment. Each independent
+    computation of a repartitionByRange builds a fresh RangePartitioner
+    whose reservoir sampling is rdd.id-seeded, so before the operator
+    pinned its ranged frame with persist(), a multi-partition input
+    could draw DIFFERENT range boundaries per subtree computation —
+    local row_numbers then counted against one partitioning while the
+    broadcast offsets counted against another, leaving gaps and
+    duplicates in the "global" ranks (caught live by
+    sorted_neighborhood_pairs on a rebalanced 32-partition input;
+    single-partition inputs sample exhaustively and never exposed it).
+
+    sampleSizePerPartition=1 maximizes boundary variance between
+    computations, making the pre-fix corruption near-certain; with the
+    persist fix the sample runs once, so the knob is irrelevant."""
+    conf = spark.conf
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = conf.get(key)
+    conf.set(key, "1")
+    try:
+        n = 4000
+        # skewed string keys (duplicate-heavy prefixes) = realistic
+        # text sort keys, the regime the live failure hit
+        df = spark.createDataFrame(
+            [(f"k{(i * 7919) % 97:03d}", i) for i in range(n)],
+            "k string, id int").repartition(32)
+        r = with_global_running(df, [F.asc("k"), F.asc("id")], rank="rnk")
+        # action 1: adjacency self-join across two independent
+        # references — any rank gap/duplicate loses adjacent pairs
+        left = r.select(F.col("id").alias("id_a"),
+                        F.col("rnk").alias("r_a"))
+        right = r.select(F.col("id").alias("id_b"),
+                         (F.col("rnk") - 1).alias("r_a"))
+        assert left.join(right, "r_a").count() == n - 1, (
+            "every rank r must find rank r+1 across independently "
+            "computed references — boundary-sampling divergence")
+        # action 2: a fresh computation must still be the complete
+        # 1..n rank set (the live corruption showed missing ranks on
+        # a later filter action)
+        got = sorted(x.rnk for x in r.select("rnk").collect())
+        assert got == list(range(1, n + 1)), "rank set has gaps/dups"
+    finally:
+        conf.set(key, old)

@@ -55,8 +55,27 @@ def with_global_running(
     ``_sum_total`` — broadcast from the same one-row offsets subtree,
     so the input is still scanned once.
     """
+    # persist: the ranged frame is consumed by TWO subtrees (the local
+    # window and the per-partition totals), and callers that reference
+    # the result more than once multiply that further. Each independent
+    # computation of a repartitionByRange builds a fresh RangePartitioner
+    # whose reservoir sampling is rdd.id-seeded, so two computations can
+    # draw DIFFERENT range boundaries once the input has >1 partition —
+    # local row_numbers then count against one partitioning while the
+    # broadcast offsets count against another, leaving gaps/duplicates
+    # in the "global" ranks (caught by sorted_neighborhood_pairs on a
+    # rebalanced 32-partition input; single-partition inputs sample the
+    # whole partition and are immune, which is why single-row-group
+    # testdata scans never exposed it). persist() registers ONE cached
+    # plan, so every execution reuses the same materialized RDD — one
+    # partitioner, one partitioning, for the offsets pass and every
+    # downstream reference alike. Cache policy: harness-scoped like the
+    # signature tables (Spark's storage eviction bounds residency);
+    # rows carried are the caller's projection, which callers keep
+    # narrow.
     ranged = (df.repartitionByRange(*order_by)
-                .withColumn("_pid", F.spark_partition_id()))
+                .withColumn("_pid", F.spark_partition_id())
+                .persist())
     wloc = Window.partitionBy("_pid").orderBy(*order_by)
     out = ranged
     if rank is not None:

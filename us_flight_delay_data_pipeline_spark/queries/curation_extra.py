@@ -1,0 +1,283 @@
+"""[EXT] fifth curation wave: sorted-neighborhood dedup blocking,
+weighted priority sampling, and corpus-mix drift auditing.
+
+Three operators a training-data curation team runs that the existing
+registry did not yet cover:
+
+- ``sorted_neighborhood_pairs``: the THIRD near-dup blocking family
+  next to LSH banding (minhash_lsh_pairs) and SimHash bands
+  (simhash_dup_pairs) — the classic sorted-neighborhood method
+  (Hernandez & Stolfo, SIGMOD'95): sort the corpus by a fuzzy key,
+  compare only records within a fixed-width sliding window. Its scale
+  property is the opposite of LSH's: candidate fan-out per record is
+  bounded by the window width *by construction* (w-1 pairs each), so
+  a boilerplate template that would explode an LSH bucket costs
+  exactly the same as any other record here.
+- ``quality_weighted_sample``: weighted sampling without replacement
+  as PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM'07): priority
+  q_i = w_i / u_i with u_i a deterministic hash uniform, keep the
+  top-K priorities per stratum. Inclusion probability rises with
+  weight (min(1, w_i/tau) for the K-th threshold tau) — the
+  "sample proportional to quality/length score" step of corpus
+  assembly, reproducible bit-for-bit across engines and re-runs
+  because u_i is a hash, not rand().
+- ``chi2_drift_audit``: two-sample chi-square homogeneity test between
+  two crawl snapshots' language mixes — the drift gate run before
+  blending a new crawl into the training mixture. Exact INTEGER
+  arithmetic end to end (the classic chi-square identity
+  (o1*N2 - o2*N1)^2 / (N1*N2*(o1+o2)) has an all-integer numerator),
+  so the statistic is engine-portable with no float folding anywhere.
+
+Determinism policy (registry docstring): hash uniforms come from the
+portable md5-based h32; every double in an output column is either an
+exactly-representable integer or the result of ONE IEEE-exact
+operation on exactly-representable inputs (a single multiply below
+2^53 followed by a single correctly-rounded division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.core import rebalance
+from ..functions.text import word_ngrams, word_tokens
+from ..operators.hashing import h32
+from ..operators.prefix import with_global_running
+from ..sources.registry import load_table
+from . import register
+from .llm_ext import _h32_sql, _shingles_sql, _tok_sql
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 4          # compare each record to the next w-1 = 3
+_SNM_KEY_LEN = 24        # fuzzy sort key: first 24 chars of norm text
+_SNM_THRESHOLD = 0.3     # same Jaccard floor as the LSH/exact family
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, trim(lower(text)) AS t, {_tok_sql()} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, substr(t, 1, {_SNM_KEY_LEN}) AS k,
+             {_shingles_sql()} AS sh
+      FROM base WHERE len(toks) >= 3
+    ),
+    keyed AS (
+      SELECT doc_id, lang, k,
+             list_distinct([{_h32_sql('s')} for s in sh]) AS hsd
+      FROM sh
+    ),
+    ranked AS (
+      SELECT doc_id, hsd, len(hsd) AS n,
+             row_number() OVER (ORDER BY lang, k, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rnk - a.rnk AS INT) AS rank_gap,
+           len(list_intersect(a.hsd, b.hsd))::DOUBLE
+             / (a.n + b.n - len(list_intersect(a.hsd, b.hsd)))::DOUBLE
+             AS jaccard
+    FROM ranked a JOIN ranked b
+      ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {_SNM_WINDOW - 1}
+    WHERE len(list_intersect(a.hsd, b.hsd))::DOUBLE
+             / (a.n + b.n - len(list_intersect(a.hsd, b.hsd)))::DOUBLE
+          >= {_SNM_THRESHOLD}
+    """,
+    doc="Sorted-neighborhood dedup blocking (Hernandez & Stolfo "
+        "SIGMOD'95) — the third candidate-generation family next to "
+        "LSH banding and SimHash bands: records sort globally by a "
+        "fuzzy key (lang, first 24 chars of normalized text, doc_id "
+        "tiebreak), and each record is compared only to the next w-1=3 "
+        "records in that order, verified by exact hashed-shingle "
+        "Jaccard >= 0.3. The global rank comes from the distributed "
+        "two-pass prefix rank (operators/prefix.py — never a "
+        "single-partition window), and the sliding window is ONE "
+        "explode to w-1 rank offsets + ONE equi-join on rank, so the "
+        "shuffle carries (8-byte rank, shingle hashes) and per-record "
+        "candidate fan-out is w-1 BY CONSTRUCTION — a hot boilerplate "
+        "template that would explode an LSH bucket costs the same as "
+        "any other record here, which is exactly why production ER "
+        "systems run multi-pass SNM (different keys per pass) on "
+        "skew-prone corpora. The miss mode is the mirror image: "
+        "near-dups whose first 24 chars differ never meet — run it as "
+        "a complementary pass next to minhash_lsh_pairs, not a "
+        "replacement.",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    hsd = F.array_distinct(F.transform(word_ngrams(F.col("text"), 3), h32))
+    # rebalance: the shingle projection (md5 per shingle) is
+    # compute-bound and the input is few/large parquet row groups —
+    # round-robin width first, same policy as minhash_signatures. The
+    # projection is computed once: with_global_running persists its
+    # ranged frame, and both self-join sides read that cache.
+    base = (rebalance(docs.filter(F.size(toks) >= 3))
+                .select("doc_id", "lang",
+                        F.substring(F.trim(F.lower(F.col("text"))),
+                                    1, _SNM_KEY_LEN).alias("k"),
+                        hsd.alias("hsd")))
+    ranked = with_global_running(
+        base, [F.col("lang"), F.col("k"), F.col("doc_id")], rank="rnk")
+    left = ranked.select(F.col("doc_id").alias("doc_a"),
+                         F.col("hsd").alias("h_a"),
+                         F.col("rnk").alias("r_a"))
+    right = ranked.select(F.col("doc_id").alias("doc_b"),
+                          F.col("hsd").alias("h_b"),
+                          F.col("rnk").alias("r_b"))
+    probe = left.withColumn(
+        "r_b", F.explode(F.array(*[F.col("r_a") + F.lit(d)
+                                   for d in range(1, _SNM_WINDOW)])))
+    cand = probe.join(right, "r_b")
+    common = F.size(F.array_intersect("h_a", "h_b"))
+    jac = (common.cast("double")
+           / (F.size("h_a") + F.size("h_b") - common).cast("double"))
+    return (cand.select("doc_a", "doc_b",
+                        (F.col("r_b") - F.col("r_a")).cast("int")
+                        .alias("rank_gap"),
+                        jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= _SNM_THRESHOLD))
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 20            # kept per stratum
+_H32_RANGE = 4294967296  # 2^32
+
+
+@register(
+    "quality_weighted_sample",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END, 1) AS weight,
+             {_h32_sql('doc_id::VARCHAR')} AS h
+      FROM documents
+    ),
+    prio AS (
+      SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
+             (weight::DOUBLE * {_H32_RANGE}.0) / (h + 1)::DOUBLE AS priority
+      FROM base
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY priority DESC, doc_id) AS rk
+      FROM prio
+    )
+    SELECT lang, doc_id, weight, priority, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_PRIO_K}
+    """,
+    doc="Weighted sampling without replacement as PRIORITY SAMPLING "
+        "(Duffield, Lund & Thorup JACM'07): each doc gets priority "
+        "q = w/u where w is its token count (stand-in for any "
+        "quality/length score) and u = (h32(doc_id)+1)/2^32 is a "
+        "deterministic hash uniform; the top-K=20 priorities per "
+        "language are the sample — inclusion probability min(1, w/tau) "
+        "for the stratum's (K+1)-th priority tau, i.e. long/high-"
+        "quality docs are proportionally favored, unlike the uniform "
+        "domain_cap_sample. Cross-engine exact because every float op "
+        "is IEEE-pinned: w*2^32 is one exact double multiply (w < "
+        "2^21), the division by (h+1) is one correctly-rounded op, so "
+        "both engines order identical priorities (doc_id tiebreak). "
+        "At 100 TB this is one map-side projection + a per-stratum "
+        "top-K window (partitioned by lang, shuffling 24-byte rows); "
+        "swapping rand() in would cost reproducibility — the audit "
+        "trail of WHICH docs entered the mix is the whole point.",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.size(word_tokens(F.col("text"))).cast("bigint"),
+                   F.lit(1).cast("bigint"))
+    h = h32(F.col("doc_id").cast("string"))
+    prio = docs.select(
+        "doc_id", "lang", w.alias("weight"),
+        ((w.cast("double") * F.lit(float(_H32_RANGE)))
+         / (h + 1).cast("double")).alias("priority"))
+    win = Window.partitionBy("lang").orderBy(F.desc("priority"), "doc_id")
+    return (prio.withColumn("rk", F.row_number().over(win))
+                .filter(F.col("rk") <= _PRIO_K)
+                .select("lang", "doc_id", "weight", "priority", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-mix drift audit
+# ---------------------------------------------------------------------------
+
+_CHI2_PPM = 1_000_000  # contribution quantum (1e-6 units)
+
+
+@register(
+    "chi2_drift_audit",
+    f"""
+    WITH b AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN CAST(substr(source, 4) AS INT) >= 10
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+                 CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM b)
+    SELECT lang, n_a, n_b,
+           CAST(n_a * nb_tot - n_b * na_tot AS BIGINT) AS scaled_diff,
+           CAST(((n_a * nb_tot - n_b * na_tot)::HUGEINT
+                 * (n_a * nb_tot - n_b * na_tot)::HUGEINT
+                 * {_CHI2_PPM})
+                // (na_tot::HUGEINT * nb_tot::HUGEINT
+                    * (n_a + n_b)::HUGEINT) AS BIGINT) AS chi2_contrib_ppm
+    FROM b CROSS JOIN t
+    """,
+    doc="Corpus-mix drift audit: the two-sample chi-square homogeneity "
+        "test between two crawl snapshots' language distributions "
+        "(sources src0-src9 = snapshot A, src10-src19 = snapshot B — "
+        "the gate a curation pipeline runs before blending a new crawl "
+        "into the training mixture; a large statistic means the new "
+        "snapshot's mix shifted and the sampling weights need "
+        "re-deriving). Exact integer arithmetic end to end via the "
+        "classic identity chi2 = sum (o1*N2 - o2*N1)^2 / "
+        "(N1*N2*(o1+o2)): the signed scaled difference is a BIGINT, "
+        "its square rides DECIMAL(38,0) (HUGEINT in the oracle), and "
+        "each bin's contribution is emitted as an integer in 1e-6 "
+        "units via integral division — no float folding anywhere, so "
+        "the audit is bit-portable. At 100 TB the corpus pass is one "
+        "partial+final count aggregate producing |langs| rows; the "
+        "1-row totals broadcast back (BroadcastNestedLoop on a scalar, "
+        "never a cartesian). The chi-square quantile comparison "
+        "happens downstream — this emits the per-bin decomposition so "
+        "the drifting bins are visible, not just the verdict.",
+)
+def chi2_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = (F.substring(F.col("source"), 4, 10).cast("int") < 10)
+    b = docs.groupBy("lang").agg(
+        F.sum(F.when(snap_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(snap_a, 0).otherwise(1)).cast("bigint").alias("n_b"))
+    t = b.agg(F.sum("n_a").cast("bigint").alias("na_tot"),
+              F.sum("n_b").cast("bigint").alias("nb_tot"))
+    j = b.crossJoin(F.broadcast(t))
+    d = (F.col("n_a") * F.col("nb_tot")
+         - F.col("n_b") * F.col("na_tot")).cast("bigint")
+    dd = d.cast("decimal(38,0)")
+    den = (F.col("na_tot").cast("decimal(38,0)")
+           * F.col("nb_tot").cast("decimal(38,0)")
+           * (F.col("n_a") + F.col("n_b")).cast("decimal(38,0)"))
+    contrib = F.expr(
+        f"CAST((CAST(scaled_diff AS DECIMAL(38,0)) * CAST(scaled_diff AS "
+        f"DECIMAL(38,0)) * {_CHI2_PPM}) DIV den AS BIGINT)")
+    return (j.select("lang", "n_a", "n_b", d.alias("scaled_diff"),
+                     den.alias("den"))
+             .select("lang", "n_a", "n_b", "scaled_diff",
+                     contrib.alias("chi2_contrib_ppm")))
