@@ -307,3 +307,88 @@ def stream_matview_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same scratch policy as ann_ivf_index_probe's on-disk layout
     cleanup_at_exit(log)
     return read_rollup(spark, log)
+
+
+@register(
+    "stream_sessions_state_gated",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 30 * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id % 16 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, cents,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(SUM(cents) AS BIGINT) AS total_value_cents
+      FROM s GROUP BY user_id, session_idx
+    ),
+    mx AS (SELECT user_id, MAX(session_idx) AS last_idx FROM g
+           GROUP BY user_id)
+    SELECT g.user_id, g.n_events, g.session_start, g.session_end,
+           g.total_value_cents
+    FROM g JOIN mx USING (user_id) WHERE g.session_idx < mx.last_idx
+    """,
+    doc="CUSTOM stateful streaming operator under the oracle gate "
+        "(§2.9 x §2.10): gap-based sessionization via "
+        "applyInPandasWithState (streaming/sessions.py) — per-key "
+        "state that survives micro-batches, the extension point for "
+        "anything Spark's built-in stateful operators cannot express. "
+        "The drained output is the IN-STREAM-CLOSED sessions: a "
+        "session is emitted exactly when a later event of the same "
+        "user breaks the 30-min gap, so the oracle is the batch "
+        "sessionization minus each user's final session (the "
+        "still-open tail lives in the state store, the same boundary "
+        "stream_session_window_gated pins for the built-in operator). "
+        "Values enter the operator pre-quantized to integer cents, so "
+        "the Python-side accumulation is exact regardless of order "
+        "and the total is bit-portable. availableNow over one file is "
+        "one data batch — CROSS-batch state survival and the "
+        "event-time-timeout flush are pinned by the multi-batch "
+        "replay equivalence test (tests/test_streaming_sessions.py); "
+        "this gate pins the Arrow stateful plumbing, the state "
+        "update/emit semantics, and the schema contract against an "
+        "independent engine. The plan node is "
+        "FlatMapGroupsInPandasWithState — Arrow-batched grouped "
+        "state, not a row-pickling evaluator.",
+)
+def stream_sessions_state_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import sessionize_stream
+    # gate scope: a deterministic 1/16 user cohort — the stateful
+    # machinery is identical for any key subset, and the dominant cost
+    # is per-GROUP (one Python handler round-trip per user per batch),
+    # so the gate pins semantics at a fraction of the drain cost (the
+    # native twins are the full-population path)
+    src = (_stream_source(spark, sf_dir, "events")
+           .filter(F.col("user_id") % 16 == 0))
+    # integer cents BEFORE the stateful operator: python float sums of
+    # integers < 2^53 are exact, so accumulation order cannot drift
+    cents = src.withColumn(
+        "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double"))
+    sess = sessionize_stream(cents, gap_minutes=30, watermark=None)
+    # state-store sizing, same rationale as stream_stream_join_gated:
+    # each state partition pays per-batch instantiation/commit plus an
+    # Arrow round-trip here — 8 stores fit this state volume (restored
+    # in finally; single-threaded harness, see the note above)
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _drain_to_memory(sess, "append")
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+    return out.select("user_id", "n_events", "session_start",
+                      "session_end",
+                      F.col("total_value").cast("bigint")
+                       .alias("total_value_cents"))
