@@ -141,10 +141,11 @@ def test_no_python_udfs_in_any_query(q):
     round-trips in the hot path (SURVEY.md §2.9 contract). The TWO
     exemptions are the sanctioned Python-surface demos whose plan
     nodes carry the generic Arrow-eval names (queries/udtf_surface.py:
-    the UDTF and the scalar pandas UDF) — each pinned positively
-    below."""
+    the UDTF, the scalar pandas UDF, and the Arrow-native scalar UDF)
+    — each pinned positively below."""
     for name in REGISTRY:
-        if name in ("doc_chunks_udtf", "token_count_pandas_udf"):
+        if name in ("doc_chunks_udtf", "token_count_pandas_udf",
+                    "arrow_native_udf_digest"):
             continue
         p = plan(q(name), "simple")
         assert "BatchEvalPython" not in p, name
@@ -192,6 +193,16 @@ def test_scalar_pandas_udf_demo_is_arrow(q):
     """The sanctioned scalar pandas UDF must plan the vectorized
     Arrow evaluator, never the row-pickling one."""
     p = plan(q("token_count_pandas_udf"), "simple")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_arrow_native_scalar_udf_demo(q):
+    """The Spark 4 arrow-optimized plain @udf must plan the Arrow
+    evaluator — falling back to the legacy row-pickling evaluator
+    (useArrow silently ignored) is exactly the regression this
+    pins."""
+    p = plan(q("arrow_native_udf_digest"), "simple")
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
 

@@ -281,3 +281,193 @@ def chi2_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      den.alias("den"))
              .select("lang", "n_a", "n_b", "scaled_diff",
                      contrib.alias("chi2_contrib_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# kNN graph construction (mutual-edge filtered)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def _knn_oracle() -> str:
+    from .llm_ext import _cosine_sql, _hyperplane_sql
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_hyperplane_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rank
+      FROM sims
+    ),
+    edges AS (SELECT src, dst, rank, cosine FROM ranked
+              WHERE rank <= {_KNN_K})
+    SELECT e1.src AS vec_a, e1.dst AS vec_b, CAST(e1.rank AS INT) AS rank,
+           round(e1.cosine, 6) AS cosine,
+           (e2.src IS NOT NULL) AS mutual
+    FROM edges e1 LEFT JOIN edges e2
+      ON e2.src = e1.dst AND e2.dst = e1.src
+    """
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed kNN edge list (src, dst, rank, cosine) — shared by the
+    graph report and the semantic-cluster composition. Persisted: the
+    mutuality check references it twice. Cache policy: harness-scoped
+    like the signature tables."""
+    from ..functions.vectors import vec_norm
+    from ..operators.similarity import hyperplane_bucket, _pair_cosine
+    from .llm_ext import HYPERPLANES
+
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", "embedding",
+                   hyperplane_bucket(F.col("embedding"), HYPERPLANES)
+                   .alias("bucket"),
+                   vec_norm(F.col("embedding")).alias("_nrm")).persist()
+    a = e.select(F.col("vec_id").alias("src"),
+                 F.col("embedding").alias("_qv"),
+                 F.col("bucket"), F.col("_nrm").alias("_qnrm"))
+    b = e.select(F.col("vec_id").alias("dst"),
+                 F.col("embedding").alias("_cv"),
+                 F.col("bucket").alias("_cb"), F.col("_nrm").alias("_cnrm"))
+    sims = (a.join(b, (F.col("bucket") == F.col("_cb"))
+                   & (F.col("src") != F.col("dst")))
+             .select("src", "dst",
+                     _pair_cosine("_qv", "_cv", "_qnrm", "_cnrm")
+                     .alias("cosine")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= _KNN_K)
+                .select("src", "dst", "rank", "cosine")
+                .persist())
+
+
+@register(
+    "knn_graph_mutual",
+    _knn_oracle(),
+    doc="kNN-graph construction over the embedding corpus — the input "
+        "structure of NN-Descent refinement, graph-clustering dedup, "
+        "and manifold methods: EVERY vector (not a query subset, "
+        "unlike ann_lsh_topk) gets its top-3 cosine neighbors among "
+        "its LSH bucket's candidates, and each directed edge is "
+        "flagged MUTUAL when its reverse edge also made the other "
+        "endpoint's top-3 — the standard robust-edge filter (one-way "
+        "edges into hubs are the noise mutual-kNN prunes before "
+        "community detection). Plan shape: candidates come from a "
+        "bucket equi self-join (corpus^2/2^8 pairs, hash join, AQE "
+        "splits hot buckets — never all-pairs), per-source top-k is a "
+        "bucket-local window on src, and the mutuality check is one "
+        "self-join of the tiny edge table on the reversed pair key. "
+        "At 100 TB the corpus is bucket-partitioned so the self-join "
+        "is co-located, and edges are 3 rows x 20 bytes per vector "
+        "regardless of dimension — the graph, not the vectors, is "
+        "what downstream clustering shuffles.",
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    rev = edges.select(F.col("src").alias("_rsrc"),
+                       F.col("dst").alias("_rdst"))
+    out = edges.join(rev, (F.col("_rsrc") == F.col("dst"))
+                     & (F.col("_rdst") == F.col("src")), "left")
+    return out.select(F.col("src").alias("vec_a"),
+                      F.col("dst").alias("vec_b"),
+                      F.col("rank").cast("int").alias("rank"),
+                      F.round("cosine", 6).alias("cosine"),
+                      F.col("_rsrc").isNotNull().alias("mutual"))
+
+
+def _knn_cte() -> str:
+    """Shared oracle CTE: the directed kNN edge list (same constants
+    as knn_graph_mutual)."""
+    from .llm_ext import _cosine_sql, _hyperplane_sql
+    return f"""
+    e AS (
+      SELECT vec_id, embedding, {_hyperplane_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rank
+      FROM sims
+    ),
+    knn AS (SELECT src, dst FROM ranked WHERE rank <= {_KNN_K})
+    """
+
+
+@register(
+    "knn_semantic_clusters",
+    f"""
+    WITH RECURSIVE {_knn_cte()},
+    mut AS (
+      SELECT k1.src AS doc_a, k1.dst AS doc_b
+      FROM knn k1 JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+      WHERE k1.src < k1.dst
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM mut
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM mut
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM comp
+    """,
+    doc="Graph-based semantic dedup: mutual-kNN edges (both endpoints "
+        "rank each other top-3 — the robust-edge filter that kills "
+        "one-way hub edges) grouped into connected components, each "
+        "vector labeled with its cluster and a canonical flag. This "
+        "is the graph-community sibling of SemDeDup's "
+        "centroid-cell-then-cosine formulation (semantic_dedup): "
+        "cells bound WHERE comparisons happen, mutual-kNN + CC "
+        "instead lets chains of pairwise-similar items merge across "
+        "bucket boundaries they share pairwise — the right semantics "
+        "when paraphrase clusters drift (template v1 ~ v2 ~ v3). "
+        "Composition is pure operator reuse: knn edge builder -> "
+        "mutuality self-join -> connected_components_auto "
+        "(min-label with the star-variant fallback guard). Scale: "
+        "the CC input is the MUTUAL edge set (<= 3 undirected edges "
+        "per vector, 16 B rows), so clustering cost is independent "
+        "of embedding dimension; the oracle is the same recursive-"
+        "CTE closure dedup_clusters pins.",
+)
+def knn_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components_auto
+    edges = _knn_edges(spark, sf_dir)
+    rev = edges.select(F.col("src").alias("_rsrc"),
+                       F.col("dst").alias("_rdst"))
+    mut = (edges.join(rev, (F.col("_rsrc") == F.col("dst"))
+                      & (F.col("_rdst") == F.col("src")))
+                .filter(F.col("src") < F.col("dst"))
+                .select(F.col("src").alias("doc_a"),
+                        F.col("dst").alias("doc_b")))
+    labels = connected_components_auto(mut, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_canonical"))

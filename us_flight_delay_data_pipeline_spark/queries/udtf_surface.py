@@ -361,3 +361,47 @@ def pyds_stream_counts_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "arrow_native_udf_digest",
+    """
+    SELECT doc_id, md5(text) AS digest,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Arrow-OPTIMIZED scalar Python UDF (Spark 4 udf(useArrow="
+        "True)) — the modern replacement for the legacy row-pickling "
+        "@udf, completing the Python-surface matrix next to the "
+        "pandas UDF (batch pandas.Series), UDTF, UDAF, mapInArrow, "
+        "grouped-map, stateful grouped-map, and DataSource shapes: "
+        "same one-scalar-per-row programming model as a plain UDF, "
+        "but rows cross the JVM/Python boundary as Arrow batches. The "
+        "function computes hashlib.md5 over the utf-8 text — Python's "
+        "md5 must agree byte-for-byte with BOTH Spark's and DuckDB's, "
+        "so the gate pins the Arrow string transfer end to end (an "
+        "encoding/normalization slip anywhere breaks every digest). "
+        "Plans as ArrowEvalPython (audited positively; the audit "
+        "exempts it from the no-Python rule as the third sanctioned "
+        "generic-Arrow-node demo). Native twin for the hot path: "
+        "F.md5 / octet_length (media_metadata), which is what "
+        "production uses — this exists because a complete engine "
+        "must offer the scalar Python escape hatch without the "
+        "10-100x row-pickling tax.",
+)
+def arrow_native_udf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def py_md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    @udf(returnType="long", useArrow=True)
+    def py_nbytes(s: str) -> int:
+        return len(s.encode("utf-8"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", py_md5("text").alias("digest"),
+                       py_nbytes("text").alias("n_bytes"))
