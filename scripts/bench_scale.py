@@ -42,8 +42,12 @@ SCALE_QUERIES = [
     # text / dedup family
     "text_stats", "dedup_exact", "doc_fingerprints",
     "minhash_lsh_pairs", "substring_dedup", "dedup_clusters_star",
+    "sorted_neighborhood_pairs",
+    # weighted sampling + drift (map-side + tiny aggs)
+    "quality_weighted_sample", "chi2_drift_audit",
     # ANN / embeddings
     "ann_bruteforce_topk", "ann_ivf_topk", "pq_encode",
+    "knn_graph_mutual",
     # iterative graph
     "pagerank_trade_graph",
 ]

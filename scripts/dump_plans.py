@@ -87,6 +87,14 @@ SHOWCASE = [
      "16-level explode, no cartesian"),
     ("pyds_envelope_counts", "custom Python DataSource scan — "
      "BatchScan sg_jsonl_envelope (Python), partition-per-file"),
+    ("sorted_neighborhood_pairs", "sorted-neighborhood dedup — "
+     "two-pass prefix rank + w-1 rank-offset equi-join (skew-immune "
+     "window blocking)"),
+    ("knn_graph_mutual", "kNN graph build — LSH-bucket self-join "
+     "candidates, per-source WindowGroupLimit top-k, reversed-pair "
+     "mutuality join"),
+    ("chi2_drift_audit", "corpus-mix drift — one partial+final count "
+     "agg, scalar totals broadcast, integer-exact decomposition"),
     ("monthly_spine_gapfill", "recursive CTE date spine — "
      "UnionLoop year recursion + vectorized month fan-out + "
      "broadcast spine join"),

@@ -96,3 +96,36 @@ def test_chi2_contributions_nonnegative_and_exact(spark):
         assert r.scaled_diff == d
         expect = (d * d * 1_000_000) // (na_tot * nb_tot * (r.n_a + r.n_b))
         assert r.chi2_contrib_ppm == expect >= 0
+
+
+def test_nn_descent_round_improves_or_matches_recall(spark):
+    """The point of the NN-Descent round is escaping LSH blind spots:
+    measured against brute-force cosine truth, the refined graph's
+    true-neighbor hit count must be >= the seed graph's for every
+    source, and strictly better in aggregate on this corpus (8
+    hyperplanes over few hundred vectors leave guaranteed bucket
+    blind spots)."""
+    from us_flight_delay_data_pipeline_spark.queries import load_registry
+    from us_flight_delay_data_pipeline_spark.operators.similarity import (
+        brute_force_topk)
+    from us_flight_delay_data_pipeline_spark.sources.registry import (
+        load_table)
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+    seed = {(r.src, r.dst) for r in
+            reg["knn_graph_mutual"].fn(spark, sf)
+            .select(F.col("vec_a").alias("src"),
+                    F.col("vec_b").alias("dst")).collect()}
+    refined = {(r.src, r.dst) for r in
+               reg["nn_descent_round"].fn(spark, sf).collect()}
+    e = load_table(spark, sf, "embeddings")
+    q = e.select(F.col("vec_id").alias("q_id"), "embedding")
+    truth = {}
+    for r in brute_force_topk(e, q, k=3).collect():
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    def hits(edges):
+        return sum(1 for (s, d) in edges if d in truth.get(s, ()))
+    h_seed, h_ref = hits(seed), hits(refined)
+    assert h_ref >= h_seed
+    assert h_ref > h_seed, (h_seed, h_ref)

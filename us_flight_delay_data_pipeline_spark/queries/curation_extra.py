@@ -471,3 +471,136 @@ def knn_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"),
         (F.col("node") == F.col("component")).alias("is_canonical"))
+
+
+def _nn_descent_oracle() -> str:
+    from .llm_ext import _cosine_sql, _h32_sql
+    cos = _cosine_sql('ea.embedding', 'eb.embedding')
+    h = _h32_sql('vec_id::VARCHAR')
+    return f"""
+    WITH {_knn_cte()},
+    ring_ranked AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY {h}, vec_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM embeddings
+    ),
+    ring AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM ring_ranked a
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS d) u
+      JOIN ring_ranked b ON b.rnk = ((a.rnk - 1 + u.d) % a.n) + 1
+      WHERE a.vec_id <> b.vec_id
+    ),
+    e0 AS (
+      SELECT src, dst FROM knn
+      UNION
+      SELECT src, dst FROM ring
+    ),
+    rev AS (SELECT dst AS src, src AS dst FROM e0),
+    hop2 AS (
+      SELECT k1.src AS src, k2.dst AS dst
+      FROM e0 k1 JOIN e0 k2 ON k2.src = k1.dst
+      WHERE k1.src <> k2.dst
+    ),
+    cand AS (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT src, dst FROM rev
+      UNION
+      SELECT src, dst FROM hop2
+    ),
+    scored AS (
+      SELECT c.src, c.dst,
+             {cos} AS cosine
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.src
+      JOIN embeddings eb ON eb.vec_id = c.dst
+    ),
+    reranked AS (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rank
+      FROM scored
+    )
+    SELECT src, dst, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+    FROM reranked WHERE rank <= {_KNN_K}
+    """
+
+
+@register(
+    "nn_descent_round",
+    _nn_descent_oracle(),
+    doc="One NN-Descent refinement round (Dong et al. WWW'11): the "
+        "seed graph is the LSH top-3 edges UNION each vector's 3 "
+        "successors on a deterministic hash ring (h32(vec_id) order — "
+        "the reproducible stand-in for NN-Descent's random init, and "
+        "the piece that makes refinement WORK: LSH edges only ever "
+        "connect same-bucket vectors, so a closure over them can "
+        "never leave a bucket — measured: zero improvement without "
+        "the ring), and each vector's candidates are its seed "
+        "neighbors UNION reverse neighbors UNION neighbors' "
+        "neighbors, scored exactly and re-ranked to a refined top-3. "
+        "The 2-hop step crosses buckets via ring edges, which is how "
+        "the round escapes LSH blind spots (recall gain pinned by "
+        "tests/test_curation_extra.py against brute-force truth). "
+        "Plan shape: the ring is the distributed prefix rank + a "
+        "modular rank join; candidate generation is edge-table set "
+        "algebra (3+3 rows/vector); scoring fetches embeddings by "
+        "two hash joins — iteration cost is bounded by the EDGE "
+        "table, never the vector table, and rounds repeat until the "
+        "graph stops improving (one round registered; the operator "
+        "is the round, the loop is policy).",
+)
+def nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vec_norm
+    from ..operators.similarity import _pair_cosine
+
+    lsh = _knn_edges(spark, sf_dir).select("src", "dst")
+    # deterministic hash-ring seed edges: rank every vector on the
+    # h32(vec_id) ring (distributed prefix rank) and connect each to
+    # its 3 successors modulo n — geometry-blind, hence cross-bucket
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    ranked = with_global_running(
+        ids, [h32(F.col("vec_id").cast("string")), F.col("vec_id")],
+        rank="rnk", totals=True)
+    a = ranked.select(F.col("vec_id").alias("src"),
+                      F.col("rnk").alias("_ra"),
+                      F.col("_n_total").alias("_n"))
+    b = ranked.select(F.col("vec_id").alias("dst"),
+                      F.col("rnk").alias("_rb"))
+    ring = (a.withColumn("_d", F.explode(F.array(*[F.lit(d)
+                                                   for d in (1, 2, 3)])))
+             .withColumn("_rb", (F.col("_ra") - 1 + F.col("_d"))
+                         % F.col("_n") + 1)
+             .join(b, "_rb")
+             .filter(F.col("src") != F.col("dst"))
+             .select("src", "dst"))
+    # persisted: the seed edge set feeds four subtrees (rev, both
+    # 2-hop sides, and the candidate union) — without the pin the
+    # ring's prefix-rank machinery re-executes per reference
+    edges = lsh.union(ring).persist()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    k1 = edges.select(F.col("src"), F.col("dst").alias("_mid"))
+    k2 = edges.select(F.col("src").alias("_mid"), F.col("dst"))
+    hop2 = (k1.join(k2, "_mid")
+              .filter(F.col("src") != F.col("dst"))
+              .select("src", "dst"))
+    cand = edges.union(rev).union(hop2).distinct()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("_n"))
+    ea = emb.select(F.col("vec_id").alias("src"),
+                    F.col("embedding").alias("_qv"),
+                    F.col("_n").alias("_qnrm"))
+    eb = emb.select(F.col("vec_id").alias("dst"),
+                    F.col("embedding").alias("_cv"),
+                    F.col("_n").alias("_cnrm"))
+    scored = (cand.join(ea, "src").join(eb, "dst")
+                  .select("src", "dst",
+                          _pair_cosine("_qv", "_cv", "_qnrm", "_cnrm")
+                          .alias("cosine")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= _KNN_K)
+                  .select("src", "dst", F.col("rank").cast("int").alias("rank"),
+                          F.round("cosine", 6).alias("cosine")))
