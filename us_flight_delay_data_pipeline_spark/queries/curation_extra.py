@@ -604,3 +604,79 @@ def nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rank") <= _KNN_K)
                   .select("src", "dst", F.col("rank").cast("int").alias("rank"),
                           F.round("cosine", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling distribution table
+# ---------------------------------------------------------------------------
+
+_NEG_MIN_COUNT = 5        # vocabulary floor (word2vec min-count)
+_NEG_Q = 1_000_000        # weight quantum (1e-6 units)
+
+
+@register(
+    "negative_sampling_table",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_tok_sql()}) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (
+      SELECT token, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY token
+      HAVING COUNT(*) >= {_NEG_MIN_COUNT}
+    ),
+    weighted AS (
+      SELECT token, cnt,
+             CAST(floor(sqrt(sqrt((cnt * cnt * cnt)::DOUBLE))
+                        * {_NEG_Q}) AS BIGINT) AS weight_q
+      FROM counts
+    ),
+    cum AS (
+      SELECT token, cnt, weight_q,
+             SUM(weight_q) OVER (ORDER BY token
+                                 ROWS UNBOUNDED PRECEDING) AS cum_q,
+             SUM(weight_q) OVER () AS total_q
+      FROM weighted
+    )
+    SELECT token, cnt, weight_q, CAST(cum_q AS BIGINT) AS cum_q,
+           (cum_q::DOUBLE / total_q::DOUBLE) AS cdf
+    FROM cum
+    """,
+    doc="Negative-sampling distribution table (Mikolov et al. 2013): "
+        "the smoothed unigram distribution P(w) ~ count^0.75 that "
+        "word2vec/contrastive training draws negatives from, "
+        "materialized as the cumulative table an inverse-CDF sampler "
+        "binary-searches. count^0.75 is computed EXACTLY as "
+        "sqrt(sqrt(c^3)) — two correctly-rounded IEEE sqrts on an "
+        "exactly-representable c^3 (c^3 < 2^53 up to c ~ 200k; "
+        "beyond, lift c^3 into DECIMAL and accept one documented "
+        "rounding at the double conversion) — then floor-quantized "
+        "to 1e-6 units so the running total is an exact BIGINT sum. "
+        "The cumulative weight runs over the token-ordered vocabulary "
+        "through the distributed two-pass prefix sum "
+        "(operators/prefix.py — never a single-partition window, "
+        "even though the vocab is merely vocabulary-sized: the same "
+        "code path then serves corpus-scale cumulative tables). The "
+        "final cdf column is one exact-int division per row. At "
+        "100 TB the token count is one explode + map-side-combined "
+        "aggregate; the table itself is vocabulary-sized and "
+        "broadcastable to samplers.",
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = rebalance(docs.filter(F.length(F.trim(F.col("text"))) > 0)) \
+        .select(F.explode(word_tokens(F.lower(F.col("text")))).alias("token"))
+    counts = (toks.groupBy("token")
+                  .agg(F.count("*").cast("bigint").alias("cnt"))
+                  .filter(F.col("cnt") >= _NEG_MIN_COUNT))
+    c = F.col("cnt").cast("double")
+    wq = F.floor(F.sqrt(F.sqrt(c * c * c)) * _NEG_Q).cast("bigint")
+    weighted = counts.select("token", "cnt", wq.alias("weight_q"))
+    cum = with_global_running(
+        weighted, [F.col("token")], sum_col="weight_q",
+        cum_name="cum_q", totals=True)
+    return cum.select(
+        "token", "cnt", "weight_q",
+        F.col("cum_q").cast("bigint").alias("cum_q"),
+        (F.col("cum_q").cast("double")
+         / F.col("_sum_total").cast("double")).alias("cdf"))
