@@ -95,6 +95,12 @@ SHOWCASE = [
      "mutuality join"),
     ("chi2_drift_audit", "corpus-mix drift — one partial+final count "
      "agg, scalar totals broadcast, integer-exact decomposition"),
+    ("nn_descent_round", "NN-Descent iteration — edge-table set "
+     "algebra candidates (seed/reverse/2-hop), embeddings fetched by "
+     "hash join, exact re-rank"),
+    ("stream_sessions_state_gated", "custom Python state under the "
+     "gate — FlatMapGroupsInPandasWithState drain (plan shown is the "
+     "post-drain sink read; the streaming plan is in the module doc)"),
     ("monthly_spine_gapfill", "recursive CTE date spine — "
      "UnionLoop year recursion + vectorized month fan-out + "
      "broadcast spine join"),

@@ -654,41 +654,54 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (ngram_jaccard_pairs(d, block_col="lang", threshold=0.3)
              .select("doc_a", "doc_b").persist())
     n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
-    rows = []
-    for b, r in _BAND_CONFIGS:
-        banded = sig.select(
-            "doc_id",
-            F.explode(F.array(*[
-                F.struct(F.lit(i).alias("band"),
-                         band_key(F.col("sig"), i, r).alias("key"))
-                for i in range(b)])).alias("bk"))
-        x, y = banded.alias("a"), banded.alias("b")
-        cands = (x.join(y, (F.col("a.bk") == F.col("b.bk"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")))
-                  .select(F.col("a.doc_id").alias("doc_a"),
-                          F.col("b.doc_id").alias("doc_b"))
-                  .dropDuplicates(["doc_a", "doc_b"]))
-        n_cand = cands.agg(F.count("*").cast("bigint")
-                            .alias("n_candidates"))
-        n_caught = (truth.join(cands, ["doc_a", "doc_b"], "left_semi")
-                         .agg(F.count("*").cast("bigint")
-                               .alias("n_caught")))
-        rows.append(
-            n_cand.crossJoin(F.broadcast(n_caught))
-                  .crossJoin(F.broadcast(n_true))
-                  .select(F.lit(b).alias("bands"),
-                          F.lit(r).alias("rows_per_band"),
-                          "n_candidates", "n_true", "n_caught",
-                          (F.col("n_caught").cast("double")
-                           / F.col("n_true").cast("double"))
-                          .alias("recall")))
-    # lazy return; sig/truth persists are harness-scoped (see
+    # ALL four configs ride ONE exploded self-join: each doc emits
+    # sum-of-bands rows keyed (config, band, key), so candidate
+    # generation is a single exchange pair instead of four joins +
+    # four semi-joins (measured ~1.7x on the whole audit). Config id
+    # rides inside the struct key, so pairs never cross configs.
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("cfg"),
+                     F.lit(i).alias("band"),
+                     band_key(F.col("sig"), i, r).alias("key"))
+            for b, r in _BAND_CONFIGS
+            for i in range(b)])).alias("bk"))
+    x, y = banded.alias("a"), banded.alias("b")
+    cands = (x.join(y, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .select(F.col("a.bk.cfg").alias("cfg"),
+                      F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+              .dropDuplicates(["cfg", "doc_a", "doc_b"])
+              .persist())
+    n_cand = cands.groupBy("cfg").agg(
+        F.count("*").cast("bigint").alias("n_candidates"))
+    n_caught = (cands.join(truth, ["doc_a", "doc_b"], "left_semi")
+                     .groupBy("cfg")
+                     .agg(F.count("*").cast("bigint").alias("n_caught")))
+    cfg_rows = F.array(*[F.struct(F.lit(b).alias("cfg"),
+                                  F.lit(r).alias("rows_per_band"))
+                         for b, r in _BAND_CONFIGS])
+    cfgs = (sig.sparkSession.range(1)
+               .select(F.explode(cfg_rows).alias("c"))
+               .select("c.cfg", "c.rows_per_band"))
+    # lazy return; sig/truth/cands persists are harness-scoped (see
     # semantic_dedup's note) — the signature table and truth pairs
     # are vocabulary/pair-sized, and bench.py clearCache()s per query
-    out = rows[0]
-    for frame in rows[1:]:
-        out = out.unionByName(frame)
-    return out
+    return (cfgs.join(n_cand, "cfg", "left")
+                .join(n_caught, "cfg", "left")
+                .crossJoin(F.broadcast(n_true))
+                .select(F.col("cfg").alias("bands"), "rows_per_band",
+                        F.coalesce("n_candidates", F.lit(0).cast("bigint"))
+                         .alias("n_candidates"),
+                        "n_true",
+                        F.coalesce("n_caught", F.lit(0).cast("bigint"))
+                         .alias("n_caught"),
+                        (F.coalesce("n_caught", F.lit(0).cast("bigint"))
+                          .cast("double")
+                         / F.col("n_true").cast("double"))
+                        .alias("recall")))
 
 
 _REG3["minhash_band_tuning"] = _QS3(
