@@ -70,9 +70,14 @@ def main() -> int:
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
+        # directory tables (multi-file copies, e.g. make_scale_data's
+        # 10x layout) need the glob form on the DuckDB side; Spark's
+        # reader handles directories natively
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0

@@ -129,3 +129,62 @@ def test_nn_descent_round_improves_or_matches_recall(spark):
     h_seed, h_ref = hits(seed), hits(refined)
     assert h_ref >= h_seed
     assert h_ref > h_seed, (h_seed, h_ref)
+
+
+def test_priority_sample_scale_invariance(spark):
+    """Priority sampling invariant: scaling every weight by the same
+    positive constant multiplies every priority q = w/u by that
+    constant, so the per-stratum top-K — and therefore the selected
+    doc set — is unchanged. Pinned by re-deriving the sample with
+    weight*7 and comparing the kept (lang, doc_id) sets."""
+    from us_flight_delay_data_pipeline_spark.functions.text import (
+        word_tokens)
+    from us_flight_delay_data_pipeline_spark.operators.hashing import h32
+    from us_flight_delay_data_pipeline_spark.queries.curation_extra import (
+        _H32_RANGE, _PRIO_K)
+    from us_flight_delay_data_pipeline_spark.sources.registry import (
+        load_table)
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, SF01, "documents")
+
+    def sample(scale):
+        w = F.greatest(F.size(word_tokens(F.col("text"))).cast("bigint"),
+                       F.lit(1).cast("bigint")) * scale
+        h = h32(F.col("doc_id").cast("string"))
+        prio = docs.select(
+            "doc_id", "lang",
+            ((w.cast("double") * float(_H32_RANGE))
+             / (h + 1).cast("double")).alias("priority"))
+        win = Window.partitionBy("lang").orderBy(F.desc("priority"),
+                                                 "doc_id")
+        kept = (prio.withColumn("rk", F.row_number().over(win))
+                    .filter(F.col("rk") <= _PRIO_K))
+        return {(r.lang, r.doc_id) for r in kept.collect()}
+
+    assert sample(1) == sample(7)
+
+
+def test_snm_finds_planted_adjacent_duplicate(spark):
+    """A planted near-duplicate sharing its source's prefix must sort
+    adjacently and be caught by the window join — the positive-recall
+    contract of SNM blocking (complement of the miss-mode note in the
+    query doc)."""
+    from us_flight_delay_data_pipeline_spark.queries.curation_extra import (
+        sorted_neighborhood_pairs)
+    import tempfile, os
+    src_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota", "en"),
+        (3, "completely different text about other things entirely", "en"),
+        (4, "unrelated words for a third corpus document here", "de"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in src_rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp(prefix="snm_fixture_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(
+        d, "documents.parquet"))
+    out = sorted_neighborhood_pairs(spark, d).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs, pairs
