@@ -680,3 +680,105 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_q").cast("bigint").alias("cum_q"),
         (F.col("cum_q").cast("double")
          / F.col("_sum_total").cast("double")).alias("cdf"))
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection
+# ---------------------------------------------------------------------------
+
+_KCENTER_ROUNDS = 4   # selections AFTER the seed
+
+
+def _kcenter_oracle() -> str:
+    from .llm_ext import _cosine_sql
+    cos_prev = _cosine_sql('e.embedding', 'p.embedding')
+    ctes = ["""
+    seed AS (SELECT vec_id, embedding FROM embeddings
+             ORDER BY vec_id LIMIT 1),
+    d0 AS (
+      SELECT e.vec_id, e.embedding,
+             1.0 - ({cos}) AS dmin
+      FROM embeddings e CROSS JOIN seed p
+    )""".replace("{cos}", cos_prev)]
+    for k in range(1, _KCENTER_ROUNDS + 1):
+        ctes.append(f"""
+    sel{k} AS (SELECT vec_id, embedding, dmin FROM d{k - 1}
+               ORDER BY dmin DESC, vec_id LIMIT 1),
+    d{k} AS (
+      SELECT e.vec_id, e.embedding,
+             least(e.dmin, 1.0 - ({cos_prev.replace('e.embedding', 'e.embedding').replace('p.embedding', 'p.embedding')})) AS dmin
+      FROM d{k - 1} e CROSS JOIN sel{k} p
+    )""")
+    sels = "\n      UNION ALL\n".join(
+        [f"      SELECT 0 AS round, vec_id, CAST(NULL AS DOUBLE) AS radius "
+         f"FROM seed"] +
+        [f"      SELECT {k} AS round, vec_id, round(dmin, 6) AS radius "
+         f"FROM sel{k}" for k in range(1, _KCENTER_ROUNDS + 1)])
+    return "WITH " + ",".join(ctes) + f"""
+    SELECT round, vec_id, radius FROM (
+{sels}
+    )
+    """
+
+
+@register(
+    "kcenter_coreset",
+    _kcenter_oracle(),
+    doc="k-center greedy coreset selection (Gonzalez's 2-approximation "
+        "— farthest-point traversal): starting from the lowest-id "
+        "vector, each round selects the point FARTHEST (cosine "
+        "distance) from every already-selected center, maintaining a "
+        "per-point running min-distance. The selection radius is "
+        "non-increasing by construction and is the coreset's covering "
+        "bound — the 'most diverse K examples' primitive behind "
+        "active-learning batch selection and coreset distillation "
+        "over embedding corpora (Sener & Savarese ICLR'18 use "
+        "exactly this loop). Plan shape per round: ONE broadcast of "
+        "the single new center (1 row) into a map-side distance "
+        "update (running least()), one TakeOrdered(1) argmax — the "
+        "corpus is never shuffled, state per point is one double, "
+        "round cost is a linear scan; K rounds = K scans (persist "
+        "the running frame and lineage stays flat). Exactness: the "
+        "cosine fold is the shared left-to-right recipe, least() and "
+        "the argmax tiebreak (dmin DESC, vec_id) are order-free, and "
+        "the oracle is the identical recurrence unrolled in SQL.",
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vec_norm
+    from ..operators.similarity import _pair_cosine
+
+    emb = rebalance(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding",
+        vec_norm(F.col("embedding")).alias("_nrm"))
+    seed = (emb.orderBy("vec_id").limit(1)
+               .select(F.col("vec_id").alias("_cid"),
+                       F.col("embedding").alias("_cv"),
+                       F.col("_nrm").alias("_cnrm")))
+    cur = (emb.crossJoin(F.broadcast(seed))
+              .select("vec_id", "embedding", "_nrm",
+                      (F.lit(1.0) - _pair_cosine("_cv", "embedding",
+                                                 "_cnrm", "_nrm"))
+                      .alias("dmin")).persist())
+    picks = [seed.select(F.lit(0).alias("round"),
+                         F.col("_cid").alias("vec_id"),
+                         F.lit(None).cast("double").alias("radius"))]
+    for k in range(1, _KCENTER_ROUNDS + 1):
+        sel = (cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1)
+                  .select(F.col("vec_id").alias("_cid"),
+                          F.col("embedding").alias("_cv"),
+                          F.col("_nrm").alias("_cnrm"),
+                          F.col("dmin").alias("_r")))
+        picks.append(sel.select(F.lit(k).alias("round"),
+                                F.col("_cid").alias("vec_id"),
+                                F.round("_r", 6).alias("radius")))
+        cur = (cur.crossJoin(F.broadcast(sel))
+                  .select("vec_id", "embedding", "_nrm",
+                          F.least(
+                              F.col("dmin"),
+                              F.lit(1.0) - _pair_cosine(
+                                  "_cv", "embedding", "_cnrm", "_nrm"))
+                          .alias("dmin")).persist())
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
