@@ -782,3 +782,100 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware fold assignment (leakage-safe splits)
+# ---------------------------------------------------------------------------
+
+_N_FOLDS = 5
+
+
+def _cluster_folds_oracle() -> str:
+    from .text_pipeline import _PAIRS_CTE
+    return f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    assigned AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             (coalesce(c.cluster_id, d.doc_id) IS NOT NULL
+              AND c.cluster_id IS NOT NULL) AS in_dup_cluster
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    folded AS (
+      SELECT doc_id, lang, cluster_id, in_dup_cluster,
+             {_h32_sql('cluster_id::VARCHAR')} % {_N_FOLDS} AS fold
+      FROM assigned
+    )
+    SELECT CAST(fold AS INT) AS fold, lang,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters,
+           CAST(SUM(CASE WHEN in_dup_cluster THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs
+    FROM folded GROUP BY fold, lang
+    """
+
+
+@register(
+    "cluster_aware_folds",
+    _cluster_folds_oracle(),
+    doc="Leakage-safe k-fold assignment — the CONSTRUCTIVE fix for "
+        "what split_leakage_audit detects: a random per-document "
+        "split puts near-duplicates on both sides of a train/val "
+        "boundary, leaking training text into evaluation. Here the "
+        "unit of assignment is the DEDUP CLUSTER (near-dup connected "
+        "components, same pair graph as dedup_clusters; singletons "
+        "are their own cluster), and the fold is a deterministic "
+        "hash of the cluster id — so by construction no cluster can "
+        "straddle folds, ever, and the assignment is reproducible "
+        "across runs/engines (h32, not rand()). Output is the "
+        "per-(fold, lang) census with cluster and dup-doc counts — "
+        "what a curation team checks for fold balance before "
+        "training. Scale shape: the clustering is the CC operator "
+        "(edge-table iterations over 16 B rows); the fold map is one "
+        "(doc -> cluster) hash join keyed on doc_id + a map-side "
+        "hash (broadcast only while dup-graph membership fits); the "
+        "census is one partial+final aggregate. The audit and the "
+        "fix compose: run split_leakage_audit on the OUTPUT of this "
+        "operator and the cross-fold overlap is provably zero.",
+)
+def cluster_aware_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components_auto
+    from ..operators.dedup import ngram_jaccard_pairs as pairs_op
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pairs_op(docs, block_col="lang", threshold=0.3) \
+        .select("doc_a", "doc_b")
+    labels = connected_components_auto(pairs, src="doc_a", dst="doc_b") \
+        .select(F.col("node").alias("doc_id"),
+                F.col("component").alias("_comp"))
+    assigned = (docs.select("doc_id", "lang")
+                    .join(labels, "doc_id", "left")
+                    .select("doc_id", "lang",
+                            F.coalesce("_comp", F.col("doc_id"))
+                             .alias("cluster_id"),
+                            F.col("_comp").isNotNull()
+                             .alias("in_dup_cluster")))
+    fold = (h32(F.col("cluster_id").cast("string"))
+            % F.lit(_N_FOLDS)).cast("int")
+    return (assigned.withColumn("fold", fold)
+                    .groupBy("fold", "lang")
+                    .agg(F.count("*").cast("bigint").alias("n_docs"),
+                         F.countDistinct("cluster_id").cast("bigint")
+                          .alias("n_clusters"),
+                         F.sum(F.when(F.col("in_dup_cluster"), 1)
+                                .otherwise(0)).cast("bigint")
+                          .alias("n_dup_docs")))
