@@ -60,4 +60,5 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import corpus_lm  # noqa: F401
     from . import udtf_surface  # noqa: F401
     from . import curation_extra  # noqa: F401
+    from . import curation_wave6  # noqa: F401
     return REGISTRY

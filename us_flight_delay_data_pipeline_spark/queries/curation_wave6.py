@@ -1,0 +1,347 @@
+"""[EXT] sixth curation wave: winnowing fingerprints, source-level
+overlap auditing, and Bloom-filter decontamination.
+
+Three more operators of a training-data curation stack, each filling a
+gap the registry did not yet cover:
+
+- ``winnowing_fingerprints``: local document fingerprinting by
+  WINNOWING (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS
+  algorithm): hash every word-3-gram in order, slide a window of w=4
+  consecutive k-gram hashes, select the minimum hash per window
+  (rightmost position on ties), and dedup the selected positions.
+  Winnowing guarantees that any shared substring of length
+  >= w + k - 1 tokens contributes at least one IDENTICAL selected
+  fingerprint to both documents — the local-containment guarantee
+  MinHash (a whole-document sketch) cannot give. Output is the
+  per-document selected-set digest + density, all scalar columns.
+- ``source_overlap_audit``: corpus-level overlap matrix — per-source
+  MinHash signatures (16 pinned permutations over the union of the
+  source's distinct shingle hashes) next to the EXACT pairwise shingle
+  Jaccard, so the estimate and its ground truth sit in the same row.
+  This is the "how much does crawl A duplicate crawl B" planning query
+  run before choosing a mixture, and doubles as a standing calibration
+  audit of the MinHash estimator at corpus granularity.
+- ``bloom_decontamination``: benchmark decontamination through a
+  BLOOM FILTER (Bloom, CACM'70) instead of a join against the full
+  benchmark shingle set: the holdout's word-5-gram hashes set k=3 bit
+  positions in an m=2^17-bit filter; a training shingle is flagged iff
+  all three of its positions are set. The filter is ~16 KiB — it
+  broadcasts to every executor for free where the exact hash set may
+  not — and the query reports the false-positive count per document by
+  running the exact membership check alongside (no false negatives,
+  by construction; the test suite pins that invariant).
+
+Determinism policy (registry docstring): every hash is the portable
+md5-based h32; every double output is a single correctly-rounded
+division of exactly-representable integers.
+
+At 100 TB: winnowing is a pure per-row map (the only shuffle is the
+rebalance that materializes the hash array once — 8 bytes/k-gram,
+never the text). The overlap audit reduces the corpus to distinct
+(source, 8-byte hash) rows — one hash-shuffle — after which per-source
+signatures are partial-agg minima and the exact intersection is an
+equi-join on the hash; only the #sources^2 pair table is quadratic.
+The Bloom path replaces the candidate join of decontamination_overlap
+with membership against a broadcast 16 KiB bitset: the training side
+is one linear scan, and only true+false positives pay the verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import rebalance
+from ..functions.text import word_ngrams, word_tokens
+from ..operators.hashing import FP_PRIME, P61, h32
+from ..sources.registry import load_table
+from . import register
+from .llm_ext import MINHASH_COEFFS, _h32_sql, _shingles_sql, _tok_sql
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3   # k-gram width (words)
+_WIN_W = 4   # winnowing window (consecutive k-gram hashes)
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE {_tok_sql()} END AS toks
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             [{_h32_sql(f"array_to_string(toks[i:i+{_WIN_K - 1}], ' ')")}
+              for i in range(1, len(toks) - {_WIN_K - 2})] AS hs
+      FROM base
+    ),
+    win AS (
+      SELECT doc_id, hs, len(hs) AS n,
+        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        ELSE list_sort(list_distinct([
+          CAST(s - 1 + list_max(
+            [CASE WHEN hs[s:s+{_WIN_W - 1}][i]
+                       = list_aggregate(hs[s:s+{_WIN_W - 1}], 'min')
+                  THEN i ELSE 0 END
+             for i in range(1, len(hs[s:s+{_WIN_W - 1}]) + 1)]) AS BIGINT)
+          for s in range(1, greatest(len(hs) - {_WIN_W - 1}, 1) + 1)]))
+        END AS sel
+      FROM kg
+    )
+    SELECT doc_id, n AS n_kgrams, CAST(len(sel) AS BIGINT) AS n_selected,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), [hs[CAST(p AS INT)] for p in sel]),
+             (acc, x) -> (acc * 31 + x) % {FP_PRIME}) AS winnow_digest
+    FROM win
+    """,
+    doc="Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, "
+        f"the MOSS algorithm): hash word-{_WIN_K}-grams in order, "
+        f"slide a w={_WIN_W} window over consecutive hashes, keep the "
+        "window minimum (rightmost tie-break), dedup positions. Any "
+        f"shared run of >= w+k-1 = {_WIN_W + _WIN_K - 1} tokens yields "
+        "an identical selected fingerprint in both documents — the "
+        "LOCAL containment guarantee whole-doc MinHash lacks. Output "
+        "per doc: k-gram count, selected count (density ~ 2/(w+1)), "
+        "and the position-ordered rolling digest of the selected "
+        "hashes. Pure per-row map; the rebalance materializes the "
+        "8-byte/k-gram hash array once below a shuffle boundary so "
+        "the window slices reference it instead of recomputing md5 "
+        "(CollapseProject would inline the expression ~2w times).",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = rebalance(d.select(
+        "doc_id",
+        F.transform(word_ngrams(F.col("text"), _WIN_K), h32).alias("hs")))
+    hs = F.col("hs")
+    n = F.size(hs)
+
+    def _sel(s):
+        sl = F.slice(hs, s, _WIN_W)
+        mn = F.array_min(sl)
+        rel = F.array_max(F.transform(
+            sl, lambda x, i: F.when(x == mn, i + 1).otherwise(F.lit(0))))
+        return (s - 1 + rel).cast("bigint")
+
+    starts = F.when(n == 0, F.array().cast("array<int>")) \
+              .otherwise(F.sequence(F.lit(1), F.greatest(n - F.lit(_WIN_W - 1),
+                                                         F.lit(1))))
+    sel = F.array_sort(F.array_distinct(F.transform(starts, _sel)))
+    digest = F.aggregate(
+        F.transform(sel, lambda p: F.element_at(hs, p.cast("int"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(FP_PRIME))
+    return base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_kgrams"),
+        F.size(sel).cast("bigint").alias("n_selected"),
+        digest.alias("winnow_digest"))
+
+
+# ---------------------------------------------------------------------------
+# Source-level overlap audit (MinHash estimate vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+def _src_sig_cols_sql() -> str:
+    return ", ".join(
+        f"MIN(({a} * h + {b}) % {P61}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS))
+
+
+def _src_sig_match_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(len(MINHASH_COEFFS)))
+
+
+@register(
+    "source_overlap_audit",
+    f"""
+    WITH base AS (
+      SELECT source, {_tok_sql()} AS toks FROM documents
+    ),
+    shg AS (
+      SELECT source, unnest(list_distinct([{_h32_sql('s')}
+                                           for s in {_shingles_sql()}])) AS h
+      FROM base WHERE len(toks) >= 3
+    ),
+    sh AS (SELECT DISTINCT source, h FROM shg),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    sig AS (SELECT source, {_src_sig_cols_sql()} FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           sza.n AS n_a, szb.n AS n_b,
+           COALESCE(i.c, 0) AS n_common,
+           COALESCE(i.c, 0)::DOUBLE
+             / (sza.n + szb.n - COALESCE(i.c, 0))::DOUBLE AS exact_jaccard,
+           CAST({_src_sig_match_sql()} AS BIGINT) AS sig_matches,
+           CAST({_src_sig_match_sql()} AS DOUBLE)
+             / {len(MINHASH_COEFFS)}.0 AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    JOIN sizes sza ON sza.source = a.source
+    JOIN sizes szb ON szb.source = b.source
+    LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+    """,
+    doc="Corpus-overlap planning matrix: for every source pair, the "
+        "16-permutation MinHash Jaccard ESTIMATE (signature over the "
+        "union of the source's distinct shingle hashes) next to the "
+        "EXACT shingle Jaccard — estimate and ground truth in one row, "
+        "so the query doubles as a standing MinHash calibration audit "
+        "at corpus granularity. The corpus reduces to distinct "
+        "(source, 8-byte hash) rows in one shuffle; signatures are "
+        "16 partial-agg minima (map-side combine does almost all the "
+        "work), the exact intersection is an equi-join on the hash, "
+        "and only the #sources^2 pair table — trivially small — is "
+        "quadratic. est_jaccard = matches/16 is exact in binary.",
+)
+def source_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sh = (rebalance(d.filter(F.size(toks) >= 3))
+          .select("source",
+                  F.explode(F.array_distinct(
+                      F.transform(word_ngrams(F.col("text"), 3), h32)))
+                   .alias("h"))
+          .distinct())
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    sig = sh.groupBy("source").agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P61)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)])
+    a = sig.select(F.col("source").alias("source_a"),
+                   *[F.col(f"m{i}").alias(f"a{i}")
+                     for i in range(len(MINHASH_COEFFS))])
+    b = sig.select(F.col("source").alias("source_b"),
+                   *[F.col(f"m{i}").alias(f"b{i}")
+                     for i in range(len(MINHASH_COEFFS))])
+    matches = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+         for i in range(len(MINHASH_COEFFS))), F.lit(0))
+    inter = (sh.alias("x").join(sh.alias("y"),
+                                (F.col("x.h") == F.col("y.h"))
+                                & (F.col("x.source") < F.col("y.source")))
+               .groupBy(F.col("x.source").alias("source_a"),
+                        F.col("y.source").alias("source_b"))
+               .agg(F.count("*").alias("c")))
+    pairs = (a.join(b, F.col("source_a") < F.col("source_b"))
+              .join(F.broadcast(sizes.select(
+                  F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+                  "source_a")
+              .join(F.broadcast(sizes.select(
+                  F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+                  "source_b")
+              .join(F.broadcast(inter), ["source_a", "source_b"], "left"))
+    n_common = F.coalesce(F.col("c"), F.lit(0).cast("bigint"))
+    return pairs.select(
+        "source_a", "source_b", "n_a", "n_b",
+        n_common.alias("n_common"),
+        (n_common.cast("double")
+         / (F.col("n_a") + F.col("n_b") - n_common).cast("double"))
+        .alias("exact_jaccard"),
+        matches.cast("bigint").alias("sig_matches"),
+        (matches.cast("double") / F.lit(float(len(MINHASH_COEFFS))))
+        .alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+_BLOOM_N = 5          # decontamination shingle width (word 5-grams)
+_BLOOM_M = 1 << 17    # filter bits (16 KiB)
+_BLOOM_K = 3          # hash functions (first 3 pinned MinHash coeffs)
+
+
+def _bloom_bits_sql(hvar: str) -> str:
+    return ", ".join(
+        f"(({a} * {hvar} + {b}) % {P61}) % {_BLOOM_M}"
+        for a, b in MINHASH_COEFFS[:_BLOOM_K])
+
+
+@register(
+    "bloom_decontamination",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, {_tok_sql()} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([{_h32_sql(
+                 f"array_to_string(toks[i:i+{_BLOOM_N - 1}], ' ')")}
+               for i in range(1, len(toks) - {_BLOOM_N - 2})])) AS h
+      FROM base WHERE len(toks) >= {_BLOOM_N}
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+    bits AS (SELECT DISTINCT unnest([{_bloom_bits_sql('h')}]) AS bit
+             FROM bench),
+    train AS (SELECT doc_id, h FROM sh WHERE source <> 'src0'),
+    tb AS (SELECT doc_id, h, unnest([{_bloom_bits_sql('h')}]) AS bit
+           FROM train),
+    nb AS (SELECT tb.doc_id, tb.h, COUNT(*) AS k
+           FROM tb JOIN bits USING (bit) GROUP BY tb.doc_id, tb.h)
+    SELECT t.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN nb.k = {_BLOOM_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_hits,
+           CAST(SUM(CASE WHEN nb.k = {_BLOOM_K} AND e.h IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM train t
+    LEFT JOIN nb ON nb.doc_id = t.doc_id AND nb.h = t.h
+    LEFT JOIN bench e ON e.h = t.h
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination via a BLOOM FILTER (Bloom CACM'70): "
+        f"the holdout's (source='src0') distinct word-{_BLOOM_N}-gram "
+        f"hashes set k={_BLOOM_K} positions in an m=2^17-bit filter; a "
+        "training shingle is flagged iff all three positions are set. "
+        "The filter is ~16 KiB — it broadcasts everywhere the exact "
+        "benchmark hash set might not — and membership costs one "
+        "linear scan of training shingles against it. The exact check "
+        "runs alongside, so each doc reports its Bloom hits, exact "
+        "hits, and false positives; false NEGATIVES are impossible by "
+        "construction (pinned in tests). The set-bit table stands in "
+        "for the bitset relationally (<= m distinct ints, broadcast "
+        "hash join); a cluster deployment would pack it into "
+        "Spark's native BloomFilter via DataFrame.stat.bloomFilter "
+        "with identical semantics.",
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sh = (rebalance(d.filter(F.size(toks) >= _BLOOM_N))
+          .select("doc_id", "source",
+                  F.explode(F.array_distinct(
+                      F.transform(word_ngrams(F.col("text"), _BLOOM_N), h32)))
+                   .alias("h")))
+    bit_exprs = [((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P61))
+                 % F.lit(_BLOOM_M)
+                 for a, b in MINHASH_COEFFS[:_BLOOM_K]]
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    bits = bench.select(F.explode(F.array(*bit_exprs)).alias("bit")).distinct()
+    train = sh.filter(F.col("source") != "src0").select("doc_id", "h")
+    tb = train.select("doc_id", "h",
+                      F.explode(F.array(*bit_exprs)).alias("bit"))
+    nb = (tb.join(F.broadcast(bits), "bit")
+            .groupBy("doc_id", "h").agg(F.count("*").alias("k")))
+    marked = (train
+              .join(nb, ["doc_id", "h"], "left")
+              .join(F.broadcast(bench.withColumn("ex", F.lit(1))), "h", "left"))
+    bloom_hit = F.when(F.col("k") == _BLOOM_K, 1).otherwise(0)
+    exact_hit = F.when(F.col("ex").isNotNull(), 1).otherwise(0)
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum(bloom_hit).cast("bigint").alias("n_bloom_hits"),
+        F.sum(exact_hit).cast("bigint").alias("n_exact_hits"),
+        F.sum(F.when((F.col("k") == _BLOOM_K) & F.col("ex").isNull(), 1)
+               .otherwise(0)).cast("bigint").alias("n_false_pos"))
