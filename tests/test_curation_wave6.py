@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 
 from us_flight_delay_data_pipeline_spark.queries import load_registry
 from us_flight_delay_data_pipeline_spark.queries.curation_wave6 import (
-    _WIN_K, _WIN_W, bloom_decontamination, source_overlap_audit,
-    winnowing_fingerprints)
+    _WIN_K, _WIN_W, _WP_MIN_J, bloom_decontamination, source_overlap_audit,
+    winnow_candidate_pairs, winnowing_fingerprints)
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -138,6 +138,35 @@ def test_bloom_exact_side_matches_join(spark, tmp_path):
     assert 0 not in out                        # benchmark doc not in output
 
 
+def test_winnow_pairs_catch_local_overlap_low_global_jaccard(spark, tmp_path):
+    """The family's reason to exist: a shared paragraph inside two
+    long, otherwise-disjoint docs must surface as a pair (global
+    Jaccard of these docs is ~0.1 — whole-doc LSH at the usual
+    threshold would never verify it; containment is ~0.3+)."""
+    shared = _toks("s", 18)                    # 18-token shared paragraph
+    d0 = _toks("a", 25) + " " + shared         # 41 3-grams, 16 shared ->
+    d1 = shared + " " + _toks("b", 25)         # containment 16/41 = 0.39,
+    d2 = _toks("c", 25)                        # global Jaccard 16/66 = 0.24
+    sf = _mk_docs(spark, tmp_path, [d0, d1, d2])
+    out = {(r.doc_a, r.doc_b): r
+           for r in winnow_candidate_pairs(spark, sf).collect()}
+    assert (0, 1) in out
+    r = out[(0, 1)]
+    assert r.n_shared_fps >= 1
+    assert r.containment >= _WP_MIN_J
+    assert all(2 not in pair for pair in out)  # unrelated doc pairs with no one
+
+
+def test_winnow_pairs_verify_floor_and_symmetry(spark):
+    """Registered-query invariants on real data: canonical pair order,
+    verify floor respected, shared-fingerprint count positive."""
+    out = winnow_candidate_pairs(spark, SF001).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared_fps >= 1
+        assert r.containment >= _WP_MIN_J
+
+
 def test_source_overlap_consistency(spark):
     """Pairwise overlap algebra: 0 <= n_common <= min(n_a, n_b), the
     exact Jaccard recomputes from the counts, the estimate is k/16,
@@ -161,6 +190,6 @@ def test_source_overlap_consistency(spark):
 
 def test_wave6_registered_with_oracles():
     reg = load_registry()
-    for name in ("winnowing_fingerprints", "source_overlap_audit",
-                 "bloom_decontamination"):
+    for name in ("winnowing_fingerprints", "winnow_candidate_pairs",
+                 "source_overlap_audit", "bloom_decontamination"):
         assert name in reg and reg[name].oracle is not None

@@ -66,10 +66,11 @@ _WIN_K = 3   # k-gram width (words)
 _WIN_W = 4   # winnowing window (consecutive k-gram hashes)
 
 
-@register(
-    "winnowing_fingerprints",
-    f"""
-    WITH base AS (
+def _winnow_cte_sql() -> str:
+    """Oracle CTE chain ``base``/``kg``/``win``: ordered k-gram hashes
+    ``hs`` + selected winnowing positions ``sel`` per doc (mirrors the
+    Spark expressions in :func:`winnowing_fingerprints`)."""
+    return f"""base AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE {_tok_sql()} END AS toks
@@ -93,7 +94,40 @@ _WIN_W = 4   # winnowing window (consecutive k-gram hashes)
           for s in range(1, greatest(len(hs) - {_WIN_W - 1}, 1) + 1)]))
         END AS sel
       FROM kg
-    )
+    )"""
+
+
+def _winnow_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): ordered k-gram hash array, materialized once below
+    a shuffle boundary (see winnowing_fingerprints docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    return rebalance(d.select(
+        "doc_id",
+        F.transform(word_ngrams(F.col("text"), _WIN_K), h32).alias("hs")))
+
+
+def _winnow_sel(hs) -> F.Column:
+    """Sorted distinct selected positions (1-based, bigint) of the
+    winnowing pass over the ordered hash array ``hs``."""
+    n = F.size(hs)
+
+    def _sel(s):
+        sl = F.slice(hs, s, _WIN_W)
+        mn = F.array_min(sl)
+        rel = F.array_max(F.transform(
+            sl, lambda x, i: F.when(x == mn, i + 1).otherwise(F.lit(0))))
+        return (s - 1 + rel).cast("bigint")
+
+    starts = F.when(n == 0, F.array().cast("array<int>")) \
+              .otherwise(F.sequence(F.lit(1), F.greatest(n - F.lit(_WIN_W - 1),
+                                                         F.lit(1))))
+    return F.array_sort(F.array_distinct(F.transform(starts, _sel)))
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH {_winnow_cte_sql()}
     SELECT doc_id, n AS n_kgrams, CAST(len(sel) AS BIGINT) AS n_selected,
            list_reduce(
              list_prepend(CAST(0 AS BIGINT), [hs[CAST(p AS INT)] for p in sel]),
@@ -115,33 +149,105 @@ _WIN_W = 4   # winnowing window (consecutive k-gram hashes)
         "(CollapseProject would inline the expression ~2w times).",
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    base = rebalance(d.select(
-        "doc_id",
-        F.transform(word_ngrams(F.col("text"), _WIN_K), h32).alias("hs")))
+    base = _winnow_base(spark, sf_dir)
     hs = F.col("hs")
-    n = F.size(hs)
-
-    def _sel(s):
-        sl = F.slice(hs, s, _WIN_W)
-        mn = F.array_min(sl)
-        rel = F.array_max(F.transform(
-            sl, lambda x, i: F.when(x == mn, i + 1).otherwise(F.lit(0))))
-        return (s - 1 + rel).cast("bigint")
-
-    starts = F.when(n == 0, F.array().cast("array<int>")) \
-              .otherwise(F.sequence(F.lit(1), F.greatest(n - F.lit(_WIN_W - 1),
-                                                         F.lit(1))))
-    sel = F.array_sort(F.array_distinct(F.transform(starts, _sel)))
+    sel = _winnow_sel(hs)
     digest = F.aggregate(
         F.transform(sel, lambda p: F.element_at(hs, p.cast("int"))),
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * 31 + x) % F.lit(FP_PRIME))
     return base.select(
         "doc_id",
-        n.cast("bigint").alias("n_kgrams"),
+        F.size(hs).cast("bigint").alias("n_kgrams"),
         F.size(sel).cast("bigint").alias("n_selected"),
         digest.alias("winnow_digest"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+_WP_MAX_DF = 16   # fingerprints in more docs than this are boilerplate
+_WP_MIN_J = 0.3   # same exact-Jaccard verify floor as the LSH/SNM family
+
+
+@register(
+    "winnow_candidate_pairs",
+    f"""
+    WITH {_winnow_cte_sql()},
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+               [hs[CAST(p AS INT)] for p in sel])) AS fp
+      FROM win
+    ),
+    keep AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {_WP_MAX_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared_fps
+      FROM fps a JOIN keep USING (fp)
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    hsd AS (SELECT doc_id, list_distinct(hs) AS hsd, len(list_distinct(hs)) AS n
+            FROM kg)
+    SELECT p.doc_a, p.doc_b, p.n_shared_fps,
+           len(list_intersect(a.hsd, b.hsd))::DOUBLE
+             / least(a.n, b.n)::DOUBLE AS containment
+    FROM pairs p JOIN hsd a ON a.doc_id = p.doc_a
+                 JOIN hsd b ON b.doc_id = p.doc_b
+    WHERE len(list_intersect(a.hsd, b.hsd))::DOUBLE
+             / least(a.n, b.n)::DOUBLE >= {_WP_MIN_J}
+    """,
+    doc="The FOURTH near-dup blocking family, built on winnowing "
+        "fingerprints (next to LSH banding, SimHash bands, and "
+        "sorted-neighborhood): docs sharing any selected fingerprint "
+        "become candidates, then verify by exact hashed-shingle "
+        f"CONTAINMENT (shared / smaller set) >= {_WP_MIN_J} — not "
+        "global Jaccard, which would discard exactly the asymmetric "
+        "local-overlap pairs this family exists to catch. Two long "
+        "docs sharing one plagiarized paragraph >= w+k-1 tokens are "
+        "GUARANTEED to collide on a fingerprint even when their "
+        "global Jaccard rounds to zero. "
+        f"Fingerprints in > {_WP_MAX_DF} docs are dropped as "
+        "boilerplate before pairing (the same hot-bucket cap as the "
+        "LSH band join — bucket fan-out is bounded by construction, "
+        "and what it drops is exactly the template text a dedup pass "
+        "shouldn't pair on anyway). Candidate generation is an "
+        "equi-self-join on the 8-byte fingerprint; the verify join "
+        "ships shingle-hash sets for surviving pairs only.",
+)
+def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _winnow_base(spark, sf_dir)
+    hs = F.col("hs")
+    fps = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.transform(_winnow_sel(hs),
+                        lambda p: F.element_at(hs, p.cast("int"))))).alias("fp"))
+    keep = (fps.groupBy("fp").agg(F.count("*").alias("df"))
+               .filter((F.col("df") >= 2) & (F.col("df") <= _WP_MAX_DF))
+               .select("fp"))
+    kept = fps.join(F.broadcast(keep), "fp")
+    pairs = (kept.select(F.col("doc_id").alias("doc_a"), "fp")
+                 .join(fps.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("n_shared_fps")))
+    hsd = base.select("doc_id", F.array_distinct(hs).alias("hsd"))
+    cand = (pairs
+            .join(hsd.select(F.col("doc_id").alias("doc_a"),
+                             F.col("hsd").alias("h_a")), "doc_a")
+            .join(hsd.select(F.col("doc_id").alias("doc_b"),
+                             F.col("hsd").alias("h_b")), "doc_b"))
+    common = F.size(F.array_intersect("h_a", "h_b"))
+    cont = (common.cast("double")
+            / F.least(F.size("h_a"), F.size("h_b")).cast("double"))
+    return (cand.select("doc_a", "doc_b", "n_shared_fps",
+                        cont.alias("containment"))
+                .filter(F.col("containment") >= _WP_MIN_J))
 
 
 # ---------------------------------------------------------------------------
