@@ -188,8 +188,31 @@ def test_source_overlap_consistency(spark):
     assert len(out) == n * (n - 1) // 2        # every unordered pair once
 
 
+def test_bitext_pairs_are_mutual_best_with_margin_floor(spark):
+    """Every mined pair must be the mutual best within the candidate
+    set and clear the margin floor; src/dst must come from the pinned
+    language pair (one alignment per src and per dst at most — mutual
+    bests are a partial matching)."""
+    from us_flight_delay_data_pipeline_spark.queries.curation_wave6 import (
+        _BTX_MARGIN_PCT, bitext_margin_pairs)
+    from us_flight_delay_data_pipeline_spark.sources.registry import load_table
+    out = bitext_margin_pairs(spark, SF001).collect()
+    assert out
+    langs = {r.doc_id: r.lang for r in
+             load_table(spark, SF001, "documents")
+             .select("doc_id", "lang").collect()}
+    srcs = [r.src for r in out]
+    dsts = [r.dst for r in out]
+    assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))
+    for r in out:
+        assert langs[r.src] == "en" and langs[r.dst] == "de"
+        assert r.margin * 100 >= _BTX_MARGIN_PCT - 1e-9
+        assert 0.0 < r.cosine <= 1.0
+
+
 def test_wave6_registered_with_oracles():
     reg = load_registry()
     for name in ("winnowing_fingerprints", "winnow_candidate_pairs",
-                 "source_overlap_audit", "bloom_decontamination"):
+                 "source_overlap_audit", "bloom_decontamination",
+                 "bitext_margin_pairs"):
         assert name in reg and reg[name].oracle is not None

@@ -251,6 +251,132 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Margin-based bitext mining
+# ---------------------------------------------------------------------------
+
+_BTX_K = 4            # neighborhood size for margin normalization
+_BTX_MARGIN_PCT = 102  # keep pairs with margin >= 1.02 (exact integer test)
+_BTX_SRC_LANG = "en"
+_BTX_DST_LANG = "de"
+
+
+def _btx_sql() -> str:
+    from .llm_ext import _cosine_sql, _hyperplane_sql
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_hyperplane_sql('embedding')} AS bucket,
+             d.lang
+      FROM embeddings JOIN documents d ON d.doc_id = vec_id
+    ),
+    cand AS (
+      SELECT x.vec_id AS src, y.vec_id AS dst,
+             CAST(floor({_cosine_sql('x.embedding', 'y.embedding')}
+                        * 1000000 + 0.5) AS BIGINT) AS ci
+      FROM e x JOIN e y ON x.bucket = y.bucket
+        AND x.lang = '{_BTX_SRC_LANG}' AND y.lang = '{_BTX_DST_LANG}'
+    ),
+    fwd AS (SELECT src, dst, ci, row_number() OVER (
+              PARTITION BY src ORDER BY ci DESC, dst) AS rf FROM cand),
+    bwd AS (SELECT src, dst, ci, row_number() OVER (
+              PARTITION BY dst ORDER BY ci DESC, src) AS rb FROM cand),
+    fstat AS (SELECT src, SUM(ci) AS sfw, COUNT(*) AS kf
+              FROM fwd WHERE rf <= {_BTX_K} GROUP BY src),
+    bstat AS (SELECT dst, SUM(ci) AS sbw, COUNT(*) AS kb
+              FROM bwd WHERE rb <= {_BTX_K} GROUP BY dst),
+    best AS (
+      SELECT f.src, f.dst, f.ci
+      FROM fwd f JOIN bwd b ON b.src = f.src AND b.dst = f.dst
+      WHERE f.rf = 1 AND b.rb = 1
+    )
+    SELECT best.src AS src, best.dst AS dst,
+           best.ci / 1000000.0 AS cosine,
+           CAST(best.ci * 2 * kf * kb AS DOUBLE)
+             / CAST(sfw * kb + sbw * kf AS DOUBLE) AS margin
+    FROM best JOIN fstat USING (src) JOIN bstat USING (dst)
+    WHERE best.ci > 0 AND (sfw * kb + sbw * kf) > 0
+      AND best.ci * 2 * kf * kb * 100 >= {_BTX_MARGIN_PCT} * (sfw * kb + sbw * kf)
+    """
+
+
+@register(
+    "bitext_margin_pairs",
+    _btx_sql(),
+    doc="Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the "
+        "LASER/CCMatrix parallel-corpus miner): align documents across "
+        f"two languages ({_BTX_SRC_LANG}<->{_BTX_DST_LANG}) by "
+        "embedding cosine, but score each candidate by its MARGIN — "
+        "cosine divided by the mean cosine of both endpoints' "
+        f"{_BTX_K}-NN neighborhoods — so a pair only survives when it "
+        "stands out from its neighborhoods (absolute-cosine thresholds "
+        "fail under hubness). Keep mutual-best pairs with margin >= "
+        f"{_BTX_MARGIN_PCT / 100}. Candidates come from the LSH-bucket "
+        "equi-join (never all-pairs); the margin is computed in exact "
+        "integer arithmetic over 1e-6-quantized cosines (the threshold "
+        "test is a pure int64 inequality, the reported margin one "
+        "exact-int division), so the result is engine-portable. At "
+        "100 TB the bucket join is the same co-located plan as "
+        "knn_graph_mutual, and the production variant swaps the "
+        "bucket candidates for the IVF/PQ retrieve stack unchanged — "
+        "margin scoring only needs the retrieved k-NN lists.",
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import vec_norm
+    from ..operators.similarity import _pair_cosine, hyperplane_bucket
+    from .llm_ext import HYPERPLANES
+
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    langs = (load_table(spark, sf_dir, "documents")
+             .select(F.col("doc_id").alias("vec_id"), "lang"))
+    e = (emb.join(langs, "vec_id")
+            .select("vec_id", "lang", "embedding",
+                    hyperplane_bucket(F.col("embedding"), HYPERPLANES)
+                    .alias("bucket"),
+                    vec_norm(F.col("embedding")).alias("_nrm")))
+    x = (e.filter(F.col("lang") == _BTX_SRC_LANG)
+          .select(F.col("vec_id").alias("src"),
+                  F.col("embedding").alias("_qv"), "bucket",
+                  F.col("_nrm").alias("_qn")))
+    y = (e.filter(F.col("lang") == _BTX_DST_LANG)
+          .select(F.col("vec_id").alias("dst"),
+                  F.col("embedding").alias("_cv"),
+                  F.col("bucket").alias("_cb"),
+                  F.col("_nrm").alias("_cn")))
+    # persist: fwd/bwd windows, both stat aggregates, and the
+    # mutual-best join all read the candidate table (harness-scoped
+    # cache policy, same as _knn_edges)
+    cand = (x.join(y, F.col("bucket") == F.col("_cb"))
+             .select("src", "dst",
+                     F.floor(_pair_cosine("_qv", "_cv", "_qn", "_cn")
+                             * 1000000 + F.lit(0.5)).cast("bigint")
+                     .alias("ci"))
+             .persist())
+    wf = Window.partitionBy("src").orderBy(F.desc("ci"), F.asc("dst"))
+    wb = Window.partitionBy("dst").orderBy(F.desc("ci"), F.asc("src"))
+    fwd = cand.withColumn("rf", F.row_number().over(wf))
+    bwd = cand.withColumn("rb", F.row_number().over(wb))
+    fstat = (fwd.filter(F.col("rf") <= _BTX_K).groupBy("src")
+                .agg(F.sum("ci").alias("sfw"), F.count("*").alias("kf")))
+    bstat = (bwd.filter(F.col("rb") <= _BTX_K).groupBy("dst")
+                .agg(F.sum("ci").alias("sbw"), F.count("*").alias("kb")))
+    best = (fwd.filter(F.col("rf") == 1).select("src", "dst", "ci")
+               .join(bwd.filter(F.col("rb") == 1).select("src", "dst"),
+                     ["src", "dst"]))
+    joined = best.join(fstat, "src").join(bstat, "dst")
+    denom = F.col("sfw") * F.col("kb") + F.col("sbw") * F.col("kf")
+    num = F.col("ci") * 2 * F.col("kf") * F.col("kb")
+    return (joined
+            .filter((F.col("ci") > 0) & (denom > 0)
+                    & (num * 100 >= F.lit(_BTX_MARGIN_PCT) * denom))
+            .select("src", "dst",
+                    (F.col("ci").cast("double") / F.lit(1000000.0))
+                    .alias("cosine"),
+                    (num.cast("double") / denom.cast("double"))
+                    .alias("margin")))
+
+
+# ---------------------------------------------------------------------------
 # Source-level overlap audit (MinHash estimate vs exact Jaccard)
 # ---------------------------------------------------------------------------
 
