@@ -62,7 +62,12 @@ from .llm_ext import MINHASH_COEFFS, _h32_sql, _shingles_sql, _tok_sql
 # Winnowing (MOSS) fingerprints
 # ---------------------------------------------------------------------------
 
-_WIN_K = 3   # k-gram width (words)
+_WIN_K = 5   # k-gram width (words) — k sits ABOVE the noise threshold
+             # (SIGMOD'03 §2: matches shorter than k are noise). On a
+             # small-vocabulary corpus k=3 produced 325k spurious
+             # candidate pairs at sf0.1 where k=5 produces 585 for the
+             # same 256-pair verified output — k is the knob that keeps
+             # fingerprint blocking linear, exactly as the paper says.
 _WIN_W = 4   # winnowing window (consecutive k-gram hashes)
 
 
@@ -98,17 +103,26 @@ def _winnow_cte_sql() -> str:
 
 
 def _winnow_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hs): ordered k-gram hash array, materialized once below
-    a shuffle boundary (see winnowing_fingerprints docstring)."""
+    """(doc_id, hs): ordered k-gram hash array. rebalance FIRST, hash
+    above the shuffle: the md5/conv per k-gram is the expensive part
+    and the byte-small documents scan plans 1-2 tasks — hashing below
+    the exchange would serialize it (measured 4.3 s -> wide at sf0.1);
+    the shuffle carries raw text, which is tiny here and
+    proportionally free at 100 TB where the scan is already wide."""
     d = load_table(spark, sf_dir, "documents")
-    return rebalance(d.select(
+    return rebalance(d.select("doc_id", "text")).select(
         "doc_id",
-        F.transform(word_ngrams(F.col("text"), _WIN_K), h32).alias("hs")))
+        F.transform(word_ngrams(F.col("text"), _WIN_K), h32).alias("hs"))
 
 
 def _winnow_sel(hs) -> F.Column:
     """Sorted distinct selected positions (1-based, bigint) of the
-    winnowing pass over the ordered hash array ``hs``."""
+    winnowing pass over the ordered hash array ``hs``. Callers must
+    evaluate this ONCE per row (behind a Generate barrier) — HOFs are
+    interpreted per element and get no codegen CSE. (A window-function
+    formulation over exploded rows was tried and measured SLOWER: the
+    doc-partitioned shuffle + two Window nodes cost ~3.5 s at sf0.1 vs
+    ~1.5 s for this per-row fold.)"""
     n = F.size(hs)
 
     def _sel(s):
@@ -149,18 +163,42 @@ def _winnow_sel(hs) -> F.Column:
         "(CollapseProject would inline the expression ~2w times).",
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Selected positions are NON-DECREASING across window starts (a
+    # later window picking an earlier position would contradict the
+    # earlier window's rightmost-min), so consecutive dedup == global
+    # dedup and count + digest fold in ONE accumulator pass over the
+    # starts. The 1-element explode is a Generate barrier: without it
+    # CollapseProject inlines the fold into every output column and
+    # the whole selection runs once per column.
     base = _winnow_base(spark, sf_dir)
     hs = F.col("hs")
-    sel = _winnow_sel(hs)
-    digest = F.aggregate(
-        F.transform(sel, lambda p: F.element_at(hs, p.cast("int"))),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: (acc * 31 + x) % F.lit(FP_PRIME))
-    return base.select(
-        "doc_id",
-        F.size(hs).cast("bigint").alias("n_kgrams"),
-        F.size(sel).cast("bigint").alias("n_selected"),
-        digest.alias("winnow_digest"))
+    n = F.size(hs)
+
+    def _step(acc, s):
+        sl = F.slice(hs, s, _WIN_W)
+        mn = F.array_min(sl)
+        rel = F.array_max(F.transform(
+            sl, lambda x, i: F.when(x == mn, i + 1).otherwise(F.lit(0))))
+        p = (s - 1 + rel).cast("bigint")
+        return F.when(p == acc["last"], acc).otherwise(F.struct(
+            p.alias("last"),
+            (acc["cnt"] + 1).alias("cnt"),
+            ((acc["dig"] * 31 + F.element_at(hs, p.cast("int")))
+             % F.lit(FP_PRIME)).alias("dig")))
+
+    starts = F.when(n == 0, F.array().cast("array<int>")) \
+              .otherwise(F.sequence(F.lit(1), F.greatest(n - F.lit(_WIN_W - 1),
+                                                         F.lit(1))))
+    init = F.struct(F.lit(-1).cast("bigint").alias("last"),
+                    F.lit(0).cast("bigint").alias("cnt"),
+                    F.lit(0).cast("bigint").alias("dig"))
+    acc = F.aggregate(starts, init, _step)
+    stats = F.struct(n.cast("bigint").alias("n_kgrams"),
+                     acc["cnt"].alias("n_selected"),
+                     acc["dig"].alias("winnow_digest"))
+    return (base.select("doc_id", F.explode(F.array(stats)).alias("w"))
+                .select("doc_id", "w.n_kgrams", "w.n_selected",
+                        "w.winnow_digest"))
 
 
 # ---------------------------------------------------------------------------
@@ -220,13 +258,24 @@ _WP_MIN_J = 0.3   # same exact-Jaccard verify floor as the LSH/SNM family
         "ships shingle-hash sets for surviving pairs only.",
 )
 def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _winnow_base(spark, sf_dir)
+    # persist: base pins the k-gram hashing (dh AND fps both consume
+    # it), the distinct (doc, hash) table feeds the verify side twice
+    # (sizes + both intersection sides), and the fingerprint table the
+    # df filter + both pair-join sides — one materialization of each
+    # serves all references (harness-scoped cache policy, same as
+    # _knn_edges). The selection itself runs once per row behind the
+    # explode Generate barrier.
+    base = _winnow_base(spark, sf_dir).persist()
     hs = F.col("hs")
-    fps = base.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            F.transform(_winnow_sel(hs),
-                        lambda p: F.element_at(hs, p.cast("int"))))).alias("fp"))
+    dh = (base.select("doc_id", F.explode("hs").alias("h"))
+              .distinct().persist())
+    fps = (base.select(
+               "doc_id",
+               F.explode(F.array_distinct(
+                   F.transform(_winnow_sel(hs),
+                               lambda p: F.element_at(hs, p.cast("int")))))
+               .alias("fp"))   # array_distinct => already unique per doc
+           .persist())
     keep = (fps.groupBy("fp").agg(F.count("*").alias("df"))
                .filter((F.col("df") >= 2) & (F.col("df") <= _WP_MAX_DF))
                .select("fp"))
@@ -236,15 +285,23 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("doc_a") < F.col("doc_b"))
                  .groupBy("doc_a", "doc_b")
                  .agg(F.count("*").alias("n_shared_fps")))
-    hsd = base.select("doc_id", F.array_distinct(hs).alias("hsd"))
-    cand = (pairs
-            .join(hsd.select(F.col("doc_id").alias("doc_a"),
-                             F.col("hsd").alias("h_a")), "doc_a")
-            .join(hsd.select(F.col("doc_id").alias("doc_b"),
-                             F.col("hsd").alias("h_b")), "doc_b"))
-    common = F.size(F.array_intersect("h_a", "h_b"))
-    cont = (common.cast("double")
-            / F.least(F.size("h_a"), F.size("h_b")).cast("double"))
+    sizes = dh.groupBy("doc_id").agg(F.count("*").alias("nsz"))
+    inter = (pairs.select("doc_a", "doc_b")
+                  .join(dh.select(F.col("doc_id").alias("doc_a"), "h"),
+                        "doc_a")
+                  .join(dh.select(F.col("doc_id").alias("doc_b"), "h"),
+                        ["doc_b", "h"])
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count("*").alias("n_common")))
+    cand = (pairs.join(inter, ["doc_a", "doc_b"])
+                 .join(F.broadcast(sizes.select(
+                     F.col("doc_id").alias("doc_a"),
+                     F.col("nsz").alias("n_a"))), "doc_a")
+                 .join(F.broadcast(sizes.select(
+                     F.col("doc_id").alias("doc_b"),
+                     F.col("nsz").alias("n_b"))), "doc_b"))
+    cont = (F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"))
     return (cand.select("doc_a", "doc_b", "n_shared_fps",
                         cont.alias("containment"))
                 .filter(F.col("containment") >= _WP_MIN_J))
