@@ -214,5 +214,5 @@ def test_wave6_registered_with_oracles():
     reg = load_registry()
     for name in ("winnowing_fingerprints", "winnow_candidate_pairs",
                  "source_overlap_audit", "bloom_decontamination",
-                 "bitext_margin_pairs"):
+                 "bitext_margin_pairs", "tokenizer_fertility"):
         assert name in reg and reg[name].oracle is not None

@@ -308,6 +308,64 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer fertility audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    WITH t AS (
+      SELECT lang, length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_tok_sql('text')}) END AS ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS bpe
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_chars)::BIGINT AS n_chars,
+           SUM(ws)::BIGINT AS n_ws_tokens,
+           SUM(bpe)::BIGINT AS n_bpe_tokens,
+           CASE WHEN SUM(ws) = 0 THEN 0.0
+                ELSE SUM(bpe)::DOUBLE / SUM(ws)::DOUBLE END AS fertility,
+           CASE WHEN SUM(bpe) = 0 THEN 0.0
+                ELSE SUM(n_chars)::DOUBLE / SUM(bpe)::DOUBLE
+           END AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+    doc="Tokenizer fertility audit: per language, subword ('BPE-ish' "
+        "regex pre-tokenization) tokens per whitespace word and "
+        "characters per subword token — the multilingual budget "
+        "metric (a language with 2x fertility pays 2x sequence length "
+        "for the same text, so compute/token caps must be set per "
+        "language, not per corpus). Pure map + one partial-agg "
+        "rollup to |langs| rows; every statistic is an exact BIGINT "
+        "sum with one final division, so the doubles are "
+        "engine-portable.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.length("text").cast("bigint").alias("n_chars"),
+                 token_count(F.col("text")).alias("ws"),
+                 token_count(F.col("text"), "bpe").alias("bpe"))
+    g = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("ws").alias("n_ws_tokens"),
+        F.sum("bpe").alias("n_bpe_tokens"))
+    return g.select(
+        "lang", "n_docs", "n_chars", "n_ws_tokens", "n_bpe_tokens",
+        F.when(F.col("n_ws_tokens") == 0, F.lit(0.0))
+         .otherwise(F.col("n_bpe_tokens").cast("double")
+                    / F.col("n_ws_tokens").cast("double")).alias("fertility"),
+        F.when(F.col("n_bpe_tokens") == 0, F.lit(0.0))
+         .otherwise(F.col("n_chars").cast("double")
+                    / F.col("n_bpe_tokens").cast("double"))
+        .alias("chars_per_token"))
+
+
+# ---------------------------------------------------------------------------
 # Margin-based bitext mining
 # ---------------------------------------------------------------------------
 
