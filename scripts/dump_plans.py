@@ -104,6 +104,16 @@ SHOWCASE = [
     ("monthly_spine_gapfill", "recursive CTE date spine — "
      "UnionLoop year recursion + vectorized month fan-out + "
      "broadcast spine join"),
+    ("winnow_candidate_pairs", "winnowing-blocked near-dup pairs — "
+     "wide hashing above the rebalance exchange, fold-per-row "
+     "selection behind a Generate barrier, fingerprint equi-self-join "
+     "with df<=16 boilerplate cap, relational containment verify"),
+    ("bitext_margin_pairs", "margin-criterion bitext mining — "
+     "LSH-bucket cross-side candidates, pair-endpoint windows, "
+     "int64-exact margin over quantized cosines"),
+    ("bloom_decontamination", "Bloom-filter decontamination — "
+     "broadcast set-bit table, linear membership scan, exact verify "
+     "alongside for FP accounting"),
 ]
 
 
