@@ -148,6 +148,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
               .distinct().localCheckpoint(eager=True))
 
     converged = False
+    prev_count = pairs.count()
     for _ in range(max_iter):
         sym = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")) \
                    .union(pairs.select(F.col("y").alias("u"),
@@ -173,12 +174,20 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                           F.greatest("n", "m").alias("y"))
                   .distinct()
                   .localCheckpoint(eager=True))
-        changed = (ss.join(pairs, ["x", "y"], "left_anti").count()
-                   + pairs.join(ss, ["x", "y"], "left_anti").count())
-        pairs = ss
-        if changed == 0:
+        # Fixpoint test: both sides are DISTINCT canonical (x<y) sets,
+        # so |ss| == |pairs| plus ss\pairs == ∅ implies equality. The
+        # count is near-free on the just-checkpointed blocks, and on
+        # every shrinking round it already proves "changed" — the
+        # anti-join (the expensive half) runs only on the one round
+        # where counts first agree, not 2× per round.
+        ss_count = ss.count()
+        if ss_count == prev_count and \
+                ss.join(pairs, ["x", "y"], "left_anti").count() == 0:
+            pairs = ss
             converged = True
             break
+        prev_count = ss_count
+        pairs = ss
     if not converged:
         # The label-extraction step below assumes a star forest; a
         # non-fixpoint edge set can put one node on the y side of two
