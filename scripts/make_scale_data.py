@@ -70,12 +70,19 @@ def replicate(spark, src: str, dst: str, replicas: int) -> None:
                     else F.col(c) for c in df.columns])
                 if table == "documents":
                     # disjoint token space per replica: prefix every
-                    # token, keep token COUNT identical
+                    # token, keep token COUNT identical. Empty/blank
+                    # text stays byte-identical (an unconditional
+                    # concat would turn a 0-token doc into a 1-token
+                    # doc in replicas, skewing per-replica token
+                    # statistics).
                     df = (df.withColumn(
                               "text",
-                              F.concat(F.lit(f"q{r}"),
-                                       F.regexp_replace(
-                                           "text", r"\s+", f" q{r}")))
+                              F.when(
+                                  F.length(F.trim("text")) > 0,
+                                  F.concat(F.lit(f"q{r}"),
+                                           F.regexp_replace(
+                                               "text", r"\s+", f" q{r}")))
+                               .otherwise(F.col("text")))
                             .withColumn("n_chars", F.length("text")
                                         .cast("bigint")))
             n_parts = 4 if table not in ("region", "nation") else 1

@@ -1,0 +1,98 @@
+"""Checkpoint-lifecycle pins for the iterative operators.
+
+Round-3 verdict traced dedup_clusters_star's 18-62 s in-session
+spread to superseded localCheckpoint blocks accumulating across
+rounds (GC-based cleanup is nondeterministic). The operators now
+release each round's blocks the moment the next round is
+materialized — these tests pin (a) the release helper actually frees
+executor storage, and (b) a multi-round CC run leaves only its FINAL
+round's blocks behind, i.e. storage is O(1) in rounds.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_flight_delay_data_pipeline_spark.operators.ckpt import (
+    release_local_checkpoint)
+
+
+def _storage_blocks(spark):
+    sc = spark.sparkContext
+    return [(i.name(), i.memSize())
+            for i in sc._jsc.sc().getRDDStorageInfo()]
+
+
+def test_release_frees_checkpoint_blocks(spark):
+    spark.catalog.clearCache()
+    before = len(_storage_blocks(spark))
+    df = (spark.range(10_000).selectExpr("id", "id % 7 AS k")
+          .localCheckpoint(eager=True))
+    assert len(_storage_blocks(spark)) > before
+    release_local_checkpoint(df)
+    assert len(_storage_blocks(spark)) == before
+
+
+def test_release_traverses_projections(spark):
+    """The loop variable is usually ckpt.select(...) — the LogicalRDD
+    leaf under the projection must still be found and freed."""
+    spark.catalog.clearCache()
+    before = len(_storage_blocks(spark))
+    ckpt = (spark.range(10_000).selectExpr("id", "id % 7 AS k")
+            .localCheckpoint(eager=True))
+    proj = ckpt.select("id")
+    release_local_checkpoint(proj)
+    assert len(_storage_blocks(spark)) == before
+
+
+def test_release_noops_on_plain_plans(spark):
+    df = spark.range(100).selectExpr("id")
+    release_local_checkpoint(df)  # must not raise
+    assert df.count() == 100
+
+
+def test_star_cc_storage_constant_in_rounds(spark):
+    """A long-path graph forces many star rounds; afterwards at most
+    the FINAL round's edge-set blocks may remain (the returned labels
+    still read them) — not one set per round."""
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        connected_components_star)
+
+    spark.catalog.clearCache()
+    base = len(_storage_blocks(spark))
+    # one 64-node path => diameter 63, several star rounds
+    edges = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    labels = connected_components_star(edges)
+    assert labels.filter("component <> 0").count() == 0
+    # final pairs checkpoint (and nothing per-round) may linger
+    leftover = len(_storage_blocks(spark)) - base
+    assert leftover <= 1, f"per-round checkpoint blocks leaked: {leftover}"
+
+
+def test_min_label_cc_storage_constant_in_rounds(spark):
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        connected_components)
+
+    spark.catalog.clearCache()
+    base = len(_storage_blocks(spark))
+    edges = spark.range(20).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    labels = connected_components(edges, max_iter=25)
+    assert labels.filter("component <> 0").count() == 0
+    leftover = len(_storage_blocks(spark)) - base
+    assert leftover <= 1, f"per-round checkpoint blocks leaked: {leftover}"
+
+
+def test_auto_fallback_only_on_convergence_error(spark):
+    """connected_components_auto must fall back to the star variant
+    ONLY for the dedicated ConvergenceError, not arbitrary failures."""
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        ConvergenceError, connected_components_auto)
+
+    # path of length 5 with max_iter=1: min-label cannot converge ->
+    # ConvergenceError -> auto falls back to star and still answers
+    edges = spark.range(5).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    labels = connected_components_auto(edges, max_iter=1)
+    assert labels.filter("component <> 0").count() == 0
+    assert issubclass(ConvergenceError, RuntimeError)

@@ -1,0 +1,51 @@
+"""Explicit cleanup for superseded ``localCheckpoint`` rounds.
+
+Iterative operators (connected components, k-means, PageRank) cut
+their per-round lineage with ``localCheckpoint(eager=True)``. The
+checkpoint blocks of ROUND N, however, stay in executor storage after
+round N+1 has materialized — Spark frees them only when the driver-
+side DataFrame is garbage-collected and the ContextCleaner notices,
+which is nondeterministic. Over a 10-40 round run the stale blocks
+accumulate (two longs per node per round is small, but the edge-set
+checkpoints of the star CC variant are not), pressure the unified
+storage region, and trigger eviction churn: measured as an 18-62 s
+in-session spread for ``dedup_clusters_star`` on identical input
+(round-3 verdict). Releasing each round the moment it is superseded
+makes storage occupancy O(1) in rounds and the runtime stable.
+
+Only call this on a DataFrame whose blocks are provably never needed
+again — a released checkpoint CANNOT be recomputed (the lineage was
+truncated; any later action on it raises). In the iterative loops
+here that is exactly the round-(N) state once round (N+1)'s EAGER
+checkpoint has materialized and any fixpoint test against round N has
+run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["release_local_checkpoint"]
+
+
+def release_local_checkpoint(df: DataFrame | None) -> None:
+    """Free the executor-storage blocks behind a localCheckpoint'ed
+    DataFrame. No-op for None or for plans that are not a checkpoint
+    scan (``LogicalRDD``), so callers can pass whatever their loop
+    variable holds without tracking provenance."""
+    if df is None:
+        return
+    try:
+        # The checkpoint scan may sit under projections (the loop
+        # variable is often `ckpt.select(...)`) — release every
+        # LogicalRDD leaf of the plan, not just a top-level one.
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        # Best-effort: a Connect session (no _jdf) or an internal
+        # rename must degrade to the old GC-based cleanup, never fail
+        # the algorithm.
+        pass

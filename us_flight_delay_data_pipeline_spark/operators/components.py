@@ -32,8 +32,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import release_local_checkpoint
+
 __all__ = ["connected_components", "connected_components_star",
            "connected_components_auto"]
+
+
+class ConvergenceError(RuntimeError):
+    """An iterative operator exhausted its round budget before its
+    convergence criterion held. Distinct from RuntimeError so auto-
+    fallback wrappers do not mask unrelated runtime failures."""
 
 
 def connected_components_auto(edges: DataFrame, src: str = "src",
@@ -46,11 +54,12 @@ def connected_components_auto(edges: DataFrame, src: str = "src",
     O(log² n) round count is diameter-independent. Safe because both
     variants return the identical (node, component=min-id) labeling
     and the min-label operator now RAISES rather than returning
-    mid-propagation labels."""
+    mid-propagation labels. Only the dedicated ConvergenceError
+    triggers the fallback — any other runtime failure surfaces."""
     try:
         return connected_components(edges, src=src, dst=dst,
                                     max_iter=max_iter)
-    except RuntimeError:
+    except ConvergenceError:
         return connected_components_star(edges, src=src, dst=dst)
 
 
@@ -88,6 +97,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                                    (F.col("neighbor_min")
                                     < F.col("component")).alias("changed"))
                            .localCheckpoint(eager=True))
+        # new_state is materialized (eager); round N-1's checkpoint
+        # blocks are dead — free them now instead of waiting for GC
+        # (storage stays O(1) in rounds; see operators/ckpt.py)
+        release_local_checkpoint(labels)
         labels = new_state.select("node", "component")
         if new_state.filter("changed").count() == 0:
             converged = True
@@ -99,7 +112,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         # propagation) — silently-wrong clusters. Fail loudly; the
         # caller either raises max_iter or switches to the O(log^2 n)
         # star formulation, whose rounds scale with log(diameter).
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components did not converge in {max_iter} "
             f"rounds (graph diameter exceeds max_iter); use "
             f"connected_components_star for high-diameter graphs")
@@ -156,12 +169,15 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # large-star: m(u) = min over Γ(u) ∪ {u}; rewire v > u to m
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m"))
+        # no distinct here: duplicate edges are harmless to the
+        # small-star min-groupBy below (min is idempotent) and the ss
+        # distinct canonicalizes the round output — dropping the
+        # intermediate dedup removes one shuffle per round
         ls = (sym.join(mins, "u")
                  .filter(F.col("v") > F.col("u"))
                  .select(F.least("v", "m").alias("x"),
                          F.greatest("v", "m").alias("y"))
-                 .filter(F.col("x") != F.col("y"))
-                 .distinct())
+                 .filter(F.col("x") != F.col("y")))
         # small-star over ≤-oriented edges of the large-star output:
         # u and its smaller neighbors all rewire to their minimum
         down = ls.select(F.col("y").alias("u"), F.col("x").alias("v"))
@@ -183,10 +199,16 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         ss_count = ss.count()
         if ss_count == prev_count and \
                 ss.join(pairs, ["x", "y"], "left_anti").count() == 0:
+            release_local_checkpoint(pairs)
             pairs = ss
             converged = True
             break
         prev_count = ss_count
+        # round N-1's edge-set checkpoint is dead (ss is materialized
+        # and the fixpoint test above already ran) — free its blocks
+        # so storage stays O(1) in rounds (the 18-62s in-session
+        # spread of dedup_clusters_star traced to this accumulation)
+        release_local_checkpoint(pairs)
         pairs = ss
     if not converged:
         # The label-extraction step below assumes a star forest; a
@@ -196,7 +218,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # max_iter was set far too low — raise rather than return
         # possibly-inconsistent labels.
         all_nodes.unpersist()
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components_star did not reach an edge-set "
             f"fixpoint in {max_iter} rounds; raise max_iter "
             f"(O(log^2 n) rounds suffice for any graph)")

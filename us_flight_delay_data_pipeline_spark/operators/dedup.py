@@ -210,9 +210,14 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
                     & size_ok)
               .select(F.col(f"a.{id_col}").alias("doc_a"),
                       F.col(f"b.{id_col}").alias("doc_b"),
-                      F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b"))
-              .dropDuplicates(["doc_a", "doc_b"]))
-    return _verified_jaccard_pairs(cands, threshold)
+                      F.col("a.hsd").alias("h_a"), F.col("b.hsd").alias("h_b")))
+    # Verify BEFORE deduplicating candidates: a pair sharing k prefix
+    # shingles is verified k times (k is small — bounded by the prefix
+    # length), but the dropDuplicates shuffle then carries 24-byte
+    # (doc_a, doc_b, jaccard) rows instead of two full shingle arrays
+    # per candidate — the array payload never rides a shuffle.
+    return _verified_jaccard_pairs(cands, threshold) \
+        .dropDuplicates(["doc_a", "doc_b"])
 
 
 def build_minhash_index(df: DataFrame, path: str,

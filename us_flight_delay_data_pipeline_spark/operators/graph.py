@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import release_local_checkpoint
+
 __all__ = ["pagerank", "triangle_count", "PR_QUANT"]
 
 PR_QUANT = 1e12  # contribution quantum: floor(c * PR_QUANT) units
@@ -91,14 +93,16 @@ def pagerank(edges: DataFrame, iterations: int = 3,
              * (F.sum("u").cast("double") / F.lit(PR_QUANT))).alias("rank"))
         if complete_inedges:
             # every node received mass — the agg IS the rank vector
-            ranks = summed
+            new_ranks = summed
         else:
             # nodes with no in-edges fall back to the teleport term
-            ranks = (nodes.join(summed, "node", "left")
-                          .select("node",
-                                  F.coalesce("rank", F.lit(teleport))
-                                   .alias("rank")))
-        ranks = ranks.localCheckpoint()  # truncate the per-iter lineage
+            new_ranks = (nodes.join(summed, "node", "left")
+                              .select("node",
+                                      F.coalesce("rank", F.lit(teleport))
+                                       .alias("rank")))
+        new_ranks = new_ranks.localCheckpoint()  # truncate per-iter lineage
+        release_local_checkpoint(ranks)  # superseded round, O(1) storage
+        ranks = new_ranks
     e.unpersist(); nodes.unpersist(); adj.unpersist()
     return ranks
 

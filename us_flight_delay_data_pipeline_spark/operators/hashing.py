@@ -64,20 +64,21 @@ def minhash_signature(shingles: Column,
 def simhash32(tokens: Column) -> Column:
     """32-bit SimHash over a token array, one pass.
 
-    Accumulator = 32-element vote array updated per token
-    (``floor(h / 2^i) % 2`` extracts bit i — exact: dividing by a power
-    of two only shifts the double exponent); a final fold turns
+    Accumulator = 32-element vote array updated per token; bit i of
+    the token hash is extracted with an integer ``h & 2^i`` test (pure
+    int64 ops — the earlier ``floor(h / 2^i) % 2`` double formulation
+    was exact too, but FP divide + floor + mod per bit per token was
+    measurably slower than one AND + compare). A final fold turns
     positive votes into bits. md5 computed once per token.
     """
     hs = F.transform(tokens, h32)
-    powers = F.array(*[F.lit(1 << b).cast("double") for b in range(SIMHASH_BITS)])
     bitvals = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
     votes = F.aggregate(
         hs,
         F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
-            acc, powers,
-            lambda c, p: c + (F.floor(h / p).cast("bigint") % 2) * 2 - 1),
+            acc, bitvals,
+            lambda c, p: c + F.when(h.bitwiseAND(p) > 0, 1).otherwise(-1)),
     )
     return F.aggregate(
         F.zip_with(votes, bitvals,

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .ckpt import release_local_checkpoint
+
 __all__ = ["kmeans_fit", "assign_clusters", "inertia"]
 
 
@@ -76,9 +78,11 @@ def kmeans_fit(corpus: DataFrame, init_centroids: DataFrame,
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("dim", "m"))),
                      lambda s: s["m"]).alias("cv_new")))
-        cent = (cent.join(means, "c_id", "left")
+        new_cent = (cent.join(means, "c_id", "left")
                     .select("c_id", F.coalesce("cv_new", "cv").alias("cv"))
                     .localCheckpoint(eager=True))
+        release_local_checkpoint(cent)  # superseded round, O(1) storage
+        cent = new_cent
         if len(history) >= 2 and history[-2] - history[-1] <= tol * abs(history[-2]):
             break
     return cent, history

@@ -54,6 +54,16 @@ def with_global_running(
     ``_n_total`` (row count) and, if ``sum_col`` is set,
     ``_sum_total`` — broadcast from the same one-row offsets subtree,
     so the input is still scanned once.
+
+    Caller contract (cache lifecycle): this operator ``persist()``s
+    the range-partitioned frame for correctness (see the inline note
+    on rdd.id-seeded range sampling) and does NOT unpersist it — the
+    cached plan must outlive the returned (lazy) DataFrame, and the
+    operator cannot know when the caller is done. Library users must
+    bound cache residency themselves: ``spark.catalog.clearCache()``
+    between logical jobs (what bench.py does per query), or hold the
+    result, materialize, and unpersist via ``spark.catalog``. Spark's
+    LRU storage eviction bounds worst-case residency regardless.
     """
     # persist: the ranged frame is consumed by TWO subtrees (the local
     # window and the per-partition totals), and callers that reference

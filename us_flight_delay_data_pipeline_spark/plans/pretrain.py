@@ -17,16 +17,31 @@ Stages (each operates on the previous stage's survivors):
   5 sample     deterministic per-language sampling
                (h32(doc_id) % 100 < rate[lang])
 
-Scale shape: stages 1-2 are a map + one 16-byte-key shuffle; stage 3
-is the bucketed pair join + iterative label propagation on the tiny
-pair graph; stage 4 broadcasts the benchmark shingle set; stage 5 is
-a pure map-side filter. Nothing materializes document text after its
-stage no longer needs it.
+Execution shape — the FLAG TABLE formulation (round 4; the earlier
+version persisted four full-text stage boundaries, which at corpus
+scale is a 1000x-too-large cache footprint and showed 10->100 s
+variance under storage churn):
+
+- ONE narrow pass over the corpus computes per-doc (token count,
+  quality flag, md5) — so tokenization/quality regexes run ONCE, not
+  once per stage row — persisted at ~30 bytes/doc, no text.
+- Exact-dedup membership is a min-over-md5-window on that narrow
+  table (no keep-set join, no text shuffle).
+- The expensive derived sets (near-dup ids, contaminated ids) are
+  document-id sets, tiny by construction, folded in as broadcast
+  join markers.
+- Each stage's survivorship is then a BOOLEAN COLUMN on the flag
+  table and the whole funnel is one conditional aggregation + a
+  6-row unpivot — not six aggregations over six cached corpora.
+- Full text is persisted exactly once (the exact-dedup survivors,
+  consumed twice: fuzzy-pair generation and decontamination
+  shingles); nothing else materializes text after its stage no
+  longer needs it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, word_ngrams, word_tokens
@@ -41,15 +56,21 @@ DECON_NGRAM = 5
 SAMPLE_RATES = {"en": 50, "zh": 20}  # default 10
 _DEFAULT_RATE = 10
 
+_STAGES = ["base", "quality", "exact_dedup", "fuzzy_dedup",
+           "decontam", "sample"]
 
-def _stage_row(df: DataFrame, idx: int, name: str) -> DataFrame:
+
+def _shingle_hashes(df: DataFrame) -> DataFrame:
+    """(doc_id, h) for every distinct word-5-gram hash of lowercased
+    text; docs shorter than the shingle width emit nothing."""
+    from ..functions.core import rebalance
+
     toks = word_tokens(F.lower(F.col("text")))
-    return df.agg(
-        F.lit(idx).alias("stage_idx"),
-        F.lit(name).alias("stage"),
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum(F.size(toks).cast("bigint")), F.lit(0))
-         .alias("n_tokens"))
+    return (rebalance(df.filter(F.size(toks) >= DECON_NGRAM))
+              .select("doc_id",
+                      F.explode(F.array_distinct(F.transform(
+                          word_ngrams(F.col("text"), DECON_NGRAM), h32)))
+                       .alias("h")))
 
 
 def pretrain_funnel(docs: DataFrame) -> DataFrame:
@@ -57,64 +78,92 @@ def pretrain_funnel(docs: DataFrame) -> DataFrame:
     one row per stage: (stage_idx, stage, n_docs, n_tokens)."""
     from ..functions.core import rebalance
 
-    # rebalance: the corpus arrives as few fat scan partitions (and
-    # anti-join outputs get AQE-coalesced to one); the quality regexes
-    # and shingle hashing are CPU-bound and need width, not bytes
+    # rebalance: the corpus arrives as few fat scan partitions; the
+    # quality regexes and shingle hashing are CPU-bound and need
+    # width, not bytes
     base = rebalance(docs.select("doc_id", "lang", "source", "text"))
 
-    quality = base.filter(quality_score(F.col("text")) >= QUALITY_MIN) \
-                  .persist()
+    # --- one narrow pass: everything per-doc the funnel arithmetic
+    # needs, computed once, no text retained -------------------------
+    toks = word_tokens(F.lower(F.col("text")))
+    narrow = base.select(
+        "doc_id", "lang", "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        (quality_score(F.col("text")) >= QUALITY_MIN).alias("s_quality"),
+        F.md5(F.col("text").cast("binary")).alias("th"),
+    )
+    # exact dedup without a keep-set join: within each text-hash group
+    # the (quality-surviving) minimum doc_id is the keeper
+    w = Window.partitionBy("th")
+    qmin = F.min(F.when(F.col("s_quality"), F.col("doc_id"))).over(w)
+    flags = (narrow
+             .withColumn("s_exact",
+                         F.col("s_quality") & (F.col("doc_id") == qmin))
+             .drop("th")
+             .persist())
 
-    keep = quality.groupBy(
-        F.md5(F.col("text").cast("binary")).alias("h")).agg(
-        F.min("doc_id").alias("doc_id"))
-    # each stage feeds both the next stage and its own funnel row, and
-    # the funnel output unions six subtrees — persist the expensive
-    # stage boundaries or every row recomputes the whole prefix
-    # (Catalyst does not dedupe repeated subplans)
-    exact = quality.join(keep.select("doc_id"), "doc_id", "left_semi") \
-                   .persist()
+    # --- exact survivors WITH text: the only full-text materialization
+    # (consumed by fuzzy-pair generation and decontamination shingles)
+    exact_docs = base.join(flags.filter("s_exact").select("doc_id"),
+                           "doc_id", "left_semi").persist()
 
-    pairs = ngram_jaccard_pairs(exact, block_col="lang", threshold=0.3) \
-        .select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(exact_docs, block_col="lang",
+                                threshold=0.3).select("doc_a", "doc_b")
     dupes = (connected_components(pairs, src="doc_a", dst="doc_b")
              .filter(F.col("node") != F.col("component"))
-             .select(F.col("node").alias("doc_id")))
-    fuzzy = exact.join(dupes, "doc_id", "left_anti").persist()
+             .select(F.col("node").alias("doc_id"),
+                     F.lit(True).alias("is_dupe")))
 
     # benchmark shingles come from the ORIGINAL corpus (the holdout
     # set is fixed; upstream filtering must not shrink it)
-    def shingle_hashes(df: DataFrame) -> DataFrame:
-        toks = word_tokens(F.lower(F.col("text")))
-        return (rebalance(df.filter(F.size(toks) >= DECON_NGRAM))
-                  .select("doc_id",
-                          F.explode(F.array_distinct(F.transform(
-                              word_ngrams(F.col("text"), DECON_NGRAM), h32)))
-                           .alias("h")))
-
-    bench = (shingle_hashes(base.filter(F.col("source") == "src0"))
+    bench = (_shingle_hashes(base.filter(F.col("source") == "src0"))
              .select("h").distinct())
-    contaminated = (shingle_hashes(fuzzy.filter(F.col("source") != "src0"))
+    fuzzy_docs = exact_docs.join(F.broadcast(dupes.select("doc_id")),
+                                 "doc_id", "left_anti")
+    contaminated = (_shingle_hashes(
+                        fuzzy_docs.filter(F.col("source") != "src0"))
                     .join(F.broadcast(bench), "h")
-                    .select("doc_id").distinct())
-    decontam = (fuzzy.filter(F.col("source") != "src0")
-                     .join(contaminated, "doc_id", "left_anti")
-                     .persist())
+                    .select("doc_id").distinct()
+                    .withColumn("is_contam", F.lit(True)))
 
+    # --- fold the tiny id sets back as flags and derive every stage's
+    # survivorship as a boolean chain ---------------------------------
     rate = F.lit(_DEFAULT_RATE)
     for lang, r in sorted(SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)
-    sampled = decontam.filter(h32(F.col("doc_id").cast("string")) % 100 < rate)
 
-    stages = [
-        _stage_row(base, 0, "base"),
-        _stage_row(quality, 1, "quality"),
-        _stage_row(exact, 2, "exact_dedup"),
-        _stage_row(fuzzy, 3, "fuzzy_dedup"),
-        _stage_row(decontam, 4, "decontam"),
-        _stage_row(sampled, 5, "sample"),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out
+    staged = (flags
+              .join(F.broadcast(dupes), "doc_id", "left")
+              .join(F.broadcast(contaminated), "doc_id", "left")
+              .withColumn("s_fuzzy",
+                          F.col("s_exact")
+                          & ~F.coalesce("is_dupe", F.lit(False)))
+              .withColumn("s_decontam",
+                          F.col("s_fuzzy")
+                          & (F.col("source") != "src0")
+                          & ~F.coalesce("is_contam", F.lit(False)))
+              .withColumn("s_sample",
+                          F.col("s_decontam")
+                          & (h32(F.col("doc_id").cast("string")) % 100
+                             < rate)))
+
+    # --- the whole funnel = one conditional aggregation + a 6-row
+    # unpivot (vs six aggregations over six cached corpora) -----------
+    survive = [F.lit(True), F.col("s_quality"), F.col("s_exact"),
+               F.col("s_fuzzy"), F.col("s_decontam"), F.col("s_sample")]
+    aggs = []
+    for i, cond in enumerate(survive):
+        aggs.append(F.coalesce(F.sum(F.when(cond, 1).cast("bigint")),
+                               F.lit(0)).alias(f"d{i}"))
+        aggs.append(F.coalesce(F.sum(F.when(cond, F.col("n_tok"))
+                                     .cast("bigint")),
+                               F.lit(0)).alias(f"t{i}"))
+    wide = staged.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("stage_idx"),
+                 F.lit(name).alias("stage"),
+                 F.col(f"d{i}").alias("n_docs"),
+                 F.col(f"t{i}").alias("n_tokens"))
+        for i, name in enumerate(_STAGES)])
+    return (wide.select(F.explode(rows).alias("r"))
+                .select("r.stage_idx", "r.stage", "r.n_docs", "r.n_tokens"))

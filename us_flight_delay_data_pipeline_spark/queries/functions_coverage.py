@@ -597,14 +597,15 @@ def listagg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surface cost (audited: no Python evaluators) — making it "
         "the right home for org-wide expression contracts (KPI "
         "definitions, safe-divide policies) that must not fork per "
-        "notebook. Function name is session-unique to keep parallel "
-        "harness runs independent.",
+        "notebook. Temp functions/views are SESSION-scoped, so a "
+        "fixed name with CREATE OR REPLACE is concurrency-safe across "
+        "harness processes and leaves exactly one catalog entry per "
+        "session no matter how often the query reruns (a uuid-per-"
+        "call name accumulated entries over a long-lived session).",
 )
 def sql_udf_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    fn = f"sg_safe_div_{uuid.uuid4().hex[:8]}"
-    view = f"_sqludf_li_{uuid.uuid4().hex[:8]}"
+    fn = "sg_safe_div"
+    view = "_sqludf_li"
     spark.sql(f"""
         CREATE OR REPLACE TEMPORARY FUNCTION {fn}(num DOUBLE, den DOUBLE)
         RETURNS DOUBLE

@@ -81,32 +81,47 @@ class _JsonlBatchReader(DataSourceReader):
 
 
 class _JsonlStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch tail of the drop directory: the offset is the
-    number of files already consumed from the sorted listing, so a
-    replayed batch re-reads exactly the same files (deterministic
-    replay — the property exactly-once sinks build on)."""
+    """Micro-batch tail of the drop directory.
+
+    Offset contract: ``{"last": <basename>}`` — the lexicographically
+    greatest file name consumed so far ("" before any). A batch
+    consumes every file whose basename sorts strictly after ``last``,
+    so replaying (start, end) re-reads exactly the files in that name
+    interval (deterministic replay — the property exactly-once sinks
+    build on). Producers MUST drop files with monotonically
+    increasing names (timestamp/sequence prefixes — what every
+    log-rotation and Kafka-connect file sink emits); a late file that
+    sorts before ``last`` is deterministically skipped, never a
+    silent re-read/skip shift (the failure mode of a positional
+    index offset into a mutating sorted listing).
+    """
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sg_jsonl_envelope requires option 'path'")
 
+    @staticmethod
+    def _name(p: str) -> str:
+        return os.path.basename(p)
+
     def initialOffset(self):
-        return {"idx": 0}
+        return {"last": ""}
 
     def read(self, start):
-        files = _list_files(self.path)
-        lo = start["idx"]
+        files = [p for p in _list_files(self.path)
+                 if self._name(p) > start["last"]]
         rows = []
-        for p in files[lo:]:
+        for p in files:
             rows.extend(_parse_lines(p))
-        return iter(rows), {"idx": len(files)}
+        new_last = self._name(files[-1]) if files else start["last"]
+        return iter(rows), {"last": new_last}
 
     def readBetweenOffsets(self, start, end):
-        files = _list_files(self.path)
         rows = []
-        for p in files[start["idx"]:end["idx"]]:
-            rows.extend(_parse_lines(p))
+        for p in _list_files(self.path):
+            if start["last"] < self._name(p) <= end["last"]:
+                rows.extend(_parse_lines(p))
         return iter(rows)
 
 
