@@ -54,11 +54,20 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    audit_names = sorted(n for n, s in reg.items() if s.audit)
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # calibration audits (recall sweeps, band tuning) are not
+        # serving queries — split the subtotals so serving throughput
+        # is comparable across rounds as audits are added
+        "serving_total_sec": round(sum(
+            t for n, t in timings.items() if n not in audit_names), 3),
+        "audit_total_sec": round(sum(
+            t for n, t in timings.items() if n in audit_names), 3),
+        "audit_queries": audit_names,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -50,6 +50,10 @@ SCALE_QUERIES = [
     "knn_graph_mutual",
     # iterative graph
     "pagerank_trade_graph",
+    # round-3 wave-5/6 additions (VERDICT r3 task #4): the newest
+    # heavy curation queries need recorded scale factors too
+    "knn_semantic_clusters", "nn_descent_round", "cluster_aware_folds",
+    "winnow_candidate_pairs", "bloom_decontamination",
 ]
 
 

@@ -29,6 +29,22 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
+    # Calibration/tuning audits (parameter sweeps, recall
+    # measurements) are not serving queries — bench totals report
+    # them separately so the serving number is not inflated by
+    # one-off calibration work.
+    audit: bool = False
+
+
+# Queries that exist to CALIBRATE other operators (band-count sweeps,
+# recall measurement against brute force, corpus-overlap audits) —
+# run once per corpus/parameter change, not per serving request.
+# Tagged centrally so per-module QuerySpec rewrites (oracle
+# attachment) cannot drop the flag.
+AUDIT_QUERIES = frozenset({
+    "minhash_band_tuning", "ivf_recall_audit", "lsh_recall_audit",
+    "source_overlap_audit",
+})
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -69,4 +85,9 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import functions_coverage  # noqa: F401
     from . import llm_ext  # noqa: F401
     from . import relational  # noqa: F401
+    for name in AUDIT_QUERIES & REGISTRY.keys():
+        spec = REGISTRY[name]
+        if not spec.audit:
+            REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=spec.oracle,
+                                       doc=spec.doc, audit=True)
     return REGISTRY
