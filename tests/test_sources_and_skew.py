@@ -152,16 +152,18 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
-def test_salted_join_beats_serialized_hot_key(spark):
+def test_salted_join_spreads_serialized_hot_key(spark):
     """With AQE skew handling OFF (stats-blind engines, or the
-    CPU-quadratic skew AQE cannot see), the unsalted join serializes
-    the mega-key into one task; salting spreads it across replicas.
-    Pins (a) identical results and (b) the salted variant's runtime
-    win on a 32-core box."""
-    import time
-
+    CPU-quadratic skew AQE cannot see), the unsalted join hashes the
+    mega-key into ONE shuffle partition — one task owns ~90% of the
+    rows and runtime serializes no matter how many cores exist.
+    Salting spreads the same rows across n_salts partitions. Pins
+    (a) identical join results and (b) the PARTITION-LEVEL row
+    distribution each strategy produces — the deterministic cause of
+    the runtime win (a wall-clock assert flakes on a loaded box; the
+    max-partition share is load-independent)."""
     confs = {
-        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.enabled": "false",  # no runtime re-split
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     old = {k: spark.conf.get(k, None) for k in confs}
@@ -169,29 +171,34 @@ def test_salted_join_beats_serialized_hot_key(spark):
         for k, v in confs.items():
             spark.conf.set(k, v)
         n_salts = 16
-        fact = _zipf_fact(spark, n=1_500_000).persist()
+        fact = _zipf_fact(spark, n=200_000).persist()
+        n_rows = fact.count()
         dim = spark.range(1000).select(
             F.col("id").alias("k"),
             F.concat(F.lit("d"), F.col("id")).alias("dv")).persist()
-        fact.count(), dim.count()  # exclude input gen from timing
+        dim.count()
 
-        t0 = time.time()
         plain = fact.join(dim, "k").count()
-        t_plain = time.time() - t0
-
         sfact = fact.withColumn(
             "_salt", (F.rand(seed=7) * n_salts).cast("int"))
         sdim = replicate_for_salted_join(dim, n_salts)
-        t0 = time.time()
         salted = sfact.join(
             sdim, (sfact.k == sdim.k) & (sfact._salt == sdim._salt)
         ).count()
-        t_salt = time.time() - t0
-
         assert salted == plain
-        # the win is ~2-4x on 32 cores; assert with slack so a noisy
-        # box cannot flake a genuine win into a failure
-        assert t_salt < t_plain * 1.2, (t_salt, t_plain)
+
+        def max_partition_share(df, keys):
+            parts = (df.repartition(32, *keys)
+                       .groupBy(F.spark_partition_id().alias("p"))
+                       .agg(F.count("*").alias("c")))
+            return parts.agg(F.max("c")).first()[0] / n_rows
+
+        # unsalted shuffle: the mega-key (~90% of rows) lands whole in
+        # one partition -> one serialized task
+        assert max_partition_share(fact, ["k"]) >= 0.85
+        # salted shuffle: no partition holds more than ~2 salt shares
+        # of the hot key (90%/16 ≈ 5.6% each, plus the cold tail)
+        assert max_partition_share(sfact, ["k", "_salt"]) <= 0.25
         fact.unpersist(); dim.unpersist()
     finally:
         for k, v in old.items():
