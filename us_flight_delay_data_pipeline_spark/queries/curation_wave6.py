@@ -692,3 +692,92 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(exact_hit).cast("bigint").alias("n_exact_hits"),
         F.sum(F.when((F.col("k") == _BLOOM_K) & F.col("ex").isNull(), 1)
                .otherwise(0)).cast("bigint").alias("n_false_pos"))
+
+
+def _classifier_sql() -> str:
+    """Oracle: the full weak-label -> hashed-linear-model ->
+    score -> confusion rollup pipeline. Weights in HUGEINT (int128 —
+    exact, and DuckDB's DECIMAL(38)*DECIMAL(38) would overflow the
+    38-digit cap); Spark computes the same integers in DECIMAL(38,0).
+    Only booleans and counts are output, so no cross-engine numeric
+    formatting is on the hash path."""
+    from .llm_ext import STOPWORDS_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, text, length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS qtoks,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE {_tok_sql()} END AS toks
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, source, toks,
+        (0.4 * least(1.0, len(qtoks)::DOUBLE / 64.0)
+         + 0.3 * (1.0 - CASE WHEN n = 0 THEN 0.0 ELSE
+             (n - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+               / n::DOUBLE END)
+         + 0.3 * least(1.0, 4.0 * CASE WHEN len(qtoks) = 0 THEN 0.0 ELSE
+             len(list_filter(qtoks, x -> lower(x) IN {STOPWORDS_SQL}))::DOUBLE
+               / len(qtoks)::DOUBLE END)) >= 0.5 AS label_high
+      FROM t
+    ), ex AS (
+      SELECT doc_id, label_high, {_h32_sql('tok')} % 1024 AS bucket
+      FROM (SELECT doc_id, label_high, unnest(toks) AS tok FROM lab) u
+    ), stats AS (
+      SELECT bucket,
+             COUNT(CASE WHEN label_high THEN 1 END) AS h,
+             COUNT(CASE WHEN NOT label_high THEN 1 END) AS l
+      FROM ex GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(h)::HUGEINT AS h_tot, SUM(l)::HUGEINT AS l_tot FROM stats
+    ), w AS (
+      SELECT bucket, h::HUGEINT * l_tot - l::HUGEINT * h_tot AS w
+      FROM stats, tot
+    ), sc AS (
+      SELECT ex.doc_id, SUM(w.w) AS score
+      FROM ex JOIN w USING (bucket) GROUP BY ex.doc_id
+    )
+    SELECT lab.source, lab.label_high,
+           COALESCE(sc.score, 0) > 0 AS pred_high,
+           COUNT(*) AS n_docs
+    FROM lab LEFT JOIN sc USING (doc_id)
+    GROUP BY lab.source, lab.label_high, pred_high
+    """
+
+
+@register(
+    "quality_classifier_scores",
+    None,  # oracle patched below (needs the STOPWORDS import at def time)
+    doc="Weak-label quality-classifier distillation (CCNet / "
+        "fineweb-edu pattern): the heuristic quality gate provides "
+        "labels, a LINEAR model over 1024 hashed token buckets is "
+        "fit in one aggregation (weight = cross-rate difference "
+        "h_b*L - l_b*H, the exact-integer sign of the log-odds "
+        "ratio — no ln(), no floats), the model re-scores every doc "
+        "via a broadcast weight join, and the output is the per-"
+        "source confusion rollup (label_high x pred_high counts). "
+        "Model size is bounded by the bucket count regardless of "
+        "corpus size (the hashing trick); shuffles carry (doc_id, "
+        "bucket) and (doc_id, decimal) rows, never text. Exact "
+        "arithmetic: Spark DECIMAL(38,0) == DuckDB HUGEINT.",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.classifier import classify_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.withColumn("label_high",
+                           quality_score(F.col("text")) >= 0.5)
+    scored = classify_docs(labeled, "label_high", keep_cols=("source",))
+    return (scored.groupBy("source", "label_high", "pred_high")
+                  .agg(F.count("*").alias("n_docs")))
+
+
+from . import REGISTRY as _REG_W6  # noqa: E402
+from . import QuerySpec as _QS_W6  # noqa: E402
+
+_REG_W6["quality_classifier_scores"] = _QS_W6(
+    fn=_REG_W6["quality_classifier_scores"].fn,
+    oracle=_classifier_sql(),
+    doc=_REG_W6["quality_classifier_scores"].doc)
