@@ -29,7 +29,7 @@ one min-aggregate — both on 16-byte (node, label) pairs, never text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .ckpt import release_local_checkpoint
@@ -80,14 +80,17 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .select("node", F.least("node", "nmin").alias("component"))
                  .localCheckpoint(eager=True))
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
                            .groupBy(F.col("a").alias("node"))
                            .agg(F.min("component").alias("neighbor_min")))
         # Fold the neighbor minimum in with a left join and carry a
-        # per-node `changed` flag, so convergence detection is a
-        # cheap count over the already-checkpointed round output
-        # instead of an extra shuffle join against the old labels.
+        # per-node `changed` flag. Convergence detection rides the
+        # checkpoint materialization itself via observe() metrics —
+        # zero extra job per round (a separate .count(), even over
+        # checkpointed blocks, paid one full job-scheduling round
+        # trip per iteration).
+        obs = Observation(f"cc_round_{i}")
         new_state = (labels.join(neighbor_min, "node", "left")
                            .select("node",
                                    F.least("component",
@@ -96,13 +99,15 @@ def connected_components(edges: DataFrame, src: str = "src",
                                     .alias("component"),
                                    (F.col("neighbor_min")
                                     < F.col("component")).alias("changed"))
+                           .observe(obs, F.sum(F.col("changed").cast("int"))
+                                          .alias("n_changed"))
                            .localCheckpoint(eager=True))
         # new_state is materialized (eager); round N-1's checkpoint
         # blocks are dead — free them now instead of waiting for GC
         # (storage stays O(1) in rounds; see operators/ckpt.py)
         release_local_checkpoint(labels)
         labels = new_state.select("node", "component")
-        if new_state.filter("changed").count() == 0:
+        if not obs.get["n_changed"]:
             converged = True
             break
     sym.unpersist()
@@ -162,7 +167,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
 
     converged = False
     prev_count = pairs.count()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         sym = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")) \
                    .union(pairs.select(F.col("y").alias("u"),
                                        F.col("x").alias("v")))
@@ -182,6 +187,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # u and its smaller neighbors all rewire to their minimum
         down = ls.select(F.col("y").alias("u"), F.col("x").alias("v"))
         smins = down.groupBy("u").agg(F.min("v").alias("m"))
+        obs = Observation(f"star_round_{i}")
         ss = (down.join(smins, "u")
                   .select(F.col("v").alias("n"), "m")
                   .union(smins.select(F.col("u").alias("n"), "m"))
@@ -189,14 +195,16 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                   .select(F.least("n", "m").alias("x"),
                           F.greatest("n", "m").alias("y"))
                   .distinct()
+                  .observe(obs, F.count(F.lit(1)).alias("cnt"))
                   .localCheckpoint(eager=True))
         # Fixpoint test: both sides are DISTINCT canonical (x<y) sets,
         # so |ss| == |pairs| plus ss\pairs == ∅ implies equality. The
-        # count is near-free on the just-checkpointed blocks, and on
-        # every shrinking round it already proves "changed" — the
-        # anti-join (the expensive half) runs only on the one round
-        # where counts first agree, not 2× per round.
-        ss_count = ss.count()
+        # count rides the checkpoint materialization via observe()
+        # (zero extra job), and on every shrinking round it already
+        # proves "changed" — the anti-join (the expensive half) runs
+        # only on the one round where counts first agree, not 2× per
+        # round.
+        ss_count = obs.get["cnt"]
         if ss_count == prev_count and \
                 ss.join(pairs, ["x", "y"], "left_anti").count() == 0:
             release_local_checkpoint(pairs)
