@@ -392,3 +392,70 @@ def stream_sessions_state_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "session_end",
                       F.col("total_value").cast("bigint")
                        .alias("total_value_cents"))
+
+
+@register(
+    "stream_classifier_scores_gated",
+    None,  # oracle patched below (shared with the batch twin)
+    doc="Offline-train / online-serve under the oracle gate: the "
+        "hashed linear quality classifier is FIT batch-side "
+        "(operators/classifier.py), the <=1024-row weight table is "
+        "pulled to the driver as the model artifact (bounded by the "
+        "bucket count regardless of corpus size — the one collect "
+        "pattern that is correct at 100 TB, a model is not data) and "
+        "embedded as a literal weight array, and a REAL streaming "
+        "job scores every doc PURELY MAP-SIDE (one hash + one array "
+        "lookup + one decimal add per token — no state, no shuffle "
+        "before the final rollup) with the same per-source confusion "
+        "output as the batch twin. The drained result must value-"
+        "hash-match the batch DuckDB oracle: a skew in the frozen "
+        "weights, the streaming tokenization, or the score "
+        "arithmetic breaks the hash.",
+)
+def stream_classifier_scores_gated(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score, word_tokens
+    from ..operators.classifier import N_BUCKETS, hashed_logodds_weights
+    from ..operators.hashing import h32
+    from ..sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.withColumn("label_high",
+                           quality_score(F.col("text")) >= 0.5)
+    # model artifact: bucket -> exact-integer weight (decimal(38,0))
+    model = {r["bucket"]: r["w"]
+             for r in hashed_logodds_weights(labeled,
+                                             "label_high").collect()}
+    warr = F.array(*[
+        F.lit(str(model.get(b, 0))).cast("decimal(38,0)")
+        for b in range(N_BUCKETS)])
+
+    src = _stream_source(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    contribs = F.transform(
+        toks,
+        lambda t: F.element_at(warr, (h32(t) % N_BUCKETS).cast("int") + 1))
+    score = F.aggregate(
+        contribs, F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + x).cast("decimal(38,0)"))
+    scored = src.select(
+        "source",
+        (quality_score(F.col("text")) >= 0.5).alias("label_high"),
+        (score > 0).alias("pred_high"))
+    agg = scored.groupBy("source", "label_high", "pred_high").agg(
+        F.count("*").alias("n_docs"))
+    return _drain_to_memory(agg, "complete")
+
+
+def _patch_stream_classifier_oracle() -> None:
+    from . import REGISTRY as _reg
+    from . import QuerySpec as _qs
+    from .curation_wave6 import _classifier_sql
+
+    _reg["stream_classifier_scores_gated"] = _qs(
+        fn=_reg["stream_classifier_scores_gated"].fn,
+        oracle=_classifier_sql(),
+        doc=_reg["stream_classifier_scores_gated"].doc)
+
+
+_patch_stream_classifier_oracle()
