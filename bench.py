@@ -19,10 +19,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from us_flight_delay_data_pipeline_spark.operators.cache import (
+    release_tracked)
 from us_flight_delay_data_pipeline_spark.queries import load_registry
 from us_flight_delay_data_pipeline_spark.session import get_spark
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Box-speed calibration (PERF_r4.md): the sandbox host drifts 1.3-1.5x
+# between rounds, so raw cross-round per-query ratios are meaningless
+# without a control factor. These four queries are pure scan->agg/join
+# shapes whose code has been frozen since round 1; their ratio vs the
+# round-2 record measures HOST speed, not code change. The reference
+# times come from BENCH_local_r2.json when present (repo root),
+# falling back to the recorded values.
+CONTROL_R2_SEC = {"region_revenue": 0.898, "text_stats": 0.457,
+                  "segment_sales": 0.437, "topk_orders": 0.133}
+
+
+def control_reference() -> dict[str, float]:
+    ref = dict(CONTROL_R2_SEC)
+    try:
+        r2 = json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_local_r2.json")))["queries"]
+        ref.update({k: r2[k] for k in ref if k in r2})
+    except Exception:
+        pass
+    return ref
 
 
 def materialize(df) -> None:
@@ -47,7 +71,9 @@ def main() -> None:
             runs.append(time.time() - t0)
         # queries may persist() intermediates (signature tables, silver
         # materialization); drop them so later queries are measured
-        # cold and the session doesn't accumulate 60+ caches
+        # cold and the session doesn't accumulate 60+ caches (tracked
+        # persists also drained so the registry list stays bounded)
+        release_tracked()
         spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
         print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})",
@@ -55,6 +81,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     audit_names = sorted(n for n, s in reg.items() if s.audit)
+    ref = control_reference()
+    box_controls = {n: round(timings[n] / ref[n], 3)
+                    for n in sorted(ref) if n in timings and ref[n] > 0}
+    ratios = sorted(box_controls.values())
+    box_factor = (round(statistics.median(ratios), 3)
+                  if ratios else None)
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
@@ -68,6 +100,12 @@ def main() -> None:
         "audit_total_sec": round(sum(
             t for n, t in timings.items() if n in audit_names), 3),
         "audit_queries": audit_names,
+        # host-speed calibration vs the frozen r2 control records —
+        # divide cross-round per-query ratios by box_factor before
+        # calling anything a regression (PERF_r4.md methodology;
+        # scripts/compare_bench.py applies it automatically)
+        "box_controls": box_controls,
+        "box_factor": box_factor,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -1,9 +1,17 @@
 #!/usr/bin/env python3
-"""Per-query bench regression reader.
+"""Per-query bench regression reader, box-speed normalized.
 
 BASELINE.md's rule: totals grow as coverage grows; a regression is a
-PER-QUERY slowdown vs the recorded run, not a larger total. This
-prints the per-query ratio table between two bench JSONs and flags
+PER-QUERY slowdown vs the recorded run, not a larger total. The
+sandbox host additionally drifts 1.3-1.5x between rounds (PERF_r4.md),
+so raw cross-round ratios are meaningless: each bench JSON carries a
+``box_factor`` (median ratio of four frozen control queries vs their
+round-2 records — emitted by bench.py), and this script divides every
+per-query ratio by (new box_factor / base box_factor) BEFORE flagging.
+A JSON predating the field falls back to computing the factor from
+its own recorded control-query timings, then to 1.0.
+
+Prints the normalized ratio table between two bench JSONs and flags
 ratios beyond a threshold (default 1.5x), ignoring sub-0.3s queries
 whose ratios are dominated by fixed overhead noise.
 
@@ -13,14 +21,37 @@ Usage: python scripts/compare_bench.py BASE.json NEW.json [threshold]
 from __future__ import annotations
 
 import json
+import statistics
 import sys
+
+# must match bench.py's fallback control records (round-2 box)
+CONTROL_R2_SEC = {"region_revenue": 0.898, "text_stats": 0.457,
+                  "segment_sales": 0.437, "topk_orders": 0.133}
+
+
+def box_factor(doc: dict) -> float:
+    """The JSON's recorded host-speed factor, else derive it from its
+    own control-query timings, else 1.0."""
+    if doc.get("box_factor"):
+        return float(doc["box_factor"])
+    q = doc.get("queries", {})
+    ratios = sorted(q[n] / r for n, r in CONTROL_R2_SEC.items()
+                    if n in q and r > 0)
+    return round(statistics.median(ratios), 3) if ratios else 1.0
 
 
 def main() -> int:
     base_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    base = json.load(open(base_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    base_doc = json.load(open(base_path))
+    new_doc = json.load(open(new_path))
+    base = base_doc["queries"]
+    new = new_doc["queries"]
+
+    bf_base, bf_new = box_factor(base_doc), box_factor(new_doc)
+    norm = bf_new / bf_base if bf_base > 0 else 1.0
+    print(f"box factors: base {bf_base}  new {bf_new}  "
+          f"normalizing new/base ratios by {norm:.3f}")
 
     shared = sorted(set(base) & set(new))
     ratios = []
@@ -29,7 +60,7 @@ def main() -> int:
         b, n = base[name], new[name]
         if b <= 0:
             continue
-        r = n / b
+        r = (n / b) / norm
         ratios.append(r)
         if r >= threshold and max(b, n) >= 0.3:
             flagged.append((r, name, b, n))
@@ -39,11 +70,13 @@ def main() -> int:
     print(f"shared queries: {len(shared)}  "
           f"added: {sorted(set(new) - set(base))}  "
           f"removed: {sorted(set(base) - set(new))}")
-    print(f"median per-query ratio: {med:.2f}x  threshold: {threshold}x")
+    print(f"median box-normalized per-query ratio: {med:.2f}x  "
+          f"threshold: {threshold}x")
     for r, name, b, n in sorted(flagged, reverse=True):
-        print(f"FLAG {name}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
+        print(f"FLAG {name}: {b:.2f}s -> {n:.2f}s "
+              f"({r:.2f}x box-normalized)")
     if not flagged:
-        print("no per-query regressions at threshold")
+        print("no per-query regressions at threshold (box-normalized)")
     return 1 if flagged else 0
 
 

@@ -96,3 +96,87 @@ def test_auto_fallback_only_on_convergence_error(spark):
     labels = connected_components_auto(edges, max_iter=1)
     assert labels.filter("component <> 0").count() == 0
     assert issubclass(ConvergenceError, RuntimeError)
+
+
+def test_convergence_error_releases_final_round_blocks(spark):
+    """ADVICE r4: on the ConvergenceError path the final round's
+    localCheckpoint blocks must be released before raising —
+    clearCache() cannot free raw RDD checkpoint blocks, so without
+    the explicit release the auto-fallback's star run would sit on a
+    session-lifetime leak."""
+    from us_flight_delay_data_pipeline_spark.operators.components import (
+        ConvergenceError, connected_components, connected_components_star)
+
+    import time
+
+    def _settled(base, what, deadline=10.0):
+        # unpersist is non-blocking: block-count updates lag briefly
+        end = time.time() + deadline
+        while time.time() < end:
+            n = len(_storage_blocks(spark))
+            if n <= base:
+                return n
+            time.sleep(0.2)
+        raise AssertionError(
+            f"{what}: {len(_storage_blocks(spark)) - base} blocks leaked")
+
+    spark.catalog.clearCache()
+    base = len(_storage_blocks(spark))
+    edges = spark.range(30).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    with pytest.raises(ConvergenceError):
+        connected_components(edges, max_iter=2)
+    _settled(base, "min-label leak on raise")
+    with pytest.raises(ConvergenceError):
+        connected_components_star(edges, max_iter=1)
+    _settled(base, "star leak on raise")
+
+
+def test_pagerank_never_releases_caller_checkpoints(spark):
+    """ADVICE r4 (medium): pagerank's per-round release must only free
+    checkpoints IT created. A caller-supplied localCheckpoint-backed
+    edges/nodes input must survive the run and stay usable after."""
+    from us_flight_delay_data_pipeline_spark.operators.graph import pagerank
+
+    spark.catalog.clearCache()
+    edges = (spark.range(40)
+             .select(F.col("id").alias("src"),
+                     ((F.col("id") + 1) % 40).alias("dst"))
+             .localCheckpoint(eager=True))
+    nodes = (spark.range(40).select(F.col("id").alias("node"))
+             .localCheckpoint(eager=True))
+    ranks = pagerank(edges, iterations=3, nodes=nodes,
+                     complete_inedges=True)
+    assert ranks.count() == 40
+    # the caller's checkpoints must still be actionable (released
+    # checkpoints raise on any later action — lineage is truncated)
+    assert edges.count() == 40
+    assert nodes.count() == 40
+
+
+def test_observation_names_unique_across_invocations(spark):
+    """Observation names must be unique per invocation so two
+    concurrent runs in one session cannot cross-deliver convergence
+    metrics (Spark's listener matches by name)."""
+    from us_flight_delay_data_pipeline_spark.operators import components
+
+    seen = set()
+    orig = components.Observation
+
+    class Spy(orig):
+        def __init__(self, name):
+            assert name not in seen, f"duplicate observation name {name}"
+            seen.add(name)
+            super().__init__(name)
+
+    components.Observation = Spy
+    try:
+        edges = spark.range(6).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        components.connected_components(edges)
+        components.connected_components(edges)  # same rounds, new names
+        components.connected_components_star(edges)
+        components.connected_components_star(edges)
+    finally:
+        components.Observation = orig
+    assert len(seen) >= 4

@@ -93,3 +93,37 @@ def test_stream_tails_new_files(spark, tmp_path):
         assert got.filter(F.col("source") == "late").count() == 3
     finally:
         q.stop()
+
+
+def test_replay_reads_committed_file_list_not_interval(tmp_path):
+    """Exactly-once replay: readBetweenOffsets must re-read EXACTLY the
+    files the committed batch consumed (end offset's "files" list). A
+    late file that lands INSIDE an already-committed name interval is
+    absent from the original batch, so the replay must not include it
+    either — the name-interval rescan would silently duplicate it."""
+    from us_flight_delay_data_pipeline_spark.sources.pyds import (
+        _JsonlStreamReader)
+    d = tmp_path / "drop3"
+    d.mkdir()
+    _write_file(str(d / "wave-0001.jsonl"), [{"doc_id": 1, "lang": "en",
+                                              "source": "s", "n_chars": 1}])
+    _write_file(str(d / "wave-0005.jsonl"), [{"doc_id": 5, "lang": "en",
+                                              "source": "s", "n_chars": 5}])
+    r = _JsonlStreamReader({"path": str(d)})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert sorted(x[0] for x in rows) == [1, 5]
+    assert end["files"] == ["wave-0001.jsonl", "wave-0005.jsonl"]
+    # a late producer drops a file INSIDE the committed interval
+    _write_file(str(d / "wave-0003.jsonl"), [{"doc_id": 3, "lang": "en",
+                                              "source": "late",
+                                              "n_chars": 3}])
+    replayed = sorted(x[0] for x in r.readBetweenOffsets(start, end))
+    assert replayed == [1, 5]  # NOT [1, 3, 5]
+    # the next live batch does not re-deliver past names either
+    rows2, end2 = r.read(end)
+    assert list(rows2) == []  # wave-0003 sorts before last: skipped
+    # legacy checkpoint (no "files") degrades to the interval scan
+    legacy_end = {"last": end["last"]}
+    legacy = sorted(x[0] for x in r.readBetweenOffsets(start, legacy_end))
+    assert legacy == [1, 3, 5]

@@ -19,6 +19,17 @@ truncated; any later action on it raises). In the iterative loops
 here that is exactly the round-(N) state once round (N+1)'s EAGER
 checkpoint has materialized and any fixpoint test against round N has
 run.
+
+OWNERSHIP CONTRACT: because the release sweeps every ``LogicalRDD``
+leaf of the plan, only pass DataFrames whose checkpoint the caller
+itself created. Passing an un-checkpointed loop variable whose leaves
+include a CALLER-SUPPLIED localCheckpoint-backed input would free
+that input's blocks irrecoverably. The iterative operators here
+guarantee this by either (a) checkpointing their initial state on
+entry, so every released plan is a pure owned LogicalRDD
+(``connected_components``, ``kmeans_fit``), or (b) tracking the
+previous OWNED checkpoint in a separate variable and never releasing
+the pre-checkpoint iteration-0 state (``pagerank``'s ``prev_ckpt``).
 """
 
 from __future__ import annotations

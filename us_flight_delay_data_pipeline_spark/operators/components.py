@@ -29,10 +29,20 @@ one min-aggregate — both on 16-byte (node, label) pairs, never text.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .ckpt import release_local_checkpoint
+
+# Spark's Observation listener matches completed executions by metric
+# name; a per-round-index name (cc_round_0) collides when two
+# invocations of the same operator run concurrently in one session
+# (e.g. a streaming funnel batch plus an ad-hoc query) and can
+# cross-deliver convergence metrics between them. A process-wide
+# monotonically increasing id makes every observation name unique.
+_OBS_ID = itertools.count()
 
 __all__ = ["connected_components", "connected_components_star",
            "connected_components_auto"]
@@ -100,7 +110,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         # zero extra job per round (a separate .count(), even over
         # checkpointed blocks, paid one full job-scheduling round
         # trip per iteration).
-        obs = Observation(f"cc_round_{i}")
+        obs = Observation(f"cc_round_{i}_{next(_OBS_ID)}")
         new_state = (labels.join(neighbor_min, "node", "left")
                            .select("node",
                                    F.least("component",
@@ -127,6 +137,11 @@ def connected_components(edges: DataFrame, src: str = "src",
         # propagation) — silently-wrong clusters. Fail loudly; the
         # caller either raises max_iter or switches to the O(log^2 n)
         # star formulation, whose rounds scale with log(diameter).
+        # Free the final round's checkpoint blocks first —
+        # clearCache() does not touch raw RDD checkpoint blocks, so
+        # without this the auto-fallback's star run would sit on top
+        # of a session-lifetime storage leak.
+        release_local_checkpoint(labels)
         raise ConvergenceError(
             f"connected_components did not converge in {max_iter} "
             f"rounds (graph diameter exceeds max_iter); use "
@@ -197,7 +212,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # u and its smaller neighbors all rewire to their minimum
         down = ls.select(F.col("y").alias("u"), F.col("x").alias("v"))
         smins = down.groupBy("u").agg(F.min("v").alias("m"))
-        obs = Observation(f"star_round_{i}")
+        obs = Observation(f"star_round_{i}_{next(_OBS_ID)}")
         ss = (down.join(smins, "u")
                   .select(F.col("v").alias("n"), "m")
                   .union(smins.select(F.col("u").alias("n"), "m"))
@@ -236,6 +251,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # max_iter was set far too low — raise rather than return
         # possibly-inconsistent labels.
         all_nodes.unpersist()
+        release_local_checkpoint(pairs)  # last round's blocks; see above
         raise ConvergenceError(
             f"connected_components_star did not reach an edge-set "
             f"fixpoint in {max_iter} rounds; raise max_iter "

@@ -81,6 +81,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # the per-iteration edge shuffle entirely; past that size the
     # join falls back to hash-partitioning both sides on src
     ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
+    # Ownership rule for checkpoint release: only free checkpoints
+    # THIS loop created. The iteration-0 `ranks` is the un-checkpointed
+    # nodes projection — sweeping its LogicalRDD leaves would free a
+    # caller-supplied localCheckpoint-backed `edges`/`nodes`
+    # irrecoverably (lineage is truncated; no recompute possible).
+    prev_ckpt: DataFrame | None = None
     for _ in range(iterations):
         units = F.floor((F.col("rank") / F.col("deg")) * F.lit(PR_QUANT)) \
                  .cast("decimal(38,0)")
@@ -101,7 +107,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                                       F.coalesce("rank", F.lit(teleport))
                                        .alias("rank")))
         new_ranks = new_ranks.localCheckpoint()  # truncate per-iter lineage
-        release_local_checkpoint(ranks)  # superseded round, O(1) storage
+        release_local_checkpoint(prev_ckpt)  # superseded OWNED round only
+        prev_ckpt = new_ranks
         ranks = new_ranks
     e.unpersist(); nodes.unpersist(); adj.unpersist()
     return ranks

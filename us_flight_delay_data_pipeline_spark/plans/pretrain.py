@@ -118,11 +118,18 @@ def pretrain_funnel(docs: DataFrame) -> DataFrame:
     # set is fixed; upstream filtering must not shrink it)
     bench = (_shingle_hashes(base.filter(F.col("source") == "src0"))
              .select("h").distinct())
-    fuzzy_docs = exact_docs.join(F.broadcast(dupes.select("doc_id")),
+    # No explicit broadcast hints on the dup/contaminated/benchmark id
+    # sets: they scale with corpus dup rate (20-50% on web corpora)
+    # and holdout size, not with a fixed model bound, so a forced
+    # broadcast is an executor-memory hazard at the 100 TB posture.
+    # AQE (enabled in session.py) broadcasts them at runtime whenever
+    # their measured size is under the threshold — same plan at bench
+    # scale, safe degradation at corpus scale.
+    fuzzy_docs = exact_docs.join(dupes.select("doc_id"),
                                  "doc_id", "left_anti")
     contaminated = (_shingle_hashes(
                         fuzzy_docs.filter(F.col("source") != "src0"))
-                    .join(F.broadcast(bench), "h")
+                    .join(bench, "h")
                     .select("doc_id").distinct()
                     .withColumn("is_contam", F.lit(True)))
 
@@ -133,8 +140,8 @@ def pretrain_funnel(docs: DataFrame) -> DataFrame:
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)
 
     staged = (flags
-              .join(F.broadcast(dupes), "doc_id", "left")
-              .join(F.broadcast(contaminated), "doc_id", "left")
+              .join(dupes, "doc_id", "left")
+              .join(contaminated, "doc_id", "left")
               .withColumn("s_fuzzy",
                           F.col("s_exact")
                           & ~F.coalesce("is_dupe", F.lit(False)))

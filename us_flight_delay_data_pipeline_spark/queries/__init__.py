@@ -47,6 +47,42 @@ AUDIT_QUERIES = frozenset({
 })
 
 
+# Union of query names that already have a driver-side CORRECTNESS row
+# (CORRECTNESS_r01..r04.json).  The driver's oracle sample is the first
+# 50 registered names, so ``load_registry`` orders never-checked names
+# first until every query has external correctness evidence
+# (VERDICT r4, next-round task #1).
+DRIVER_CHECKED_R01_R04 = frozenset({
+    'ann_bruteforce_topk', 'ann_lsh_topk', 'asof_latest_order',
+    'bigram_collocations', 'bitext_margin_pairs', 'boilerplate_shingles',
+    'bpe_encode_docs', 'bpe_merges', 'chi2_drift_audit',
+    'chunk_dup_ratio', 'cluster_aware_folds', 'cube_flags',
+    'customer_order_stats', 'customer_running_total', 'customers_with_open_orders',
+    'customers_without_orders', 'date_funcs', 'decontamination_overlap',
+    'dedup_clusters', 'dedup_clusters_star', 'dedup_exact',
+    'deterministic_sample', 'doc_chunks', 'doc_commonness',
+    'doc_fingerprints', 'doc_repetition_stats', 'dup_cluster_size_histogram',
+    'dup_degree_histogram', 'dup_span_stats', 'embedding_neardup_pairs',
+    'envelope_silver_roundtrip', 'event_type_users', 'events_hourly',
+    'events_json_props', 'filtered_projection', 'flag_shares',
+    'hashed_doc_vectors', 'kcenter_coreset', 'knn_graph_mutual',
+    'knn_semantic_clusters', 'lang_id_confusion', 'master_derive',
+    'math_funcs', 'minhash_lsh_pairs', 'minhash_signatures',
+    'mixture_rebalance', 'monthly_trend', 'monthly_trend_rates',
+    'multigrain_flags', 'negative_sampling_table', 'ngram_jaccard_pairs',
+    'nn_descent_round', 'order_value_lag_delta', 'overall_kpis',
+    'pack_sequences', 'pii_scrub_stats', 'price_band_orders',
+    'quality_by_source', 'quality_weighted_sample', 'region_revenue',
+    'rollup_brand_size', 'segment_sales', 'setop_except_all',
+    'setop_intersect', 'setop_union_distinct', 'simhash_docs',
+    'simhash_dup_pairs', 'sorted_neighborhood_pairs', 'split_leakage_audit',
+    'stopword_scrub', 'string_funcs', 'substring_dedup',
+    'text_stats', 'tfidf_top_terms', 'tokenizer_fertility',
+    'top_parts_per_brand', 'top_suppliers', 'topk_orders',
+    'vocab_coverage', 'winnow_candidate_pairs', 'winnowing_fingerprints',
+})
+
+
 REGISTRY: dict[str, QuerySpec] = {}
 
 
@@ -60,12 +96,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side-effect: registration).
 
-    Import order is rotated each round so the driver's fixed-size
-    oracle sample (first 50 registered names) cycles through every
-    query family over successive rounds rather than re-checking the
-    same prefix.  Round 4 front-loads the families that had zero
-    driver-side CORRECTNESS rows in rounds 1-3 (curation, graph,
-    data-quality, transactions, streaming-gated, corpus/LM).
+    The driver's fixed-size oracle sample is the first 50 registered
+    names, so after importing every module the registry is reordered
+    to put queries with NO driver-side CORRECTNESS row yet
+    (``DRIVER_CHECKED_R01_R04``) first — module-order rotation alone
+    kept re-sampling already-checked names (r04 re-checked 20).
+    Exact-set rotation reaches full 201-query driver coverage in two
+    more rounds.
     """
     from . import curation_extra  # noqa: F401
     from . import curation_wave6  # noqa: F401
@@ -90,4 +127,10 @@ def load_registry() -> dict[str, QuerySpec]:
         if not spec.audit:
             REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=spec.oracle,
                                        doc=spec.doc, audit=True)
+    # Never-driver-checked names first (stable within each group) so
+    # the driver's first-50 sample is drawn entirely from them.
+    ordered = sorted(REGISTRY, key=lambda n: n in DRIVER_CHECKED_R01_R04)
+    reordered = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
     return REGISTRY

@@ -322,16 +322,20 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed kNN edge list (src, dst, rank, cosine) — shared by the
     graph report and the semantic-cluster composition. Persisted: the
     mutuality check references it twice. Cache policy: harness-scoped
-    like the signature tables."""
+    (bench.py clearCache()s per query) AND tracked — library callers
+    outside the harness release via operators.cache.release_tracked().
+    """
     from ..functions.vectors import vec_norm
+    from ..operators.cache import track
     from ..operators.similarity import hyperplane_bucket, _pair_cosine
     from .llm_ext import HYPERPLANES
 
     emb = rebalance(load_table(spark, sf_dir, "embeddings"))
-    e = emb.select("vec_id", "embedding",
-                   hyperplane_bucket(F.col("embedding"), HYPERPLANES)
-                   .alias("bucket"),
-                   vec_norm(F.col("embedding")).alias("_nrm")).persist()
+    e = track(emb.select("vec_id", "embedding",
+                         hyperplane_bucket(F.col("embedding"), HYPERPLANES)
+                         .alias("bucket"),
+                         vec_norm(F.col("embedding")).alias("_nrm"))
+              .persist())
     a = e.select(F.col("vec_id").alias("src"),
                  F.col("embedding").alias("_qv"),
                  F.col("bucket"), F.col("_nrm").alias("_qnrm"))
@@ -344,10 +348,10 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                      _pair_cosine("_qv", "_cv", "_qnrm", "_cnrm")
                      .alias("cosine")))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= _KNN_K)
-                .select("src", "dst", "rank", "cosine")
-                .persist())
+    return track(sims.withColumn("rank", F.row_number().over(w))
+                     .filter(F.col("rank") <= _KNN_K)
+                     .select("src", "dst", "rank", "cosine")
+                     .persist())
 
 
 @register(

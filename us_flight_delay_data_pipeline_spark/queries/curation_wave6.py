@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from ..functions.core import rebalance
 from ..functions.text import word_ngrams, word_tokens
+from ..operators.cache import track
 from ..operators.hashing import FP_PRIME, P61, h32
 from ..sources.registry import load_table
 from . import register
@@ -264,18 +265,20 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df filter + both pair-join sides — one materialization of each
     # serves all references (harness-scoped cache policy, same as
     # _knn_edges). The selection itself runs once per row behind the
-    # explode Generate barrier.
-    base = _winnow_base(spark, sf_dir).persist()
+    # explode Generate barrier. Outside the harness, release via
+    # operators.cache.release_tracked().
+    base = track(_winnow_base(spark, sf_dir).persist())
     hs = F.col("hs")
-    dh = (base.select("doc_id", F.explode("hs").alias("h"))
-              .distinct().persist())
-    fps = (base.select(
-               "doc_id",
-               F.explode(F.array_distinct(
-                   F.transform(_winnow_sel(hs),
-                               lambda p: F.element_at(hs, p.cast("int")))))
-               .alias("fp"))   # array_distinct => already unique per doc
-           .persist())
+    dh = track(base.select("doc_id", F.explode("hs").alias("h"))
+                   .distinct().persist())
+    fps = track(base.select(
+                    "doc_id",
+                    F.explode(F.array_distinct(
+                        F.transform(_winnow_sel(hs),
+                                    lambda p: F.element_at(hs,
+                                                           p.cast("int")))))
+                    .alias("fp"))  # array_distinct => unique per doc
+                .persist())
     keep = (fps.groupBy("fp").agg(F.count("*").alias("df"))
                .filter((F.col("df") >= 2) & (F.col("df") <= _WP_MAX_DF))
                .select("fp"))
@@ -460,13 +463,13 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("_nrm").alias("_cn")))
     # persist: fwd/bwd windows, both stat aggregates, and the
     # mutual-best join all read the candidate table (harness-scoped
-    # cache policy, same as _knn_edges)
-    cand = (x.join(y, F.col("bucket") == F.col("_cb"))
-             .select("src", "dst",
-                     F.floor(_pair_cosine("_qv", "_cv", "_qn", "_cn")
-                             * 1000000 + F.lit(0.5)).cast("bigint")
-                     .alias("ci"))
-             .persist())
+    # cache policy, same as _knn_edges; tracked for library release)
+    cand = track(x.join(y, F.col("bucket") == F.col("_cb"))
+                  .select("src", "dst",
+                          F.floor(_pair_cosine("_qv", "_cv", "_qn", "_cn")
+                                  * 1000000 + F.lit(0.5)).cast("bigint")
+                          .alias("ci"))
+                  .persist())
     wf = Window.partitionBy("src").orderBy(F.desc("ci"), F.asc("dst"))
     wb = Window.partitionBy("dst").orderBy(F.desc("ci"), F.asc("src"))
     fwd = cand.withColumn("rf", F.row_number().over(wf))

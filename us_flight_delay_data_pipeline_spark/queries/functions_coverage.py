@@ -622,3 +622,8 @@ def sql_udf_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {view} GROUP BY l_returnflag""")
     finally:
         spark.catalog.dropTempView(view)
+        # a SQL UDF inlines into the plan at ANALYSIS time (which ran
+        # inside spark.sql above), so dropping it here cannot break
+        # the returned lazy DataFrame — and the session catalog is
+        # left exactly as found
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")

@@ -12,8 +12,9 @@ parse:
   parallel Python tasks (the same partition-parallelism contract as a
   JVM FileScan); each task yields typed rows, not raw strings.
 - :class:`_JsonlStreamReader` — SimpleDataSourceStreamReader: offsets
-  are file indexes into the sorted directory listing, each microbatch
-  reads the files that appeared since the last offset (the tailing
+  carry the greatest consumed basename plus the batch's exact file
+  list; each microbatch reads the files that appeared since the last
+  offset and replay re-reads exactly the committed list (the tailing
   contract of the drop-dir "broker" in sources/producers.py).
 
 Registration is per-session::
@@ -83,17 +84,30 @@ class _JsonlBatchReader(DataSourceReader):
 class _JsonlStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch tail of the drop directory.
 
-    Offset contract: ``{"last": <basename>}`` — the lexicographically
-    greatest file name consumed so far ("" before any). A batch
-    consumes every file whose basename sorts strictly after ``last``,
-    so replaying (start, end) re-reads exactly the files in that name
-    interval (deterministic replay — the property exactly-once sinks
-    build on). Producers MUST drop files with monotonically
-    increasing names (timestamp/sequence prefixes — what every
-    log-rotation and Kafka-connect file sink emits); a late file that
-    sorts before ``last`` is deterministically skipped, never a
-    silent re-read/skip shift (the failure mode of a positional
-    index offset into a mutating sorted listing).
+    Offset contract: ``{"last": <basename>, "files": [<basenames>]}``
+    — ``last`` is the lexicographically greatest file name consumed so
+    far ("" before any) and ``files`` is the exact list of basenames
+    this batch consumed. A batch consumes every file whose basename
+    sorts strictly after ``last``; replay of (start, end) re-reads
+    exactly ``end["files"]`` — NOT a re-listing of the name interval —
+    so a late file that lands inside an already-committed interval
+    after the fact cannot be silently duplicated into the replayed
+    batch (the original batch never saw it, so the replay must not
+    either). Offsets from older checkpoints without ``files`` degrade
+    to the name-interval scan.
+
+    Producer requirements (documented contract, asserted nowhere —
+    this is a tailing source, not a transactional log):
+
+    - names must be monotonically increasing in LEXICOGRAPHIC order —
+      numeric sequence names must be zero-padded (unpadded ``9.jsonl``
+      sorts after ``10.jsonl`` and the latter is permanently skipped);
+      timestamp/sequence prefixes as emitted by log-rotation and
+      Kafka-connect file sinks satisfy this;
+    - a late file whose name sorts before ``last`` is
+      deterministically skipped, never a silent re-read/skip shift
+      (the failure mode of a positional index offset into a mutating
+      sorted listing).
     """
 
     def __init__(self, options):
@@ -106,7 +120,7 @@ class _JsonlStreamReader(SimpleDataSourceStreamReader):
         return os.path.basename(p)
 
     def initialOffset(self):
-        return {"last": ""}
+        return {"last": "", "files": []}
 
     def read(self, start):
         files = [p for p in _list_files(self.path)
@@ -115,13 +129,19 @@ class _JsonlStreamReader(SimpleDataSourceStreamReader):
         for p in files:
             rows.extend(_parse_lines(p))
         new_last = self._name(files[-1]) if files else start["last"]
-        return iter(rows), {"last": new_last}
+        return iter(rows), {"last": new_last,
+                            "files": [self._name(p) for p in files]}
 
     def readBetweenOffsets(self, start, end):
+        consumed = end.get("files")
+        if consumed is None:
+            # pre-"files" checkpoint: degrade to the name-interval
+            # scan (exact only if no late file landed in-interval)
+            consumed = [self._name(p) for p in _list_files(self.path)
+                        if start["last"] < self._name(p) <= end["last"]]
         rows = []
-        for p in _list_files(self.path):
-            if start["last"] < self._name(p) <= end["last"]:
-                rows.extend(_parse_lines(p))
+        for name in consumed:
+            rows.extend(_parse_lines(os.path.join(self.path, name)))
         return iter(rows)
 
 
