@@ -54,6 +54,14 @@ SCALE_QUERIES = [
     # heavy curation queries need recorded scale factors too
     "knn_semantic_clusters", "nn_descent_round", "cluster_aware_folds",
     "winnow_candidate_pairs", "bloom_decontamination",
+    # round-4 additions (VERDICT r4 task #2): the classifier twins and
+    # the gated streaming pair. The gated streams pay a fixed drain
+    # overhead (micro-batch scheduling) that data volume doesn't
+    # control, so read their factors against that floor — what the
+    # 10x run must prove is that per-batch STATE work (dedup keys,
+    # classifier scoring) doesn't scale super-linearly.
+    "quality_classifier_scores", "stream_classifier_scores_gated",
+    "stream_dedup_watermark_gated",
 ]
 
 

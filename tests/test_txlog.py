@@ -513,3 +513,25 @@ def test_long_log_checkpoints_vacuum_restore_chain(spark, tmp_path):
     t.vacuum(retain_last=2)
     assert {r.k: r.v for r in t.snapshot().collect()} \
         == expected_latest[24]
+
+
+def test_log_names_sort_lexicographically_numeric():
+    """Object-store posture invariant (SCALE.md): manifest/checkpoint
+    names must sort lexicographically in NUMERIC version order across
+    the whole 8-digit namespace — the precondition for paginated
+    start-after prefix listing reading only the post-checkpoint
+    suffix. An unpadded name (9.json > 10.json) would silently break
+    suffix listing at version 10."""
+    from us_flight_delay_data_pipeline_spark.operators.txlog import (
+        _ckpt_name, _manifest_name)
+
+    versions = [0, 1, 9, 10, 99, 100, 12345678, 99999999]
+    names = [_manifest_name(v) for v in versions]
+    assert names == sorted(names)
+    # checkpoints of version V sort BEFORE V's manifest (suffix
+    # ".ckpt.json" < ".json" at the same 8-digit stem) and after
+    # V-1's, so a start-after=<ckpt name of V> listing re-includes
+    # exactly one already-checkpointed manifest (V's own — harmless,
+    # replay is idempotent) and keeps every later version
+    for v in versions[:-1]:
+        assert _ckpt_name(v) < _manifest_name(v) < _ckpt_name(v + 1)

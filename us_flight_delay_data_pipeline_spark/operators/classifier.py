@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..functions.text import word_tokens
 from .hashing import h32
 
-__all__ = ["hashed_logodds_weights", "classify_docs"]
+__all__ = ["hashed_logodds_weights", "classify_docs", "score_docs"]
 
 N_BUCKETS = 1024
 
@@ -77,16 +77,17 @@ def hashed_logodds_weights(df: DataFrame, label_col: str,
                          .alias("w")))
 
 
-def classify_docs(df: DataFrame, label_col: str,
-                  text_col: str = "text", id_col: str = "doc_id",
-                  keep_cols: tuple[str, ...] = (),
-                  n_buckets: int = N_BUCKETS) -> DataFrame:
-    """Score every doc with the weights fit on its own weak labels
-    (the distillation loop's first iteration). Returns
+def score_docs(df: DataFrame, weights: DataFrame, label_col: str,
+               text_col: str = "text", id_col: str = "doc_id",
+               keep_cols: tuple[str, ...] = (),
+               n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Score ``df`` with a FROZEN (bucket, w) weight table — the
+    serve half of the distillation loop, decoupled from fitting so
+    the model can come from a different corpus shard (generalization
+    measurement) or an earlier training run. Returns
     (id, *keep_cols, label) plus ``score`` (decimal, 0 for token-less
-    docs) and ``pred_high`` (score > 0)."""
-    weights = hashed_logodds_weights(df, label_col, text_col, id_col,
-                                     n_buckets)
+    docs) and ``pred_high`` (score > 0). The weight table is bounded
+    by ``n_buckets`` rows, hence always broadcastable."""
     ex = _token_buckets(df, text_col, id_col, [], n_buckets)
     scores = (ex.join(F.broadcast(weights), "bucket")
                 .groupBy(id_col)
@@ -97,3 +98,16 @@ def classify_docs(df: DataFrame, label_col: str,
               .select(id_col, *keep_cols, label_col,
                       F.coalesce("score", zero).alias("score"),
                       (F.coalesce("score", zero) > 0).alias("pred_high")))
+
+
+def classify_docs(df: DataFrame, label_col: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  keep_cols: tuple[str, ...] = (),
+                  n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Score every doc with the weights fit on its own weak labels
+    (the distillation loop's first iteration). Same contract as
+    :func:`score_docs` with the model fit in-place."""
+    weights = hashed_logodds_weights(df, label_col, text_col, id_col,
+                                     n_buckets)
+    return score_docs(df, weights, label_col, text_col, id_col,
+                      keep_cols, n_buckets)
