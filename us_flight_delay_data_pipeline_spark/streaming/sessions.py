@@ -17,6 +17,14 @@ gaps are <= ``gap``. A session is EMITTED when
   timeout — this is what bounds state on an unbounded stream; without
   it, one-visit users would pin state forever at 100 TB/day).
 
+Timeout boundary is STRICT: Spark fires an event-time timeout only
+when the watermark strictly exceeds the registered timestamp (the
+built-in ``session_window`` evicts on >=). If the watermark delay
+equals the gap and event times are grid-aligned, the watermark can
+tie the timeout exactly and eviction slips one micro-batch — pick a
+delay that is not congruent with the gap (tests use 29 min vs a
+30-min gap).
+
 Timestamps cross the Arrow boundary as epoch-micros int64 (timezone-
 and pandas-datetime-unit-proof); the wrapper converts back to
 timestamps at the edge.
