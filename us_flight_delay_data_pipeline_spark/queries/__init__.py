@@ -83,6 +83,36 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 })
 
 
+# The 50 names the round-5 driver sample will draw (the first 50 of
+# the never-checked ordering, snapshotted when the rotation landed).
+# Pinning them FIRST keeps the sample stable even if more queries are
+# registered later in the round.  Round 6: once CORRECTNESS_r05.json
+# confirms these ran, fold them into DRIVER_CHECKED_R01_R04 (rename to
+# ..._R05) so the next 50 never-checked names rotate to the front.
+DRIVER_SAMPLE_R05 = (
+    'source_overlap_audit', 'bloom_decontamination',
+    'quality_classifier_scores', 'classifier_crossshard_eval',
+    'pagerank_trade_graph', 'jaccard_index_probe',
+    'copurchase_triangles', 'sessionize_events', 'session_window_native',
+    'ann_ivf_cells', 'ann_ivf_topk', 'ivf_recall_audit',
+    'quantity_percentiles', 'event_funnel', 'cohort_retention',
+    'label_centroids', 'ann_ivf_multiprobe', 'hourly_anomaly_flags',
+    'customer_value_segments', 'salted_event_type_stats',
+    'user_value_trend', 'user_value_trend_native',
+    'sliding_window_counts', 'pq_encode', 'ann_ivfpq_topk',
+    'ann_ivfpq_rerank_topk', 'ann_ivfpq_residual_topk',
+    'pq_encode_trained', 'sliding_window_distinct_users',
+    'semantic_dedup', 'hard_negative_mining', 'ann_ivf_index_probe',
+    'table_profile', 'dq_expectations', 'mergeable_partial_aggs',
+    'hll_partition_merge', 'cms_heavy_hitters', 'txlog_time_travel',
+    'txlog_change_data_feed', 'txlog_exactly_once_replay',
+    'pretrain_funnel', 'bigram_lm_scores', 'balanced_stratified_sample',
+    'int8_quantize_embeddings', 'length_curriculum', 'lsh_recall_audit',
+    'repetition_stats', 'dsir_importance', 'minhash_band_tuning',
+    'ccnet_buckets',
+)
+
+
 REGISTRY: dict[str, QuerySpec] = {}
 
 
@@ -128,8 +158,14 @@ def load_registry() -> dict[str, QuerySpec]:
             REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=spec.oracle,
                                        doc=spec.doc, audit=True)
     # Never-driver-checked names first (stable within each group) so
-    # the driver's first-50 sample is drawn entirely from them.
-    ordered = sorted(REGISTRY, key=lambda n: n in DRIVER_CHECKED_R01_R04)
+    # the driver's first-50 sample is drawn entirely from them; the
+    # pinned r05 sample stays at the very front so late registrations
+    # this round cannot displace it.
+    r05_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R05)}
+    ordered = sorted(
+        REGISTRY,
+        key=lambda n: (r05_rank.get(n, len(r05_rank)),
+                       n in DRIVER_CHECKED_R01_R04))
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(reordered)

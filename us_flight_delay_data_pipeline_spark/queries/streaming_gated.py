@@ -25,6 +25,7 @@ watermark+append pair (the funnel and matview modules show both).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -39,13 +40,27 @@ _OSUM = ("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
 
 
 def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """readStream over the same single parquet file the batch scan and
-    the DuckDB oracle read (schema taken from a batch probe — file
-    streams require an explicit schema)."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
-    src = (spark.readStream.schema(raw_schema)
-           .option("pathGlobFilter", f"{table}.parquet")
-           .parquet(sf_dir))
+    """readStream over the same parquet table the batch scan and the
+    DuckDB oracle read (schema taken from a batch probe — file streams
+    require an explicit schema).
+
+    Handles BOTH table layouts: ``{table}.parquet`` as a single file
+    (driver testdata) and as a directory of part files (standard Spark
+    writer output, the scale copies, any production dataset). The
+    single-file case needs a pathGlobFilter on the parent dir because
+    the file stream source monitors directories; pointing the monitor
+    at the table directory covers the multi-file case. Without the
+    directory branch the glob matched nothing and every gated stream
+    silently drained ZERO rows on directory-layout tables.
+    """
+    path = f"{sf_dir}/{table}.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        src = reader.option("pathGlobFilter", "*.parquet").parquet(path)
+    else:
+        src = reader.option("pathGlobFilter", f"{table}.parquet") \
+                    .parquet(sf_dir)
     return normalize_event_ts(src)
 
 
