@@ -12,6 +12,15 @@ meaningfully above the replica count flag super-linear behavior —
 those become perf bugs for the next round.
 
 Usage: python scripts/bench_scale.py [base_dir] [scale_dir] [out.json]
+         [--replicas=N] [--queries=a,b,c] [--noop]
+
+--replicas sets the recorded replica count and the super-linear
+threshold (default 10). --queries restricts to a subset (the 100x run
+uses the strictly-linear-critical families; iterative graph operators
+are round-count-dominated and already shown sub-linear at 10x).
+--noop materializes through the noop sink instead of collect() —
+mandatory at 100x, where per-doc outputs would bottleneck on the
+driver transfer rather than the cluster-side plan being measured.
 """
 
 from __future__ import annotations
@@ -65,14 +74,22 @@ SCALE_QUERIES = [
 ]
 
 
-def run_all(spark, queries, sf_dir: str, reps: int = 2) -> dict:
+def run_all(spark, queries, names, sf_dir: str, reps: int = 2,
+            noop: bool = False) -> dict:
     out = {}
-    for name in SCALE_QUERIES:
+    for name in names:
         fn = queries[name]
         best = None
         for _ in range(reps):
             t0 = time.monotonic()
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            if noop:
+                # full execution, zero driver-side result transfer —
+                # required at 100x where per-doc outputs (text_stats,
+                # minhash signatures) would bottleneck on collect()
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
@@ -81,22 +98,29 @@ def run_all(spark, queries, sf_dir: str, reps: int = 2) -> dict:
 
 
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    scale = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sg_scale10"
-    out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scale.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) if "=" in a else (a[2:], "1")
+                for a in sys.argv[1:] if a.startswith("--"))
+    base = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    scale = args[1] if len(args) > 1 else "/tmp/sg_scale10"
+    out_path = args[2] if len(args) > 2 else "BENCH_scale.json"
+    replicas = int(opts.get("replicas", "10"))
+    noop = "noop" in opts
+    names = (opts["queries"].split(",") if "queries" in opts
+             else SCALE_QUERIES)
     spark = get_spark()
     queries = entrymod.queries()
     print(f"== base: {base}", flush=True)
-    t_base = run_all(spark, queries, base)
+    t_base = run_all(spark, queries, names, base, noop=noop)
     print(f"== scale: {scale}", flush=True)
-    t_scale = run_all(spark, queries, scale)
+    t_scale = run_all(spark, queries, names, scale, noop=noop)
     factors = {q: (round(t_scale[q] / t_base[q], 2) if t_base[q] else None)
                for q in t_base}
     doc = {
-        "base_dir": base, "scale_dir": scale, "replicas": 10,
+        "base_dir": base, "scale_dir": scale, "replicas": replicas,
         "base_s": t_base, "scale_s": t_scale, "factor": factors,
         "superlinear": sorted(q for q, f in factors.items()
-                              if f is not None and f > 10.0),
+                              if f is not None and f > replicas),
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
