@@ -73,6 +73,9 @@ SHOWCASE = [
      "tiny broadcast agg + map-side integer-exact filter"),
     ("ann_ivfpq_rerank_topk", "retrieve-then-rerank — PQ coarse rank "
      "from 8-byte codes, exact cosine only on the top-10 pool"),
+    ("classifier_crossshard_eval", "distillation round-trip — fit on "
+     "hash-shard 0, frozen 1024-row weight table broadcast into "
+     "shard 1's map-side scoring, confusion rollup"),
     ("substring_dedup", "ExactSubstr ngram-run dedup — stride-1 gram "
      "hash shuffle, doc-partitioned islands window over marked "
      "positions only, text never shuffles"),

@@ -18,6 +18,7 @@ the engines' ``avg``.
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -34,6 +35,18 @@ class QuerySpec:
     # them separately so the serving number is not inflated by
     # one-off calibration work.
     audit: bool = False
+    # Partition-invariance contract. 0.0 (default) = bit-exact under
+    # any repartitioning — true for every exact query because sums go
+    # through DECIMAL. Sketch ESTIMATES are the documented exception:
+    # DataSketches HLL serves the order-sensitive HIP estimator for
+    # never-merged sketches and the register-composite estimator after
+    # a union, so the same data under a different partial-merge tree
+    # can shift the estimate by ~1% (measured: ≤1.3% at sf0.01, 32 vs
+    # 7 shuffle partitions); t-digest centroid boundaries are likewise
+    # merge-order-dependent. For those queries this is the RELATIVE
+    # tolerance the invariance gate asserts instead — approximate by
+    # contract, but pinned approximate.
+    invariance_rtol: float = 0.0
 
 
 # Queries that exist to CALIBRATE other operators (band-count sweeps,
@@ -116,9 +129,11 @@ DRIVER_SAMPLE_R05 = (
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "",
+             invariance_rtol: float = 0.0):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc,
+                                   invariance_rtol=invariance_rtol)
         return fn
     return deco
 
@@ -155,8 +170,7 @@ def load_registry() -> dict[str, QuerySpec]:
     for name in AUDIT_QUERIES & REGISTRY.keys():
         spec = REGISTRY[name]
         if not spec.audit:
-            REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=spec.oracle,
-                                       doc=spec.doc, audit=True)
+            REGISTRY[name] = dataclasses.replace(spec, audit=True)
     # Never-driver-checked names first (stable within each group) so
     # the driver's first-50 sample is drawn entirely from them; the
     # pinned r05 sample stays at the very front so late registrations

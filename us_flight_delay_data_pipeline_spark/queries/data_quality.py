@@ -190,10 +190,19 @@ def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the estimate is compared shape-wise. This is the "
         "incremental COUNT DISTINCT pattern at 100 TB — daily "
         "sketches persist (a few KB each), any date range answers by "
-        "union, history is never rescanned. Sketch state is "
-        "order-insensitive (per-register max), so results are "
-        "deterministic under repartitioning even though the binary "
-        "is not portable across engines.",
+        "union, history is never rescanned. The sketch REGISTERS are "
+        "order-insensitive (per-register max), but the ESTIMATE is "
+        "not bit-stable under repartitioning: DataSketches serves the "
+        "stream-order-sensitive HIP estimator for never-merged "
+        "sketches and the register-composite estimator after a union, "
+        "so a different partial-merge tree (e.g. 32 vs 7 shuffle "
+        "partitions) shifts year estimates by up to ~1.3% at sf0.01 — "
+        "measured, and pinned as a ≤3% relative bound by the "
+        "invariance gate (invariance_rtol) and "
+        "tests/test_sketch_invariance.py. That wobble is within the "
+        "lgK=12 RSE (~0.8%) — approximate by contract, stable in "
+        "distribution.",
+    invariance_rtol=0.03,
 )
 def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders") \

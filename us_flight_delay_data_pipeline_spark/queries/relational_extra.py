@@ -264,7 +264,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mergeable partial states, fixed memory per group, no sort. "
         "Rows-only under the driver gate (sketch results are not "
         "bit-portable across engines); tests/test_queries_oracle "
-        "bounds them against the exact answers instead.",
+        "bounds them against the exact answers instead. Like "
+        "hll_partition_merge, the ESTIMATES are merge-tree-dependent "
+        "(HLL++ HIP/bias paths, t-digest centroid boundaries), so the "
+        "invariance gate asserts a 5% relative bound, not "
+        "bit-equality.",
+    invariance_rtol=0.05,
 )
 def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
