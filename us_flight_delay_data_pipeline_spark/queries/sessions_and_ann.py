@@ -1678,6 +1678,175 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("n_survivors")))
 
 
+_SEMDEDUP_CAP = 24  # leaf-size target; tiny here so the TEST corpus
+                    # exercises the split path — production sets
+                    # O(4096) (the knob is work-per-leaf, |leaf|^2)
+
+
+def _semdedup_capped_oracle() -> str:
+    from .llm_ext import _cosine_sql, _h32_sql
+    cos_vs = _cosine_sql("v.embedding", "s.sv")
+    cos_ab = _cosine_sql("a.embedding", "b.embedding")
+    seed_h = _h32_sql("'sd2|' || vec_id::VARCHAR")
+    return f"""
+    WITH {_ivf_assign_sql()},
+    cells AS (SELECT vec_id, embedding, c_id FROM assigned WHERE rn = 1),
+    ks AS (
+      SELECT c_id,
+             CASE WHEN COUNT(*) > {_SEMDEDUP_CAP}
+                  THEN CAST(ceil(COUNT(*) / {_SEMDEDUP_CAP}.0) AS INT)
+                  ELSE 0 END AS k2
+      FROM cells GROUP BY c_id
+    ),
+    rk AS (
+      SELECT cells.*,
+             row_number() OVER (PARTITION BY c_id
+                                ORDER BY {seed_h}, vec_id) AS seed_rank
+      FROM cells
+    ),
+    seeds AS (
+      SELECT rk.c_id, rk.vec_id AS seed_id, rk.embedding AS sv
+      FROM rk JOIN ks USING (c_id)
+      WHERE ks.k2 > 0 AND rk.seed_rank <= ks.k2
+    ),
+    sc AS (
+      SELECT v.vec_id, s.seed_id, {cos_vs} AS sim
+      FROM cells v JOIN seeds s ON s.c_id = v.c_id
+    ),
+    sa AS (
+      SELECT vec_id, seed_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, seed_id) AS rn2
+      FROM sc
+    ),
+    leafed AS (
+      SELECT v.vec_id, v.embedding, v.c_id,
+             COALESCE(sa.seed_id, -1) AS sub
+      FROM cells v
+      LEFT JOIN (SELECT vec_id, seed_id FROM sa WHERE rn2 = 1) sa
+        USING (vec_id)
+    ),
+    prs AS (
+      SELECT DISTINCT b.c_id, b.vec_id AS dropped
+      FROM leafed a JOIN leafed b
+        ON a.c_id = b.c_id AND a.sub = b.sub AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {_SEMDEDUP_T}
+    ),
+    leafstats AS (
+      SELECT c_id, sub, COUNT(*) AS ln FROM leafed GROUP BY 1, 2
+    ),
+    cellstats AS (
+      SELECT c_id, CAST(SUM(ln) AS BIGINT) AS n_vectors,
+             CAST(COUNT(*) AS BIGINT) AS n_leaves,
+             CAST(MAX(ln) AS BIGINT) AS max_leaf_size
+      FROM leafstats GROUP BY c_id
+    ),
+    drops AS (
+      SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
+      FROM prs GROUP BY c_id
+    )
+    SELECT c.c_id AS cell, c.n_vectors, c.n_leaves, c.max_leaf_size,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(c.n_vectors - COALESCE(d.n_dropped, 0) AS BIGINT)
+             AS n_survivors
+    FROM cellstats c LEFT JOIN drops d ON c.c_id = d.c_id
+    """
+
+
+@register(
+    "semantic_dedup_capped",
+    _semdedup_capped_oracle(),
+    doc="SemDeDup with a BOUNDED leaf size — the corpus-growth fix "
+        "for semantic_dedup's one honest scale hole: its IVF cell "
+        "count is fixed, so at 100x the corpus each cell holds 100x "
+        "the vectors and the in-cell all-pairs scan does 10,000x the "
+        "work (measured super-linear in BENCH_scale100.json). Here "
+        "any cell larger than the cap splits into ceil(n/cap) "
+        "sub-cells: deterministic hash-ring seed vectors (lowest "
+        "h32('sd2|'||vec_id) — the kcenter_coreset seeding trick, a "
+        "one-round online-kmeans refinement), each vector re-assigned "
+        "to its max-cosine seed (tie -> lowest seed id), and the "
+        "epsilon-ball keep-lowest-id rule runs per LEAF. Work per "
+        "leaf is ~cap^2 regardless of corpus size, so total dedup "
+        "cost is N*cap instead of N^2/nlist; the assignment adds "
+        "N*ceil(n_cell/cap) dots per cell — each split level divides "
+        "the quadratic constant by the fan-out, which is how "
+        "production hierarchical-kmeans IVF builds bound both sides. "
+        "The trade (same as raising nlist in SemDeDup itself) is "
+        "recall: near-dup pairs straddling a leaf boundary are "
+        "missed; max_leaf_size is emitted so the balance assumption "
+        "is auditable, and the flat query remains the exact-recall "
+        "reference at small N.",
+)
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.vectors import vec_dot, vec_norm
+    from ..operators.hashing import h32
+    from ..operators.skew import all_pairs_within_block
+    cells = (_ivf_assign(spark, sf_dir)
+             .withColumn("nrm", vec_norm(F.col("embedding")))
+             .persist())
+    ks = cells.groupBy("c_id").agg(
+        F.when(F.count("*") > _SEMDEDUP_CAP,
+               F.ceil(F.count("*") / F.lit(float(_SEMDEDUP_CAP)))
+                .cast("int"))
+         .otherwise(F.lit(0)).alias("k2"))
+    # deterministic per-cell seed ranking (hash-ring order); the
+    # window partitions by cell, so at scale this is cell-parallel
+    wseed = Window.partitionBy("c_id").orderBy(
+        h32(F.concat(F.lit("sd2|"), F.col("vec_id").cast("string"))),
+        "vec_id")
+    seeds = (cells.withColumn("seed_rank", F.row_number().over(wseed))
+                  .join(ks, "c_id")
+                  .filter((F.col("k2") > 0)
+                          & (F.col("seed_rank") <= F.col("k2")))
+                  .select(F.col("c_id").alias("s_cell"),
+                          F.col("vec_id").alias("seed_id"),
+                          F.col("embedding").alias("sv"),
+                          F.col("nrm").alias("snrm")))
+    # re-assign EVERY vector of a split cell to its max-cosine seed;
+    # vectors in small cells keep sub = -1 (the cell is its own leaf)
+    scored = (cells.join(seeds, cells.c_id == seeds.s_cell)
+                   .withColumn("sim",
+                               vec_dot(F.col("embedding"), F.col("sv"))
+                               / (F.col("nrm") * F.col("snrm"))))
+    wbest = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
+                                                 F.asc("seed_id"))
+    subbed = (scored.withColumn("rn2", F.row_number().over(wbest))
+                    .filter(F.col("rn2") == 1)
+                    .select("c_id", "vec_id", "embedding", "nrm",
+                            F.col("seed_id").alias("sub")))
+    whole = (cells.join(ks, "c_id").filter(F.col("k2") == 0)
+                  .select("c_id", "vec_id", "embedding", "nrm",
+                          F.lit(-1).cast("bigint").alias("sub")))
+    leaves = (subbed.unionByName(whole)
+                    .withColumn("leaf", F.concat_ws("|", "c_id", "sub"))
+                    .persist())
+    joined = all_pairs_within_block(leaves, "leaf", "vec_id")
+    sim = (vec_dot(F.col("a.embedding"), F.col("b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    prs = (joined.filter(sim >= _SEMDEDUP_T)
+                 .select(F.col("b.c_id").alias("c_id"),
+                         F.col("b.vec_id").alias("dropped"))
+                 .distinct())
+    drops = prs.groupBy("c_id").agg(
+        F.count("*").cast("bigint").alias("n_dropped"))
+    leafstats = leaves.groupBy("c_id", "leaf").agg(
+        F.count("*").alias("ln"))
+    cellstats = leafstats.groupBy("c_id").agg(
+        F.sum("ln").cast("bigint").alias("n_vectors"),
+        F.count("*").cast("bigint").alias("n_leaves"),
+        F.max("ln").cast("bigint").alias("max_leaf_size"))
+    return (cellstats.join(drops, "c_id", "left")
+            .select(F.col("c_id").alias("cell"), "n_vectors", "n_leaves",
+                    "max_leaf_size",
+                    F.coalesce("n_dropped", F.lit(0).cast("bigint"))
+                     .alias("n_dropped"),
+                    (F.col("n_vectors")
+                     - F.coalesce("n_dropped", F.lit(0).cast("bigint")))
+                    .cast("bigint").alias("n_survivors")))
+
+
 @register(
     "hard_negative_mining",
     f"""
