@@ -76,6 +76,9 @@ SHOWCASE = [
     ("classifier_crossshard_eval", "distillation round-trip — fit on "
      "hash-shard 0, frozen 1024-row weight table broadcast into "
      "shard 1's map-side scoring, confusion rollup"),
+    ("semantic_dedup_capped", "bounded-leaf SemDeDup — hash-ring "
+     "seed split of over-cap cells, per-leaf epsilon-ball dedup; "
+     "N*cap work where the flat query is quadratic"),
     ("substring_dedup", "ExactSubstr ngram-run dedup — stride-1 gram "
      "hash shuffle, doc-partitioned islands window over marked "
      "positions only, text never shuffles"),
