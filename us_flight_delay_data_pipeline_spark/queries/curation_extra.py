@@ -388,6 +388,120 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("_rsrc").isNotNull().alias("mutual"))
 
 
+_KNN_POOL_CAP = 4  # per-bucket candidate-pool bound; tiny so the TEST
+                   # corpus (~2-20 vectors/bucket) exercises the cap —
+                   # production sets O(few thousand), sized so
+                   # N*cap*dim fits the scoring stage's CPU budget
+
+
+def _knn_capped_oracle() -> str:
+    from .llm_ext import _cosine_sql, _h32_sql, _hyperplane_sql
+    pool_h = _h32_sql("'knnpool|' || vec_id::VARCHAR")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_hyperplane_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pooled AS (
+      SELECT e.*, row_number() OVER (PARTITION BY bucket
+                                     ORDER BY {pool_h}, vec_id) AS pr
+      FROM e
+    ),
+    pool AS (SELECT vec_id, embedding, bucket FROM pooled
+             WHERE pr <= {_KNN_POOL_CAP}),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM e a JOIN pool b ON a.bucket = b.bucket
+                          AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rank
+      FROM sims
+    ),
+    edges AS (SELECT src, dst, rank, cosine FROM ranked
+              WHERE rank <= {_KNN_K})
+    SELECT e1.src AS vec_a, e1.dst AS vec_b, CAST(e1.rank AS INT) AS rank,
+           round(e1.cosine, 6) AS cosine,
+           (e2.src IS NOT NULL) AS mutual
+    FROM edges e1 LEFT JOIN edges e2
+      ON e2.src = e1.dst AND e2.dst = e1.src
+    """
+
+
+@register(
+    "knn_graph_mutual_capped",
+    _knn_capped_oracle(),
+    doc="kNN graph with a BOUNDED per-bucket candidate pool — the "
+        "corpus-growth fix for knn_graph_mutual's measured mild "
+        "super-linearity (SCALE.md: 15.1x between the 10x and 100x "
+        "replica copies — LSH bucket occupancy grows with the corpus, "
+        "so within-bucket candidate scoring carries a quadratic "
+        "term). Each bucket keeps a deterministic hash-ring pool of "
+        "at most cap vectors (lowest h32('knnpool|'||vec_id) — the "
+        "same seeding trick as semantic_dedup_capped and "
+        "kcenter_coreset); EVERY vector still gets ranked top-k "
+        "neighbors, but only pool members serve as candidates, so "
+        "scoring cost is N*cap per bucket — linear in corpus at fixed "
+        "cap. The recall trade is explicit: neighbors outside the "
+        "pool are missed (the pool is a uniform per-bucket coreset), "
+        "and MUTUAL edges can only form between pool members, since "
+        "a reverse edge must originate from a pool vector — at the "
+        "test SFs the cap bites only on the hottest buckets, and at "
+        "production cap sizes the pool IS the bucket for all but "
+        "template-explosion hubs, which are exactly the vectors a "
+        "robust-edge filter wants deweighted.",
+)
+def knn_graph_mutual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vec_norm
+    from ..operators.hashing import h32
+    from ..operators.similarity import hyperplane_bucket, _pair_cosine
+    from .llm_ext import HYPERPLANES
+
+    from ..operators.cache import track
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    # persisted (the pool and query sides both read it); released by
+    # the harness clearCache or a library caller's release_tracked()
+    # — unpersisting here would un-cache BEFORE the lazy result runs
+    e = track(emb.select("vec_id", "embedding",
+                         hyperplane_bucket(F.col("embedding"), HYPERPLANES)
+                         .alias("bucket"),
+                         vec_norm(F.col("embedding")).alias("_nrm"))
+              .persist())
+    wpool = Window.partitionBy("bucket").orderBy(
+        h32(F.concat(F.lit("knnpool|"), F.col("vec_id").cast("string"))),
+        "vec_id")
+    pool = (e.withColumn("pr", F.row_number().over(wpool))
+             .filter(F.col("pr") <= _KNN_POOL_CAP)
+             .select(F.col("vec_id").alias("dst"),
+                     F.col("embedding").alias("_cv"),
+                     F.col("bucket").alias("_cb"),
+                     F.col("_nrm").alias("_cnrm")))
+    a = e.select(F.col("vec_id").alias("src"),
+                 F.col("embedding").alias("_qv"),
+                 F.col("bucket"), F.col("_nrm").alias("_qnrm"))
+    sims = (a.join(pool, (F.col("bucket") == F.col("_cb"))
+                   & (F.col("src") != F.col("dst")))
+             .select("src", "dst",
+                     _pair_cosine("_qv", "_cv", "_qnrm", "_cnrm")
+                     .alias("cosine")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (sims.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= _KNN_K)
+                 .select("src", "dst", "rank", "cosine"))
+    rev = edges.select(F.col("src").alias("_rsrc"),
+                       F.col("dst").alias("_rdst"))
+    out = edges.join(rev, (F.col("_rsrc") == F.col("dst"))
+                     & (F.col("_rdst") == F.col("src")), "left")
+    return out.select(F.col("src").alias("vec_a"),
+                      F.col("dst").alias("vec_b"),
+                      F.col("rank").cast("int").alias("rank"),
+                      F.round("cosine", 6).alias("cosine"),
+                      F.col("_rsrc").isNotNull().alias("mutual"))
+
+
 def _knn_cte() -> str:
     """Shared oracle CTE: the directed kNN edge list (same constants
     as knn_graph_mutual)."""
