@@ -56,7 +56,7 @@ class QuerySpec:
 # attachment) cannot drop the flag.
 AUDIT_QUERIES = frozenset({
     "minhash_band_tuning", "ivf_recall_audit", "lsh_recall_audit",
-    "source_overlap_audit",
+    "source_overlap_audit", "knn_cap_recall_audit",
 })
 
 

@@ -502,6 +502,101 @@ def knn_graph_mutual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("_rsrc").isNotNull().alias("mutual"))
 
 
+def _knn_cap_recall_sql() -> str:
+    from .llm_ext import _cosine_sql, _h32_sql, _hyperplane_sql
+    pool_h = _h32_sql("'knnpool|' || vec_id::VARCHAR")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_hyperplane_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    fsims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    fedges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+                         ORDER BY cosine DESC, dst) AS rank FROM fsims)
+      WHERE rank <= {_KNN_K}
+    ),
+    fmut AS (
+      SELECT DISTINCT least(e1.src, e1.dst) AS a,
+                      greatest(e1.src, e1.dst) AS b
+      FROM fedges e1 JOIN fedges e2
+        ON e2.src = e1.dst AND e2.dst = e1.src
+    ),
+    pooled AS (
+      SELECT e.*, row_number() OVER (PARTITION BY bucket
+                                     ORDER BY {pool_h}, vec_id) AS pr
+      FROM e
+    ),
+    pool AS (SELECT vec_id, embedding, bucket FROM pooled
+             WHERE pr <= {_KNN_POOL_CAP}),
+    csims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM e a JOIN pool b ON a.bucket = b.bucket
+                          AND a.vec_id <> b.vec_id
+    ),
+    cedges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+                         ORDER BY cosine DESC, dst) AS rank FROM csims)
+      WHERE rank <= {_KNN_K}
+    ),
+    cmut AS (
+      SELECT DISTINCT least(e1.src, e1.dst) AS a,
+                      greatest(e1.src, e1.dst) AS b
+      FROM cedges e1 JOIN cedges e2
+        ON e2.src = e1.dst AND e2.dst = e1.src
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fmut) AS n_flat_mutual,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cmut) AS n_capped_mutual,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM fmut JOIN cmut USING (a, b)) AS n_common,
+           (SELECT COUNT(*) FROM fmut JOIN cmut USING (a, b))::DOUBLE
+             / NULLIF((SELECT COUNT(*) FROM fmut), 0)::DOUBLE AS recall
+    """
+
+
+@register(
+    "knn_cap_recall_audit",
+    _knn_cap_recall_sql(),
+    doc="CALIBRATION AUDIT (audit-tagged, like ivf_recall_audit): how "
+        "much of the flat kNN build's mutual-edge set the bounded-"
+        "candidate-pool variant recovers — the recall side of the "
+        "linear-cost trade knn_graph_mutual_capped makes. Mutual "
+        "edges are canonicalized undirected (least/greatest) and the "
+        "single output row reports flat count, capped count, overlap, "
+        "and recall. Run once per (corpus, cap) choice to size "
+        "_KNN_POOL_CAP, exactly as the IVF audit sizes nprobe; not a "
+        "serving query (it executes the deliberately-quadratic flat "
+        "build, which is the thing the cap exists to avoid).",
+)
+def knn_cap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = knn_graph_mutual(spark, sf_dir).filter("mutual").select(
+        F.least("vec_a", "vec_b").alias("a"),
+        F.greatest("vec_a", "vec_b").alias("b")).distinct()
+    capped = knn_graph_mutual_capped(spark, sf_dir).filter(
+        "mutual").select(
+        F.least("vec_a", "vec_b").alias("a"),
+        F.greatest("vec_a", "vec_b").alias("b")).distinct()
+    # fully lazy: three single-row aggregates cross-joined (each side
+    # broadcasts one row — the scalar-subquery pattern used throughout)
+    nf = flat.agg(F.count("*").cast("bigint").alias("n_flat_mutual"))
+    nc = capped.agg(F.count("*").cast("bigint")
+                     .alias("n_capped_mutual"))
+    co = (flat.join(capped, ["a", "b"])
+              .agg(F.count("*").cast("bigint").alias("n_common")))
+    return (nf.crossJoin(nc).crossJoin(co)
+              .select("n_flat_mutual", "n_capped_mutual", "n_common",
+                      (F.col("n_common").cast("double")
+                       / F.nullif(F.col("n_flat_mutual"), F.lit(0))
+                          .cast("double")).alias("recall")))
+
+
 def _knn_cte() -> str:
     """Shared oracle CTE: the directed kNN edge list (same constants
     as knn_graph_mutual)."""
