@@ -2,7 +2,16 @@
 """Local differential harness — mimics the driver's correctness gate:
 runs each queries() entry on Spark and its oracle_sql() on DuckDB over
 the same parquet tables, then compares row count, sorted column names,
-and an order-insensitive value multiset (floats compared to 1e-9 rel).
+and an order-insensitive value multiset.
+
+Floats are compared BIT-EXACTLY, matching the driver's value-hash.
+(Until r5 this used a 1e-9 relative tolerance, which structurally
+could not see the last-bit double→decimal divergence the driver
+flagged on mergeable_partial_aggs — the gates must see the same
+thing.)  Every registered query routes sums through DECIMAL(38,6)
+precisely so that bit-equality is achievable; a query that needs a
+float tolerance here is a future driver flag and should be fixed,
+not tolerated.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -56,10 +65,7 @@ def rows_equal(a, b) -> bool:
         if len(ra) != len(rb):
             return False
         for va, vb in zip(ra, rb):
-            if isinstance(va, float) and isinstance(vb, float):
-                if va != vb and abs(va - vb) > 1e-9 * max(1.0, abs(va), abs(vb)):
-                    return False
-            elif va != vb:
+            if va != vb:
                 return False
     return True
 

@@ -783,6 +783,15 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = F.explode(F.expr(
         "transform(sequence(1, size(toks) - 1), "
         "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("b")
+    # r5 perf flag fix: the old plan shuffled the ENTIRE exploded
+    # bigram relation through a groupBy(doc_id, w1, w2) before the
+    # broadcast stats join. Joining first and aggregating once per
+    # doc is the same algebra (n_matched = SUM k = COUNT(*) over
+    # matched occurrences; score_q = SUM k*q = SUM q) with one fewer
+    # corpus-sized exchange — the only shuffle left on the corpus
+    # path carries 5-column partial aggregates, one row per
+    # (partition, doc). The broadcast join also shrinks the shuffled
+    # rows to the MATCHED occurrences only.
     tbg = (base.filter(F.col("source") == _DSIR_TARGET)
                .select(bigrams).select("b.w1", "b.w2"))
     c12 = tbg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
@@ -790,20 +799,16 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (c12.join(c1, "w1")
                 .select("w1", "w2",
                         F.expr(f"(c12 * {_LM_SCALE}) DIV c1").alias("q")))
-    doc_bg = (base.select("doc_id", bigrams)
-                  .select("doc_id", "b.w1", "b.w2")
-                  .groupBy("doc_id", "w1", "w2")
-                  .agg(F.count("*").alias("k")))
-    scored = (doc_bg.join(stats, ["w1", "w2"])
-                    .groupBy("doc_id")
-                    .agg(F.sum("k").cast("bigint").alias("n_matched"),
-                         F.sum(F.col("k") * F.col("q")).cast("bigint")
-                          .alias("score_q"))
-                    .select("doc_id", "n_matched", "score_q",
-                            ((F.col("score_q").cast("double")
-                              / F.col("n_matched").cast("double"))
-                             / F.lit(float(_LM_SCALE)))
-                            .alias("mean_cond_prob")))
+    bg = base.select("doc_id", bigrams).select("doc_id", "b.w1", "b.w2")
+    scored = (bg.join(F.broadcast(stats), ["w1", "w2"])
+                .groupBy("doc_id")
+                .agg(F.count("*").cast("bigint").alias("n_matched"),
+                     F.sum("q").cast("bigint").alias("score_q"))
+                .select("doc_id", "n_matched", "score_q",
+                        ((F.col("score_q").cast("double")
+                          / F.col("n_matched").cast("double"))
+                         / F.lit(float(_LM_SCALE)))
+                        .alias("mean_cond_prob")))
     ranked = with_global_running(
         scored, [F.desc("mean_cond_prob"), F.asc("doc_id")],
         rank="rnk", totals=True)

@@ -139,15 +139,16 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey % 2 AS h,
              CAST(year(l_shipdate) AS INTEGER) AS year,
              CAST(month(l_shipdate) AS INTEGER) AS month,
-             {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,6))) AS revenue,
              COUNT(*) AS n,
-             {_osum('l_quantity')} AS qty
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
       FROM lineitem GROUP BY 1, 2, 3
     )
     SELECT year, month,
-           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue,
            SUM(n) AS n,
-           CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+           CAST(SUM(qty) AS DOUBLE) AS qty,
            COUNT(*) AS n_partials
     FROM half GROUP BY year, month
     """,
@@ -160,7 +161,13 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "computes. Decimal-exact sums make the merge associativity "
         "literal, not approximate: at 100 TB this is why a day's "
         "delta can fold into last month's rollup without rescanning "
-        "history.",
+        "history. The partials stay DECIMAL(38,6) BETWEEN the two "
+        "aggregation levels (no intermediate double round-trip): "
+        "double→decimal rounding of a many-term partial sum is "
+        "engine-dependent at the half-ulp (Java BigDecimal rounds "
+        "the shortest repr, DuckDB the binary value), which broke "
+        "the driver's exact value-hash in r05 while passing every "
+        "local sweep. One cast to double, at the very end.",
 )
 def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -168,15 +175,13 @@ def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = (li.groupBy((F.col("l_orderkey") % 2).alias("h"),
                        F.year("l_shipdate").alias("year"),
                        F.month("l_shipdate").alias("month"))
-              .agg(F.sum(rev).cast("double").alias("revenue"),
+              .agg(F.sum(rev).alias("revenue"),
                    F.count("*").alias("n"),
-                   dsum("l_quantity").alias("qty")))
+                   F.sum(F.col("l_quantity").cast(DEC)).alias("qty")))
     return (half.groupBy("year", "month")
-                .agg(F.sum(F.col("revenue").cast(DEC)).cast("double")
-                      .alias("revenue"),
+                .agg(F.sum("revenue").cast("double").alias("revenue"),
                      F.sum("n").alias("n"),
-                     F.sum(F.col("qty").cast(DEC)).cast("double")
-                      .alias("qty"),
+                     F.sum("qty").cast("double").alias("qty"),
                      F.count("*").alias("n_partials")))
 
 

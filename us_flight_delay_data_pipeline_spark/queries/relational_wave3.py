@@ -70,17 +70,20 @@ def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue_share",
     f"""
     WITH rev AS (
-      SELECT n.n_name, {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      SELECT n.n_name,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6))) AS revenue_dec
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name
     ),
-    tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS total FROM rev)
-    SELECT n_name, revenue, revenue / total AS share
+    tot AS (SELECT CAST(SUM(revenue_dec) AS DOUBLE) AS total FROM rev)
+    SELECT n_name, CAST(revenue_dec AS DOUBLE) AS revenue,
+           CAST(revenue_dec AS DOUBLE) / total AS share
     FROM rev CROSS JOIN tot
-    WHERE revenue / total > 0.02
+    WHERE CAST(revenue_dec AS DOUBLE) / total > 0.02
     """,
     doc="TPC-H Q11 shape (share of global total): per-nation revenue "
         "vs the grand total, keeping nations above a 2% share. The "
@@ -89,7 +92,12 @@ def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus-sized data is scanned exactly once however large it "
         "gets, and no single-partition window exists anywhere "
         "(Catalyst does not dedupe repeated DataFrame subplans; the "
-        "persist is what makes the two references to `rev` one scan).",
+        "persist is what makes the two references to `rev` one scan). "
+        "Per-nation partials stay DECIMAL through the grand-total "
+        "merge — re-casting an AGGREGATED double to decimal is "
+        "engine-dependent at the half-ulp (the r05 "
+        "mergeable_partial_aggs lesson); only raw inputs cross "
+        "double→decimal, and decimal→double happens once on output.",
 )
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem") \
@@ -102,13 +110,14 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(c, o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .groupBy("n_name")
-             .agg(F.sum(rev_expr).cast("double").alias("revenue"))
+             .agg(F.sum(rev_expr).alias("revenue_dec"))
              .persist())
-    total = rev.agg(F.sum(F.col("revenue").cast(DEC)).cast("double")
-                     .alias("_total"))
-    share = F.col("revenue") / F.col("_total")
+    total = rev.agg(F.sum("revenue_dec").cast("double").alias("_total"))
+    rev_d = F.col("revenue_dec").cast("double")
+    share = rev_d / F.col("_total")
     return (rev.crossJoin(F.broadcast(total))
-               .select("n_name", "revenue", share.alias("share"))
+               .select("n_name", rev_d.alias("revenue"),
+                       share.alias("share"))
                .filter(F.col("share") > 0.02))
 
 

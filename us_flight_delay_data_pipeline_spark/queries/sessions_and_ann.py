@@ -640,17 +640,17 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cust AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue_dec,
              COUNT(*) AS n_orders,
              max(o_orderdate) AS last_order
       FROM orders GROUP BY o_custkey
     ),
     tiled AS (
-      SELECT *, ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS segment
+      SELECT *, ntile(4) OVER (ORDER BY revenue_dec DESC, o_custkey) AS segment
       FROM cust
     )
     SELECT segment, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS segment_revenue,
+           CAST(SUM(revenue_dec) AS DOUBLE) AS segment_revenue,
            CAST(SUM(n_orders) AS BIGINT) AS segment_orders,
            max(last_order) AS latest_order
     FROM tiled GROUP BY segment
@@ -671,11 +671,12 @@ def customer_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import with_global_running
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
-        dsum("o_totalprice").alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+         .alias("revenue_dec"),
         F.count("*").alias("n_orders"),
         F.max("o_orderdate").alias("last_order"))
     ranked = with_global_running(
-        cust, [F.desc("revenue"), F.asc("o_custkey")],
+        cust, [F.desc("revenue_dec"), F.asc("o_custkey")],
         rank="rnk", totals=True)
     n, r = F.col("_n_total"), F.col("rnk")
     base, rem = (n / 4).cast("bigint"), n % 4
@@ -685,8 +686,8 @@ def customer_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.withColumn("segment", seg.cast("int"))
                 .groupBy("segment")
                 .agg(F.count("*").alias("n_customers"),
-                     F.sum(F.col("revenue").cast("decimal(38,6)"))
-                      .cast("double").alias("segment_revenue"),
+                     F.sum("revenue_dec").cast("double")
+                      .alias("segment_revenue"),
                      F.sum("n_orders").alias("segment_orders"),
                      F.max("last_order").alias("latest_order")))
 
