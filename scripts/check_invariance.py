@@ -33,39 +33,48 @@ def _canon(df):
             return tuple(v)
         return v
 
-    return sorted([tuple(cell(r[c]) for c in cols) for r in rows],
-                  key=repr)
+    return cols, sorted([tuple(cell(r[c]) for c in cols) for r in rows],
+                        key=repr)
 
 
-def _cells_within(brow, orow, rtol: float) -> bool:
-    if len(brow) != len(orow):
-        return False
-    for b, o in zip(brow, orow):
-        if isinstance(b, (int, float)) and isinstance(o, (int, float)) \
-                and not isinstance(b, bool) and not isinstance(o, bool):
-            if abs(b - o) > rtol * max(1.0, abs(b), abs(o)):
-                return False
-        elif b != o:
-            return False
-    return True
-
-
-def _within_rtol(base, other, rtol: float) -> bool:
+def _within_rtol(cols, base, other, rtol: float,
+                 rtol_cols: tuple[str, ...]) -> bool:
     """Approximate multiset equality for sketch-estimate queries
-    (QuerySpec.invariance_rtol > 0): every base row must match a
-    distinct other row with non-numeric cells exactly equal and
-    numeric cells within the relative tolerance. Greedy bipartite
-    matching — positional pairing after sorting does NOT work here,
-    because sorting on a drifting estimate column misaligns rows
-    relative to their exact key columns. O(n²), fine for the
-    bounded-output sketch queries this gate covers."""
+    (QuerySpec.invariance_rtol > 0). The tolerance applies ONLY to
+    the query's declared estimate columns (invariance_rtol_cols);
+    every other cell — exact keys, decimal-routed sums, counts — must
+    match exactly. Rows are paired by their exact-cell tuple first,
+    so the matcher cannot pair rows across different key values (the
+    old greedy any-to-any matcher let rtol*|key| absorb a key
+    mismatch). Within an exact-key group, estimates pair greedily —
+    O(g²) per group, and groups are 1-row for every keyed sketch
+    query here."""
     if len(base) != len(other):
         return False
-    remaining = list(other)
+    est_idx = {i for i, c in enumerate(cols) if c in rtol_cols}
+
+    def split(row):
+        exact = tuple(v for i, v in enumerate(row) if i not in est_idx)
+        est = [row[i] for i in sorted(est_idx)]
+        return exact, est
+
+    groups: dict[tuple, list[list]] = {}
+    for orow in other:
+        exact, est = split(orow)
+        groups.setdefault(exact, []).append(est)
     for brow in base:
-        for i, orow in enumerate(remaining):
-            if _cells_within(brow, orow, rtol):
-                del remaining[i]
+        exact, best = split(brow)
+        cands = groups.get(exact)
+        if not cands:
+            return False
+        for i, oest in enumerate(cands):
+            ok = all(
+                abs(b - o) <= rtol * max(1.0, abs(b), abs(o))
+                if isinstance(b, (int, float)) and not isinstance(b, bool)
+                else b == o
+                for b, o in zip(best, oest))
+            if ok:
+                del cands[i]
                 break
         else:
             return False
@@ -81,23 +90,26 @@ def main() -> None:
     for name in names:
         t0 = time.monotonic()
         try:
-            base = _canon(reg[name].fn(spark, sf_dir))
+            cols, base = _canon(reg[name].fn(spark, sf_dir))
             old = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", "7")
             try:
-                narrow = _canon(reg[name].fn(spark, sf_dir))
+                _, narrow = _canon(reg[name].fn(spark, sf_dir))
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", old)
             spark.catalog.clearCache()
             dt = time.monotonic() - t0
             rtol = getattr(reg[name], "invariance_rtol", 0.0)
+            rtol_cols = getattr(reg[name], "invariance_rtol_cols", ())
             if base == narrow:
                 n_ok += 1
                 print(f"ok   {name} ({dt:.1f}s)", flush=True)
-            elif rtol and _within_rtol(base, narrow, rtol):
+            elif rtol and _within_rtol(cols, base, narrow, rtol,
+                                       rtol_cols):
                 n_ok += 1
-                print(f"ok   {name} (sketch estimate within rtol="
-                      f"{rtol}) ({dt:.1f}s)", flush=True)
+                print(f"ok   {name} (sketch estimate cols "
+                      f"{list(rtol_cols)} within rtol={rtol}; all other "
+                      f"cells exact) ({dt:.1f}s)", flush=True)
             else:
                 n_fail += 1
                 print(f"FAIL {name}: {len(base)} vs {len(narrow)} rows "

@@ -23,30 +23,43 @@ sketch) still fails loudly.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from us_flight_delay_data_pipeline_spark.queries import load_registry
 
 REGISTRY = load_registry()
 
-# (query, key columns, numeric columns checked with the query's rtol)
+# (query, key columns). The columns the rtol applies to come from the
+# QuerySpec itself (invariance_rtol_cols); every OTHER column —
+# including exact sums like sum_monthly_exact — is asserted EQUAL, so
+# a repartition bug in the exact path cannot hide inside the sketch
+# tolerance.
 SKETCH_QUERIES = [
-    ("hll_partition_merge", ("year",),
-     ("approx_distinct_customers", "sum_monthly_exact", "n_months")),
-    ("approx_distinct_and_quantiles", ("l_returnflag",),
-     ("approx_orders", "approx_median_qty")),
+    ("hll_partition_merge", ("year",)),
+    ("approx_distinct_and_quantiles", ("l_returnflag",)),
 ]
 
-SF01 = "/root/testdata/sf0.01"
+# sf0.01 is where the ~1.3% drift was observed; derive the path from
+# the same env-var convention as conftest's SF_DIR so a relocated
+# testdata root (SPARK_GRAFT_TEST_SF_DIR=/elsewhere/sf0.001) still
+# finds its sibling sf0.01.
+SF01 = os.path.join(
+    os.path.dirname(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")),
+    "sf0.01")
 
 
-@pytest.mark.parametrize("name,keys,vals", SKETCH_QUERIES)
+@pytest.mark.parametrize("name,keys", SKETCH_QUERIES)
 def test_sketch_estimates_within_rtol_across_shuffle_widths(
-        spark, name, keys, vals):
+        spark, name, keys):
     spec = REGISTRY[name]
     assert spec.invariance_rtol > 0, (
         f"{name} must declare invariance_rtol — its estimates are "
         "merge-tree-dependent")
+    assert spec.invariance_rtol_cols, (
+        f"{name} must name the estimate columns the rtol applies to")
 
     def keyed(df):
         return {tuple(r[k] for k in keys): r for r in df.collect()}
@@ -60,13 +73,20 @@ def test_sketch_estimates_within_rtol_across_shuffle_widths(
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
     assert base.keys() == narrow.keys()
+    est_cols = set(spec.invariance_rtol_cols)
+    all_cols = set(next(iter(base.values())).asDict())
     for k in base:
-        for col in vals:
+        for col in est_cols:
             b, n = base[k][col], narrow[k][col]
             tol = spec.invariance_rtol * max(1.0, abs(b), abs(n))
             assert abs(b - n) <= tol, (
                 f"{name}[{k}].{col}: {b} vs {n} exceeds "
                 f"rtol={spec.invariance_rtol}")
+        for col in all_cols - est_cols:
+            assert base[k][col] == narrow[k][col], (
+                f"{name}[{k}].{col} is NOT an estimate column and must "
+                f"be partition-invariant exactly: "
+                f"{base[k][col]} vs {narrow[k][col]}")
 
 
 def test_exact_queries_do_not_carry_rtol():

@@ -20,40 +20,74 @@ here that is exactly the round-(N) state once round (N+1)'s EAGER
 checkpoint has materialized and any fixpoint test against round N has
 run.
 
-OWNERSHIP CONTRACT: because the release sweeps every ``LogicalRDD``
-leaf of the plan, only pass DataFrames whose checkpoint the caller
-itself created. Passing an un-checkpointed loop variable whose leaves
-include a CALLER-SUPPLIED localCheckpoint-backed input would free
-that input's blocks irrecoverably. The iterative operators here
-guarantee this by either (a) checkpointing their initial state on
-entry, so every released plan is a pure owned LogicalRDD
-(``connected_components``, ``kmeans_fit``), or (b) tracking the
-previous OWNED checkpoint in a separate variable and never releasing
-the pre-checkpoint iteration-0 state (``pagerank``'s ``prev_ckpt``).
+OWNERSHIP CONTRACT (mechanical since r6): ownership is tracked by RDD
+id, not by convention. Record the id set of a checkpoint the moment
+you create it (``checkpoint_rdd_ids``, called immediately after
+``localCheckpoint``), and pass that set to ``release_local_checkpoint
+(df, owned=ids)`` — the release then frees ONLY leaves whose id is in
+the recorded set, so a plan that also contains a CALLER-SUPPLIED
+localCheckpoint-backed input (whose blocks a sweep would free
+irrecoverably — lineage is truncated, no recompute possible) is safe
+to pass. Every iterative operator here (``connected_components``,
+``connected_components_star``, ``kmeans_fit``, ``pagerank``) records
+and passes ownership; the legacy sweep (``owned=None``) remains for
+plans the caller KNOWS are pure owned checkpoints.
 """
 
 from __future__ import annotations
 
+from collections.abc import Collection
+
 from pyspark.sql import DataFrame
 
-__all__ = ["release_local_checkpoint"]
+__all__ = ["checkpoint_rdd_ids", "release_local_checkpoint"]
 
 
-def release_local_checkpoint(df: DataFrame | None) -> None:
+def _logical_rdd_leaves(df: DataFrame):
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            yield leaf
+
+
+def checkpoint_rdd_ids(df: DataFrame) -> frozenset[int]:
+    """Record ownership of a just-created checkpoint: call immediately
+    after ``.localCheckpoint(...)`` and keep the returned RDD-id set
+    alongside the loop variable. A freshly checkpointed plan has
+    exactly one ``LogicalRDD`` leaf — the checkpoint itself — so the
+    recorded set cannot include caller-supplied inputs. Returns an
+    empty set on Connect sessions (no ``_jdf``); release then degrades
+    to a no-op and GC-based cleanup."""
+    try:
+        return frozenset(leaf.rdd().id() for leaf in _logical_rdd_leaves(df))
+    except Exception:
+        return frozenset()
+
+
+def release_local_checkpoint(df: DataFrame | None,
+                             owned: Collection[int] | None = None) -> None:
     """Free the executor-storage blocks behind a localCheckpoint'ed
     DataFrame. No-op for None or for plans that are not a checkpoint
     scan (``LogicalRDD``), so callers can pass whatever their loop
-    variable holds without tracking provenance."""
+    variable holds.
+
+    ``owned`` — the RDD-id set recorded by :func:`checkpoint_rdd_ids`
+    when the checkpoint was created. When given, only leaves in the
+    set are freed (the ownership contract, see module docstring);
+    when None, every ``LogicalRDD`` leaf is swept — legacy behavior,
+    safe only for plans built purely from checkpoints the caller
+    created."""
     if df is None:
         return
+    if owned is not None and not owned:
+        return  # ownership recording failed (Connect) — degrade to GC
     try:
         # The checkpoint scan may sit under projections (the loop
-        # variable is often `ckpt.select(...)`) — release every
+        # variable is often `ckpt.select(...)`) — visit every
         # LogicalRDD leaf of the plan, not just a top-level one.
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getSimpleName() == "LogicalRDD":
+        for leaf in _logical_rdd_leaves(df):
+            if owned is None or leaf.rdd().id() in owned:
                 leaf.rdd().unpersist(False)
     except Exception:
         # Best-effort: a Connect session (no _jdf) or an internal

@@ -34,7 +34,7 @@ import itertools
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from .ckpt import release_local_checkpoint
+from .ckpt import checkpoint_rdd_ids, release_local_checkpoint
 
 # Spark's Observation listener matches completed executions by metric
 # name; a per-round-index name (cc_round_0) collides when two
@@ -99,6 +99,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .agg(F.min("b").alias("nmin"))
                  .select("node", F.least("node", "nmin").alias("component"))
                  .localCheckpoint(eager=True))
+    labels_ids = checkpoint_rdd_ids(labels)
     converged = False
     for i in range(max_iter):
         neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
@@ -122,11 +123,13 @@ def connected_components(edges: DataFrame, src: str = "src",
                            .observe(obs, F.sum(F.col("changed").cast("int"))
                                           .alias("n_changed"))
                            .localCheckpoint(eager=True))
+        new_ids = checkpoint_rdd_ids(new_state)
         # new_state is materialized (eager); round N-1's checkpoint
         # blocks are dead — free them now instead of waiting for GC
         # (storage stays O(1) in rounds; see operators/ckpt.py)
-        release_local_checkpoint(labels)
+        release_local_checkpoint(labels, owned=labels_ids)
         labels = new_state.select("node", "component")
+        labels_ids = new_ids
         if not obs.get["n_changed"]:
             converged = True
             break
@@ -141,7 +144,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         # clearCache() does not touch raw RDD checkpoint blocks, so
         # without this the auto-fallback's star run would sit on top
         # of a session-lifetime storage leak.
-        release_local_checkpoint(labels)
+        release_local_checkpoint(labels, owned=labels_ids)
         raise ConvergenceError(
             f"connected_components did not converge in {max_iter} "
             f"rounds (graph diameter exceeds max_iter); use "
@@ -189,6 +192,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     pairs = (e.select(F.least("a", "b").alias("x"),
                       F.greatest("a", "b").alias("y"))
               .distinct().localCheckpoint(eager=True))
+    pairs_ids = checkpoint_rdd_ids(pairs)
 
     converged = False
     prev_count = pairs.count()
@@ -229,11 +233,12 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # proves "changed" — the anti-join (the expensive half) runs
         # only on the one round where counts first agree, not 2× per
         # round.
+        ss_ids = checkpoint_rdd_ids(ss)
         ss_count = obs.get["cnt"]
         if ss_count == prev_count and \
                 ss.join(pairs, ["x", "y"], "left_anti").count() == 0:
-            release_local_checkpoint(pairs)
-            pairs = ss
+            release_local_checkpoint(pairs, owned=pairs_ids)
+            pairs, pairs_ids = ss, ss_ids
             converged = True
             break
         prev_count = ss_count
@@ -241,8 +246,8 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # and the fixpoint test above already ran) — free its blocks
         # so storage stays O(1) in rounds (the 18-62s in-session
         # spread of dedup_clusters_star traced to this accumulation)
-        release_local_checkpoint(pairs)
-        pairs = ss
+        release_local_checkpoint(pairs, owned=pairs_ids)
+        pairs, pairs_ids = ss, ss_ids
     if not converged:
         # The label-extraction step below assumes a star forest; a
         # non-fixpoint edge set can put one node on the y side of two
@@ -251,7 +256,8 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # max_iter was set far too low — raise rather than return
         # possibly-inconsistent labels.
         all_nodes.unpersist()
-        release_local_checkpoint(pairs)  # last round's blocks; see above
+        # last round's blocks; see above
+        release_local_checkpoint(pairs, owned=pairs_ids)
         raise ConvergenceError(
             f"connected_components_star did not reach an edge-set "
             f"fixpoint in {max_iter} rounds; raise max_iter "

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ckpt import release_local_checkpoint
+from .ckpt import checkpoint_rdd_ids, release_local_checkpoint
 
 __all__ = ["pagerank", "triangle_count", "PR_QUANT"]
 
@@ -82,11 +82,14 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # join falls back to hash-partitioning both sides on src
     ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
     # Ownership rule for checkpoint release: only free checkpoints
-    # THIS loop created. The iteration-0 `ranks` is the un-checkpointed
-    # nodes projection — sweeping its LogicalRDD leaves would free a
-    # caller-supplied localCheckpoint-backed `edges`/`nodes`
-    # irrecoverably (lineage is truncated; no recompute possible).
+    # THIS loop created, enforced mechanically by recording each new
+    # checkpoint's RDD ids (operators/ckpt.py). The iteration-0
+    # `ranks` is the un-checkpointed nodes projection — sweeping its
+    # LogicalRDD leaves would free a caller-supplied localCheckpoint-
+    # backed `edges`/`nodes` irrecoverably (lineage is truncated; no
+    # recompute possible).
     prev_ckpt: DataFrame | None = None
+    prev_ids: frozenset[int] = frozenset()
     for _ in range(iterations):
         units = F.floor((F.col("rank") / F.col("deg")) * F.lit(PR_QUANT)) \
                  .cast("decimal(38,0)")
@@ -107,8 +110,10 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                                       F.coalesce("rank", F.lit(teleport))
                                        .alias("rank")))
         new_ranks = new_ranks.localCheckpoint()  # truncate per-iter lineage
-        release_local_checkpoint(prev_ckpt)  # superseded OWNED round only
-        prev_ckpt = new_ranks
+        new_ids = checkpoint_rdd_ids(new_ranks)
+        # superseded OWNED round only (id-tracked, ckpt.py)
+        release_local_checkpoint(prev_ckpt, owned=prev_ids)
+        prev_ckpt, prev_ids = new_ranks, new_ids
         ranks = new_ranks
     e.unpersist(); nodes.unpersist(); adj.unpersist()
     return ranks

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .ckpt import release_local_checkpoint
+from .ckpt import checkpoint_rdd_ids, release_local_checkpoint
 
 __all__ = ["kmeans_fit", "assign_clusters", "inertia"]
 
@@ -66,6 +66,7 @@ def kmeans_fit(corpus: DataFrame, init_centroids: DataFrame,
     posexplode + avg (empty clusters keep their previous centroid).
     """
     cent = init_centroids.select("c_id", "cv").localCheckpoint(eager=True)
+    cent_ids = checkpoint_rdd_ids(cent)
     history: list[float] = []
     for _ in range(max_iter):
         assigned = assign_clusters(corpus, cent, vec_col, id_col)
@@ -81,8 +82,10 @@ def kmeans_fit(corpus: DataFrame, init_centroids: DataFrame,
         new_cent = (cent.join(means, "c_id", "left")
                     .select("c_id", F.coalesce("cv_new", "cv").alias("cv"))
                     .localCheckpoint(eager=True))
-        release_local_checkpoint(cent)  # superseded round, O(1) storage
-        cent = new_cent
+        new_ids = checkpoint_rdd_ids(new_cent)
+        # superseded round, O(1) storage; owned ids only (ckpt.py)
+        release_local_checkpoint(cent, owned=cent_ids)
+        cent, cent_ids = new_cent, new_ids
         if len(history) >= 2 and history[-2] - history[-1] <= tol * abs(history[-2]):
             break
     return cent, history

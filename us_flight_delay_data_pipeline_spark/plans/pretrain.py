@@ -28,8 +28,9 @@ variance under storage churn):
 - Exact-dedup membership is a min-over-md5-window on that narrow
   table (no keep-set join, no text shuffle).
 - The expensive derived sets (near-dup ids, contaminated ids) are
-  document-id sets, tiny by construction, folded in as broadcast
-  join markers.
+  document-id sets folded in as join markers — with NO forced
+  broadcast hint: they scale with corpus dup rate (20-50% on web
+  corpora), so AQE decides at runtime from measured size.
 - Each stage's survivorship is then a BOOLEAN COLUMN on the flag
   table and the whole funnel is one conditional aggregation + a
   6-row unpivot — not six aggregations over six cached corpora.

@@ -47,6 +47,14 @@ class QuerySpec:
     # tolerance the invariance gate asserts instead — approximate by
     # contract, but pinned approximate.
     invariance_rtol: float = 0.0
+    # The ESTIMATE columns the tolerance applies to. Every other
+    # column (exact keys, decimal-routed sums, counts) is matched
+    # EXACTLY even on a sketch query — without this the rtol leaked
+    # onto exact columns (a repartition bug shifting an exact sum by
+    # <3% passed, and the greedy matcher could pair rows across
+    # different key values). Must be non-empty whenever
+    # invariance_rtol > 0.
+    invariance_rtol_cols: tuple[str, ...] = ()
 
 
 # Queries that exist to CALIBRATE other operators (band-count sweeps,
@@ -99,9 +107,43 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # The 50 names the round-5 driver sample will draw (the first 50 of
 # the never-checked ordering, snapshotted when the rotation landed).
 # Pinning them FIRST keeps the sample stable even if more queries are
-# registered later in the round.  Round 6: once CORRECTNESS_r05.json
-# confirms these ran, fold them into DRIVER_CHECKED_R01_R04 (rename to
-# ..._R05) so the next 50 never-checked names rotate to the front.
+# registered later in the round.  All 50 r05 names got CORRECTNESS_r05
+# rows (48 green; mergeable_partial_aggs fixed this round,
+# hll_partition_merge split into a checkable exact twin), so they are
+# folded into DRIVER_CHECKED_R01_R05 below and the NEXT 50
+# never-checked names are pinned here.  The two rows-only queries
+# (media_image_features, approx_distinct_and_quantiles — sketch/UDF
+# outputs that are not cross-engine-portable) are EXCLUDED so no
+# driver-sample slot burns on a no_oracle row; their checkable exact
+# twins (hll_partition_merge_exact, distinct_and_quantiles_exact)
+# take the last two slots instead.  Round 7: fold these into the
+# checked set; 26 names remain (24 never-checked + the 2 rows-only).
+DRIVER_SAMPLE_R06 = (
+    'knn_graph_mutual_capped', 'knn_cap_recall_audit',
+    'semantic_dedup_capped', 'stream_hourly_kpis_gated',
+    'stream_dedup_gated', 'stream_session_window_gated',
+    'stream_dedup_watermark_gated', 'stream_stream_join_gated',
+    'stream_matview_gated', 'stream_sessions_state_gated',
+    'stream_classifier_scores_gated', 'doc_chunks_udtf',
+    'median_value_udaf', 'token_count_pandas_udf', 'media_bytes_arrow',
+    'pyds_envelope_counts', 'pyds_stream_counts_gated',
+    'arrow_native_udf_digest', 'media_metadata', 'media_frame_fanout',
+    'media_resize', 'media_audio_windows', 'media_phash_dedup',
+    'distinct_counts', 'window_rank_variants', 'first_last_window',
+    'unpivot_order_measures', 'collect_sorted_sets',
+    'exists_correlated', 'quantity_variance_exact', 'shipping_priority',
+    'asof_prev_part_shipment', 'interval_overlap_pairs',
+    'salted_segment_revenue', 'domain_cap_sample',
+    'monthly_spine_gapfill', 'min_cost_part_supplier',
+    'nation_revenue_share', 'large_orders', 'promo_revenue_share',
+    'brand_size_supplier_counts', 'customer_order_fill',
+    'monthly_revenue_reconciliation', 'rolling_hour_user_value',
+    'month_spine_fill', 'lateral_top_orders', 'volume_shipping',
+    'disjunctive_predicate_revenue', 'hll_partition_merge_exact',
+    'distinct_and_quantiles_exact',
+)
+
+# r05's pinned sample, now all driver-checked (CORRECTNESS_r05.json).
 DRIVER_SAMPLE_R05 = (
     'source_overlap_audit', 'bloom_decontamination',
     'quality_classifier_scores', 'classifier_crossshard_eval',
@@ -130,10 +172,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None, doc: str = "",
-             invariance_rtol: float = 0.0):
+             invariance_rtol: float = 0.0,
+             invariance_rtol_cols: tuple[str, ...] = ()):
+    if invariance_rtol > 0.0 and not invariance_rtol_cols:
+        raise ValueError(
+            f"{name}: invariance_rtol > 0 requires naming the estimate "
+            f"columns it applies to (invariance_rtol_cols) — all other "
+            f"columns are matched exactly")
     def deco(fn):
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc,
-                                   invariance_rtol=invariance_rtol)
+                                   invariance_rtol=invariance_rtol,
+                                   invariance_rtol_cols=invariance_rtol_cols)
         return fn
     return deco
 
@@ -173,13 +222,13 @@ def load_registry() -> dict[str, QuerySpec]:
             REGISTRY[name] = dataclasses.replace(spec, audit=True)
     # Never-driver-checked names first (stable within each group) so
     # the driver's first-50 sample is drawn entirely from them; the
-    # pinned r05 sample stays at the very front so late registrations
+    # pinned r06 sample stays at the very front so late registrations
     # this round cannot displace it.
-    r05_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R05)}
+    r06_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R06)}
+    checked = DRIVER_CHECKED_R01_R04 | frozenset(DRIVER_SAMPLE_R05)
     ordered = sorted(
         REGISTRY,
-        key=lambda n: (r05_rank.get(n, len(r05_rank)),
-                       n in DRIVER_CHECKED_R01_R04))
+        key=lambda n: (r06_rank.get(n, len(r06_rank)), n in checked))
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(reordered)

@@ -208,6 +208,7 @@ def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lgK=12 RSE (~0.8%) — approximate by contract, stable in "
         "distribution.",
     invariance_rtol=0.03,
+    invariance_rtol_cols=("approx_distinct_customers",),
 )
 def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders") \
@@ -222,6 +223,61 @@ def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum("exact_monthly").alias("sum_monthly_exact"),
                         F.count("*").alias("n_months"))
                    .orderBy("year"))
+
+
+@register(
+    "hll_partition_merge_exact",
+    """
+    WITH ymc AS (
+      SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS year,
+             CAST(month(o_orderdate) AS INTEGER) AS month,
+             o_custkey
+      FROM orders
+    ),
+    monthly AS (
+      SELECT year, month, CAST(COUNT(*) AS BIGINT) AS exact_monthly
+      FROM ymc GROUP BY year, month
+    ),
+    yearly AS (
+      SELECT year, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+               AS exact_distinct_customers
+      FROM ymc GROUP BY year
+    )
+    SELECT m.year,
+           CAST(SUM(m.exact_monthly) AS BIGINT) AS sum_monthly_exact,
+           COUNT(*) AS n_months,
+           MAX(y.exact_distinct_customers) AS exact_distinct_customers
+    FROM monthly m JOIN yearly y ON m.year = y.year
+    GROUP BY m.year
+    """,
+    doc="The CHECKABLE half of hll_partition_merge, split out so the "
+        "driver's full oracle gates it (the sketch estimate is not "
+        "cross-engine-portable, which burned an r05 driver-sample "
+        "slot on a no_oracle row): the same per-month distinct-"
+        "customer rollup and per-year merge, plus the exact per-year "
+        "distinct the sketch twin approximates — all via a shared "
+        "(year, month, custkey) dedup so the expensive distinct pass "
+        "happens once and both grains derive from it. Exactness here "
+        "is what bounds the sketch twin's estimate in "
+        "tests/test_queries_oracle.py.",
+)
+def hll_partition_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders") \
+        .withColumn("od", F.col("o_orderdate").cast("date"))
+    ymc = (o.select(F.year("od").alias("year"),
+                    F.month("od").alias("month"), "o_custkey")
+            .distinct())
+    monthly = (ymc.groupBy("year", "month")
+                  .agg(F.count("*").alias("exact_monthly")))
+    yearly = (ymc.select("year", "o_custkey").distinct()
+                 .groupBy("year")
+                 .agg(F.count("*").alias("exact_distinct_customers")))
+    return (monthly.join(yearly, "year")
+                   .groupBy("year")
+                   .agg(F.sum("exact_monthly").alias("sum_monthly_exact"),
+                        F.count("*").alias("n_months"),
+                        F.max("exact_distinct_customers")
+                         .alias("exact_distinct_customers")))
 
 
 # --- Count-min sketch: the frequency sibling of the HLL/t-digest

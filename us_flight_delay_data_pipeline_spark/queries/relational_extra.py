@@ -270,6 +270,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "invariance gate asserts a 5% relative bound, not "
         "bit-equality.",
     invariance_rtol=0.05,
+    invariance_rtol_cols=("approx_orders", "approx_median_qty"),
 )
 def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -278,6 +279,32 @@ def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
          .alias("approx_orders"),
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000))
          .alias("approx_median_qty"),
+    )
+
+
+@register(
+    "distinct_and_quantiles_exact",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           quantile_cont(l_quantity, 0.5) AS exact_median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="The CHECKABLE twin of approx_distinct_and_quantiles: the "
+        "exact COUNT(DISTINCT) and exact interpolated median the "
+        "sketch aggregates approximate, under the driver's full "
+        "oracle (sketch outputs themselves are not cross-engine-"
+        "portable, so the approx twin stays rows-only with a "
+        "declared 5% invariance bound). Splitting exact/approx means "
+        "the driver checks the checkable part instead of burning a "
+        "sample slot on a no_oracle row.",
+)
+def distinct_and_quantiles_exact(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile("l_quantity", 0.5).alias("exact_median_qty"),
     )
 
 

@@ -1782,11 +1782,15 @@ def _semdedup_capped_oracle() -> str:
 def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     from ..functions.vectors import vec_dot, vec_norm
+    from ..operators.cache import track
     from ..operators.hashing import h32
     from ..operators.skew import all_pairs_within_block
-    cells = (_ivf_assign(spark, sf_dir)
-             .withColumn("nrm", vec_norm(F.col("embedding")))
-             .persist())
+    # both persists are track()ed so a library caller's
+    # release_tracked() can free them (same contract as
+    # knn_graph_mutual_capped); the harness clearCache also works
+    cells = track(_ivf_assign(spark, sf_dir)
+                  .withColumn("nrm", vec_norm(F.col("embedding")))
+                  .persist())
     ks = cells.groupBy("c_id").agg(
         F.when(F.count("*") > _SEMDEDUP_CAP,
                F.ceil(F.count("*") / F.lit(float(_SEMDEDUP_CAP)))
@@ -1820,9 +1824,9 @@ def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole = (cells.join(ks, "c_id").filter(F.col("k2") == 0)
                   .select("c_id", "vec_id", "embedding", "nrm",
                           F.lit(-1).cast("bigint").alias("sub")))
-    leaves = (subbed.unionByName(whole)
-                    .withColumn("leaf", F.concat_ws("|", "c_id", "sub"))
-                    .persist())
+    leaves = track(subbed.unionByName(whole)
+                         .withColumn("leaf", F.concat_ws("|", "c_id", "sub"))
+                         .persist())
     joined = all_pairs_within_block(leaves, "leaf", "vec_id")
     sim = (vec_dot(F.col("a.embedding"), F.col("b.embedding"))
            / (F.col("a.nrm") * F.col("b.nrm")))
