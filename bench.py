@@ -87,6 +87,14 @@ def main() -> None:
     ratios = sorted(box_controls.values())
     box_factor = (round(statistics.median(ratios), 3)
                   if ratios else None)
+    # Box-normalized seconds (raw / session control factor) stored
+    # NEXT TO raw: the host drifted 1.13-1.9x within round 5 alone,
+    # so raw seconds across sessions are not comparable — perf triage
+    # quotes the normalized column; raw stays for absolute-throughput
+    # reading within one session.
+    normalized = ({n: round(t / box_factor, 3)
+                   for n, t in timings.items()}
+                  if box_factor else {})
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
@@ -106,6 +114,7 @@ def main() -> None:
         # scripts/compare_bench.py applies it automatically)
         "box_controls": box_controls,
         "box_factor": box_factor,
+        "queries_box_normalized": normalized,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
