@@ -297,15 +297,24 @@ def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         "portable, so the approx twin stays rows-only with a "
         "declared 5% invariance bound). Splitting exact/approx means "
         "the driver checks the checkable part instead of burning a "
-        "sample slot on a no_oracle row.",
+        "sample slot on a no_oracle row. Plan shape: the two "
+        "aggregates run as SEPARATE subtrees joined on the 3-row "
+        "group key — mixing COUNT(DISTINCT) with a sort-based "
+        "percentile in one agg() makes Catalyst Expand every row "
+        "through the percentile's sort path (measured 3x slower); "
+        "split, the percentile sorts raw rows and the distinct is a "
+        "pure two-level hash agg.",
 )
 def distinct_and_quantiles_exact(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile("l_quantity", 0.5).alias("exact_median_qty"),
-    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("exact_median_qty"))
+    dst = (li.select("l_returnflag", "l_orderkey").distinct()
+             .groupBy("l_returnflag")
+             .agg(F.count("*").alias("exact_orders")))
+    return med.join(dst, "l_returnflag").select(
+        "l_returnflag", "exact_orders", "exact_median_qty")
 
 
 _ASOF_90D = 90 * 24 * 3600
