@@ -180,3 +180,46 @@ def test_observation_names_unique_across_invocations(spark):
     finally:
         components.Observation = orig
     assert len(seen) >= 4
+
+
+def test_owned_release_spares_foreign_leaves_in_mixed_plans(spark):
+    """The r5-advice footgun made mechanical: a plan whose leaves mix
+    an operator-OWNED checkpoint with a CALLER-supplied one (e.g. a
+    loop variable built by joining round state against a
+    checkpoint-backed input). release with owned= must free only the
+    recorded ids; the caller's checkpoint must stay actionable."""
+    from us_flight_delay_data_pipeline_spark.operators.ckpt import (
+        checkpoint_rdd_ids, release_local_checkpoint)
+
+    spark.catalog.clearCache()
+    caller = (spark.range(1_000).selectExpr("id", "id % 5 AS k")
+              .localCheckpoint(eager=True))
+    owned = (spark.range(1_000).selectExpr("id", "id % 3 AS j")
+             .localCheckpoint(eager=True))
+    owned_ids = checkpoint_rdd_ids(owned)
+    assert owned_ids and owned_ids.isdisjoint(checkpoint_rdd_ids(caller))
+    mixed = owned.join(caller, "id")  # leaves: BOTH checkpoints
+    release_local_checkpoint(mixed, owned=owned_ids)
+    # caller's blocks untouched — still actionable
+    assert caller.count() == 1_000
+    # owned blocks actually freed (an unpersisted localCheckpoint
+    # cannot recompute — any action on `owned` now raises)
+    import py4j.protocol
+    from pyspark.errors.exceptions.captured import CapturedException
+    with __import__("pytest").raises(
+            (py4j.protocol.Py4JJavaError, CapturedException, Exception)):
+        owned.count()
+        raise AssertionError("owned checkpoint survived its release")
+
+
+def test_owned_release_with_empty_ids_is_noop(spark):
+    """checkpoint_rdd_ids returns an empty set on Connect sessions —
+    release must then degrade to a no-op (GC cleanup), NOT sweep every
+    leaf (which would hit foreign checkpoints)."""
+    from us_flight_delay_data_pipeline_spark.operators.ckpt import (
+        release_local_checkpoint)
+
+    ckpt = spark.range(100).localCheckpoint(eager=True)
+    release_local_checkpoint(ckpt, owned=frozenset())
+    assert ckpt.count() == 100  # untouched
+    release_local_checkpoint(ckpt)  # legacy sweep still works
