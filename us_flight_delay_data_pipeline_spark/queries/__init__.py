@@ -117,7 +117,8 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # driver-sample slot burns on a no_oracle row; their checkable exact
 # twins (hll_partition_merge_exact, distinct_and_quantiles_exact)
 # take the last two slots instead.  Round 7: fold these into the
-# checked set; 26 names remain (24 never-checked + the 2 rows-only).
+# checked set; 29 names remain (24 never-checked from r5, the 3
+# retrieval queries registered in r6, + the 2 rows-only).
 DRIVER_SAMPLE_R06 = (
     'knn_graph_mutual_capped', 'knn_cap_recall_audit',
     'semantic_dedup_capped', 'stream_hourly_kpis_gated',
@@ -215,6 +216,7 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import relational_wave4  # noqa: F401
     from . import functions_coverage  # noqa: F401
     from . import llm_ext  # noqa: F401
+    from . import retrieval  # noqa: F401
     from . import relational  # noqa: F401
     for name in AUDIT_QUERIES & REGISTRY.keys():
         spec = REGISTRY[name]

@@ -1,0 +1,316 @@
+"""[EXT] Retrieval queries over the ``documents`` / ``embeddings``
+tables: BM25 lexical top-k, dense+sparse hybrid fusion (reciprocal
+rank fusion), and a sparse-vs-dense agreement audit.
+
+A training-data pipeline needs retrieval in two places: (a) "more
+like this" expansion — given seed documents, pull the lexically /
+semantically closest corpus documents into a curriculum or an eval
+split; (b) retrieval-based decontamination and attribution. BM25
+(Robertson et al., the Lucene ``k1``/``b`` variant with the
+non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``) is the
+standard lexical scorer; reciprocal rank fusion (Cormack, Clarke &
+Büttcher, SIGIR 2009: ``score = Σ 1/(k + rank)``, k=60) is the
+standard way to combine it with an embedding retriever without score
+calibration.
+
+Numeric parity notes (the repo-wide policy, queries/__init__.py):
+
+- BM25 term contributions are doubles (the idf carries an ``ln``);
+  each contribution is cast to DECIMAL(38,9) BEFORE the per-document
+  sum, so the sum is exact and order-free — partition-invariant in
+  Spark and identical in DuckDB. The float score itself is never
+  output (ln is libm-dependent in the last bit — same call as
+  tfidf_top_terms); ranks with a doc_id tiebreak are portable.
+- RRF scores ARE output: every term is ``1/(60+rank)`` — one IEEE
+  divide of exact integers — and the fusion sum has exactly two
+  addends, so the double is bit-identical across engines.
+- The tf-normalization is pure rational arithmetic on exact inputs
+  (tf, dl are integers; avgdl is one IEEE divide of exact integers;
+  k1/b constants are injected as the same double literal on both
+  sides), written in the same association order in both engines.
+
+Scale posture (100 TB): the document-frequency table and the
+query-term set are vocabulary-/query-sized → broadcast; ``tf`` and
+``dl`` are corpus-sized but co-partitioned on doc_id (one shuffle);
+candidate generation is an equi-join on term — only documents sharing
+a query term are scored, never the full corpus per query. The dense
+side broadcasts the query vectors over one corpus scan
+(operators/similarity.py). Fusion and overlap join two top-k lists —
+(n_queries × pool) rows, trivially broadcastable.
+
+Reference parity: the reference has no retrieval surface (SURVEY.md
+§2.3 notes it has no joins at all); this module is [EXT] per the
+north star. Formulas follow the public literature cited above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import word_tokens
+from ..sources.registry import load_table
+from . import register
+from .llm_ext import _cosine_sql, _tok_sql
+
+# Pinned scoring constants. Injected via repr() into the oracle SQL
+# and via F.lit() into the Spark plan so both engines compute with the
+# SAME double literals (1.2 + 1.0 re-computed at runtime could round
+# differently than the literal 2.2).
+_K1 = 1.2
+_B = 0.75
+_K1_PLUS_1 = 2.2
+_ONE_MINUS_B = 0.25
+_N_QUERY_DOCS = 5   # query docs: doc_id < 5 ("more like this" seeds)
+_TOPK = 10          # serving depth
+_POOL_K = 20        # per-system pool depth feeding the fusion
+_RRF_K = 60.0       # Cormack et al.'s constant
+
+
+def _bm25_ctes(pool_k: int) -> str:
+    """Oracle CTE chain ending in ``bm25 (q_id, doc_id, sparse_rank)``."""
+    return f"""
+    base AS (
+      SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_tok_sql()}) AS term FROM base
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    df AS (
+      -- tf is already distinct per (doc_id, term), so document
+      -- frequency is a plain COUNT(*) over it — no second pass over
+      -- the exploded tokens.
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS q_id, term FROM tf
+      WHERE doc_id < {_N_QUERY_DOCS}
+    ),
+    contrib AS (
+      SELECT q.q_id, t.doc_id,
+             CAST(
+               ln(1.0 + ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                         / (CAST(f.df AS DOUBLE) + 0.5)))
+               * ((CAST(t.tf AS DOUBLE) * {_K1_PLUS_1!r})
+                  / (CAST(t.tf AS DOUBLE)
+                     + {_K1!r} * ({_ONE_MINUS_B!r}
+                                  + {_B!r} * (CAST(d.dl AS DOUBLE)
+                                              / s.avgdl))))
+               AS DECIMAL(38,9)) AS c
+      FROM tf t
+      JOIN qterms q USING (term)
+      JOIN df f USING (term)
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.doc_id <> q.q_id
+    ),
+    scored AS (
+      SELECT q_id, doc_id, SUM(c) AS score FROM contrib
+      GROUP BY q_id, doc_id
+    ),
+    bm25 AS (
+      SELECT q_id, doc_id, sparse_rank FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, doc_id)
+                 AS sparse_rank
+        FROM scored)
+      WHERE sparse_rank <= {pool_k}
+    )"""
+
+
+def _dense_ctes(pool_k: int) -> str:
+    """Oracle CTE chain ending in ``dense (q_id, doc_id, dense_rank)``
+    — brute-force cosine over embeddings (vec_id ≡ doc_id)."""
+    return f"""
+    dq AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_N_QUERY_DOCS}
+    ),
+    dsims AS (
+      SELECT dq.q_id, e.vec_id AS doc_id,
+             {_cosine_sql('dq.qv', 'e.embedding')} AS cosine
+      FROM dq JOIN embeddings e ON e.vec_id <> dq.q_id
+    ),
+    dense AS (
+      SELECT q_id, doc_id, dense_rank FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, doc_id)
+                 AS dense_rank
+        FROM dsims)
+      WHERE dense_rank <= {pool_k}
+    )"""
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str, pool_k: int) -> DataFrame:
+    """Spark twin of :func:`_bm25_ctes` — returns
+    ``(q_id, doc_id, sparse_rank)`` with ``sparse_rank <= pool_k``."""
+    from ..operators.cache import track
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("term"))
+    # Every downstream relation (dl, stats, df, qterms, contrib)
+    # derives from tf, so persist it once — otherwise the
+    # tokenize+explode subtree re-runs per branch (5×). tf is the
+    # narrow (doc_id, term, count) relation, far smaller than the
+    # exploded tokens; the stats action below materializes it.
+    tf = track(toks.groupBy("doc_id", "term")
+                   .agg(F.count("*").alias("tf")).persist())
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot")).first()
+    n_docs = int(stats["n"])
+    # One IEEE divide of exact integers — identical to the oracle's
+    # SUM(dl)::DOUBLE / COUNT(*)::DOUBLE.
+    avgdl = float(stats["tot"]) / float(n_docs)
+    # tf is distinct per (doc_id, term): df = COUNT(*), no pass over
+    # the exploded tokens (mirrors the oracle's df CTE).
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (tf.filter(F.col("doc_id") < _N_QUERY_DOCS)
+                .select(F.col("doc_id").alias("q_id"), "term").distinct())
+
+    idf = F.log(F.lit(1.0)
+                + ((F.lit(float(n_docs)) - F.col("df").cast("double")
+                    + F.lit(0.5))
+                   / (F.col("df").cast("double") + F.lit(0.5))))
+    tf_norm = ((F.col("tf").cast("double") * F.lit(_K1_PLUS_1))
+               / (F.col("tf").cast("double")
+                  + F.lit(_K1) * (F.lit(_ONE_MINUS_B)
+                                  + F.lit(_B) * (F.col("dl").cast("double")
+                                                 / F.lit(avgdl)))))
+    contrib = (tf.join(F.broadcast(qterms), "term")
+                 .filter(F.col("doc_id") != F.col("q_id"))
+                 .join(F.broadcast(df), "term")
+                 .join(dl, "doc_id")
+                 .select("q_id", "doc_id",
+                         (idf * tf_norm).cast("decimal(38,9)").alias("c")))
+    scored = contrib.groupBy("q_id", "doc_id").agg(F.sum("c").alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("sparse_rank", F.row_number().over(w))
+                  .filter(F.col("sparse_rank") <= pool_k)
+                  .select("q_id", "doc_id", "sparse_rank"))
+
+
+def _dense_ranked(spark: SparkSession, sf_dir: str, pool_k: int) -> DataFrame:
+    """Spark twin of :func:`_dense_ctes` — brute-force cosine ranks
+    via operators/similarity.brute_force_topk."""
+    from ..operators.similarity import brute_force_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < _N_QUERY_DOCS)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return (brute_force_topk(e, q, k=pool_k)
+            .select("q_id", F.col("neighbor_id").alias("doc_id"),
+                    F.col("rank").alias("dense_rank")))
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH {_bm25_ctes(_TOPK)}
+    SELECT q_id, doc_id, sparse_rank AS rank FROM bm25
+    """,
+    doc="BM25 more-like-this top-10 per seed document (Lucene "
+        "k1=1.2/b=0.75 variant, non-negative idf). Term contributions "
+        "are decimal-routed before the per-doc sum (order-free, "
+        "partition-invariant); output is rank-only because the idf's "
+        "ln is libm-dependent in the last bit (tfidf_top_terms "
+        "precedent). df + query-term tables broadcast; candidates "
+        "come from the term equi-join, never a full per-query scan.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_bm25_ranked(spark, sf_dir, _TOPK)
+            .select("q_id", "doc_id", F.col("sparse_rank").alias("rank")))
+
+
+@register(
+    "hybrid_rrf_topk",
+    f"""
+    WITH {_bm25_ctes(_POOL_K)},
+    {_dense_ctes(_POOL_K)},
+    fused AS (
+      SELECT COALESCE(b.q_id, d.q_id) AS q_id,
+             COALESCE(b.doc_id, d.doc_id) AS doc_id,
+             (CASE WHEN b.sparse_rank IS NULL THEN 0.0
+                   ELSE 1.0 / ({_RRF_K!r} + CAST(b.sparse_rank AS DOUBLE))
+              END
+              + CASE WHEN d.dense_rank IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K!r} + CAST(d.dense_rank AS DOUBLE))
+                END) AS rrf_score
+      FROM bm25 b
+      FULL OUTER JOIN dense d
+        ON b.q_id = d.q_id AND b.doc_id = d.doc_id
+    )
+    SELECT q_id, doc_id, rrf_score, fused_rank FROM (
+      SELECT q_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf_score DESC, doc_id)
+               AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= {_TOPK}
+    """,
+    doc="Hybrid retrieval: reciprocal rank fusion (1/(60+rank), "
+        "Cormack et al. 2009) of the BM25 top-20 and the brute-force "
+        "cosine top-20 over the aligned embeddings table. The RRF "
+        "score is bit-portable (IEEE divides of exact integers, "
+        "two-addend sum) so it IS output, unlike the raw BM25 score. "
+        "Fusion joins two (n_queries × 20)-row lists — broadcast at "
+        "any corpus size.",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sparse = _bm25_ranked(spark, sf_dir, _POOL_K)
+    dense = _dense_ranked(spark, sf_dir, _POOL_K)
+    rrf = (F.when(F.col("sparse_rank").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / (F.lit(_RRF_K)
+                                     + F.col("sparse_rank").cast("double")))
+           + F.when(F.col("dense_rank").isNull(), F.lit(0.0))
+              .otherwise(F.lit(1.0) / (F.lit(_RRF_K)
+                                       + F.col("dense_rank").cast("double"))))
+    fused = (sparse.join(dense, ["q_id", "doc_id"], "full_outer")
+                   .select("q_id", "doc_id", rrf.alias("rrf_score")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"),
+                                           F.asc("doc_id"))
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+                 .filter(F.col("fused_rank") <= _TOPK)
+                 .select("q_id", "doc_id", "rrf_score", "fused_rank"))
+
+
+@register(
+    "retriever_overlap_at_k",
+    f"""
+    WITH {_bm25_ctes(_TOPK)},
+    {_dense_ctes(_TOPK)}
+    SELECT b.q_id, COUNT(d.doc_id)::BIGINT AS n_overlap,
+           CAST(COUNT(d.doc_id) AS DOUBLE) / {float(_TOPK)!r} AS overlap_frac
+    FROM bm25 b
+    LEFT JOIN dense d ON b.q_id = d.q_id AND b.doc_id = d.doc_id
+    GROUP BY b.q_id
+    """,
+    doc="Sparse-vs-dense agreement: |BM25 top-10 ∩ cosine top-10| per "
+        "seed query. The retriever-disagreement diagnostic that "
+        "decides whether hybrid fusion is worth running on a corpus — "
+        "overlap near k means the retrievers are redundant, overlap "
+        "near 0 means fusion changes the candidate set. Exact integer "
+        "counts; the fraction is one IEEE divide.",
+)
+def retriever_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sparse = _bm25_ranked(spark, sf_dir, _TOPK)
+    dense = _dense_ranked(spark, sf_dir, _TOPK)
+    return (sparse.join(dense, ["q_id", "doc_id"], "left")
+                  .groupBy("q_id")
+                  .agg(F.count("dense_rank").alias("n_overlap"),
+                       (F.count("dense_rank").cast("double")
+                        / F.lit(float(_TOPK))).alias("overlap_frac")))
