@@ -1092,3 +1092,83 @@ def cluster_aware_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.sum(F.when(F.col("in_dup_cluster"), 1)
                                 .otherwise(0)).cast("bigint")
                           .alias("n_dup_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed mixture weights
+# ---------------------------------------------------------------------------
+
+# alpha is PINNED at 0.5 because sqrt is the one power IEEE 754
+# requires to be correctly rounded — sqrt(n) of an exact integer is
+# bit-identical in Spark and DuckDB, while a general pow(n, 0.3)
+# carries no such guarantee. The smoothed weight is then
+# floor-quantized to 1e-6 (the negative_sampling_table precedent) so
+# the normalizing denominator is an exact BIGINT sum, never an
+# order-dependent double sum.
+_TEMP_QUANT = 1_000_000
+
+
+@register(
+    "temperature_mixture_weights",
+    f"""
+    WITH tok AS (
+      SELECT source, len({_tok_sql()}) AS n FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    per_src AS (
+      SELECT source, SUM(n) AS n_tokens FROM tok GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * {_TEMP_QUANT}.0)
+                  AS BIGINT) AS qw
+      FROM per_src
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS total_tokens, SUM(qw) AS total_qw FROM q
+    )
+    SELECT q.source, q.n_tokens,
+           CAST(q.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+             AS token_share,
+           CAST(q.qw AS DOUBLE) / CAST(t.total_qw AS DOUBLE)
+             AS alpha_weight,
+           CAST(FLOOR((CAST(q.qw AS DOUBLE) * 1000000.0)
+                      / CAST(t.total_qw AS DOUBLE)) AS BIGINT)
+             AS sampled_per_million
+    FROM q CROSS JOIN tot t
+    """,
+    doc="Temperature-smoothed source sampling weights (the "
+        "multilingual/multi-source mixture rule of XLM-R / mT5: "
+        "w_s ∝ n_s^alpha, alpha=0.5): per-source exact token counts, "
+        "sqrt-smoothed and floor-quantized to 1e-6 so the normalizer "
+        "is an exact integer sum — every output double is one IEEE "
+        "divide of exact integers. alpha=0.5 is pinned because sqrt "
+        "is the one power IEEE requires correctly rounded (engine-"
+        "portable); the raw token_share sits alongside so the "
+        "boost/suppression per source is visible. One corpus scan, "
+        "one vocabulary-free hash-agg on source; the weight table is "
+        "sources-sized — broadcast wherever the sampler joins it.",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0)
+    per_src = (d.select("source",
+                        F.size(word_tokens(F.col("text"))).alias("n"))
+                .groupBy("source").agg(F.sum("n").alias("n_tokens")))
+    q = per_src.withColumn(
+        "qw",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                * F.lit(float(_TEMP_QUANT))).cast("bigint"))
+    tot = q.agg(F.sum("n_tokens").alias("total_tokens"),
+                F.sum("qw").alias("total_qw"))
+    return (q.crossJoin(F.broadcast(tot))
+             .select("source", "n_tokens",
+                     (F.col("n_tokens").cast("double")
+                      / F.col("total_tokens").cast("double"))
+                     .alias("token_share"),
+                     (F.col("qw").cast("double")
+                      / F.col("total_qw").cast("double"))
+                     .alias("alpha_weight"),
+                     F.floor((F.col("qw").cast("double") * F.lit(1000000.0))
+                             / F.col("total_qw").cast("double"))
+                      .cast("bigint").alias("sampled_per_million")))

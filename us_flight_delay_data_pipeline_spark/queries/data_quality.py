@@ -363,3 +363,54 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (probe_buckets.join(cms, ["d", "bucket"])
             .groupBy("term", "exact_count")
             .agg(F.min("c").alias("cms_estimate")))
+
+
+# ---------------------------------------------------------------------------
+# Privacy-release audit: k-anonymity + l-diversity
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5      # minimum group size per quasi-identifier combination
+_L_DIV = 3       # minimum distinct sensitive values per group
+
+
+@register(
+    "k_anonymity_audit",
+    f"""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS group_size,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER))
+               AS l_diversity
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, l_diversity,
+           group_size >= {_K_ANON} AS meets_k,
+           (group_size >= {_K_ANON} AND l_diversity >= {_L_DIV})
+             AS releasable
+    FROM groups
+    """,
+    doc="Privacy-release audit over the quasi-identifier combination "
+        "(nation, market segment): k-anonymity (Sweeney 2002 — every "
+        "group must hide at least k individuals) and l-diversity "
+        "(Machanavajjhala et al. 2007 — the sensitive attribute, "
+        "account-balance band, must take at least l distinct values "
+        "per group, else the group is k-anonymous but discloses the "
+        "sensitive value anyway). The audit a curation team runs "
+        "before releasing user-derived training data. One hash-agg "
+        "over the quasi-identifier key (partial+final; the group "
+        "space is the bounded quasi-ID cross product, never "
+        "corpus-sized); the band is floor(x/1000) — floor of one "
+        "IEEE divide, engine-portable.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count("*").alias("group_size"),
+               F.countDistinct(band).alias("l_diversity")))
+    return g.select(
+        "c_nationkey", "c_mktsegment", "group_size", "l_diversity",
+        (F.col("group_size") >= _K_ANON).alias("meets_k"),
+        ((F.col("group_size") >= _K_ANON)
+         & (F.col("l_diversity") >= _L_DIV)).alias("releasable"))
