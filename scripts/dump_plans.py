@@ -73,6 +73,10 @@ SHOWCASE = [
      "tiny broadcast agg + map-side integer-exact filter"),
     ("ann_ivfpq_rerank_topk", "retrieve-then-rerank — PQ coarse rank "
      "from 8-byte codes, exact cosine only on the top-10 pool"),
+    ("hybrid_rrf_topk", "hybrid retrieval — BM25 (broadcast df + "
+     "query terms, persisted tf, decimal-routed contributions) fused "
+     "with brute-force cosine by reciprocal rank; the fusion join is "
+     "two query×20 lists"),
     ("classifier_crossshard_eval", "distillation round-trip — fit on "
      "hash-shard 0, frozen 1024-row weight table broadcast into "
      "shard 1's map-side scoring, confusion rollup"),
