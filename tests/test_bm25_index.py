@@ -1,0 +1,92 @@
+"""On-disk BM25 index (operators/bm25.py): the persisted
+build/append/probe path must compute exactly what the inline
+bm25_topk plan computes, replayed batches must be idempotent, and the
+probe must read only the query terms' postings partitions."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_flight_delay_data_pipeline_spark.operators.bm25 import (
+    N_TERM_BUCKETS, probe_bm25_index, query_terms, write_bm25_batch)
+from us_flight_delay_data_pipeline_spark.queries import load_registry
+from us_flight_delay_data_pipeline_spark.sources.registry import load_table
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir):
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sg_bm25_test_{uuid.uuid4().hex[:10]}")
+    docs = load_table(spark, sf_dir, "documents")
+    write_bm25_batch(docs.filter(F.col("doc_id") % 4 != 0), path, batch_id=0)
+    write_bm25_batch(docs.filter(F.col("doc_id") % 4 == 0), path, batch_id=1)
+    yield path
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _probe_rows(spark, sf_dir, index_path):
+    docs = load_table(spark, sf_dir, "documents")
+    q = query_terms(docs.filter(F.col("doc_id") < 5))
+    return sorted(tuple(r) for r in
+                  probe_bm25_index(q, index_path, k=10).collect())
+
+
+def test_probe_equals_inline(spark, sf_dir, index_path):
+    """Two appended batches + probe == the single inline plan,
+    row for row (same oracle, same arithmetic)."""
+    inline = sorted(tuple(r) for r in
+                    REGISTRY["bm25_topk"].fn(spark, sf_dir).collect())
+    assert _probe_rows(spark, sf_dir, index_path) == inline
+
+
+def test_replayed_batch_is_idempotent(spark, sf_dir, index_path):
+    """Re-writing batch 1 (a streaming replay) overwrites exactly its
+    own partitions — df/stats partials do not double-count."""
+    before = _probe_rows(spark, sf_dir, index_path)
+    docs = load_table(spark, sf_dir, "documents")
+    write_bm25_batch(docs.filter(F.col("doc_id") % 4 == 0), index_path,
+                     batch_id=1)
+    assert _probe_rows(spark, sf_dir, index_path) == before
+    # and the stats table still holds exactly two batch rows
+    n = spark.read.parquet(os.path.join(index_path, "stats")).count()
+    assert n == 2
+
+
+def test_probe_prunes_postings_partitions(spark, sf_dir, index_path):
+    """The postings scan must carry a term_bucket partition filter —
+    the probe reads Σ buckets(query terms), not the whole index."""
+    docs = load_table(spark, sf_dir, "documents")
+    # a single one-term query touches exactly one bucket
+    one = query_terms(docs.filter(F.col("doc_id") == 1)).limit(1)
+    plan = probe_bm25_index(one, index_path, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400], plan
+
+
+def test_df_partials_merge_to_global_df(spark, sf_dir, index_path):
+    """Per-batch df partials summed at probe time == df of a
+    single-batch build over the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    merged = (spark.read.parquet(os.path.join(index_path, "df"))
+                   .groupBy("term").agg(F.sum("df").alias("df")))
+    import shutil
+    single_path = index_path + "_single"
+    try:
+        write_bm25_batch(docs, single_path, batch_id=0)
+        single = spark.read.parquet(os.path.join(single_path, "df")) \
+            .select("term", "df")
+        diff = (merged.join(single.withColumnRenamed("df", "df2"), "term",
+                            "full_outer")
+                      .filter((F.col("df").isNull()) | (F.col("df2").isNull())
+                              | (F.col("df") != F.col("df2"))).count())
+        assert diff == 0
+    finally:
+        shutil.rmtree(single_path, ignore_errors=True)

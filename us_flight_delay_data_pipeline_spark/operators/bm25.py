@@ -1,0 +1,177 @@
+"""On-disk BM25 inverted index: build once / append batches / probe
+forever — the lexical sibling of the persisted ANN index
+(``ann_ivf_index_probe``) and the PPJoin dedup index
+(``operators/dedup.py::build_jaccard_index``).
+
+Layout at ``{path}``:
+
+- ``postings/`` — (term, doc_id, tf, dl) partitioned by
+  ``(batch_id, term_bucket)``; ``term_bucket = h32(term) % 32``.
+  dl is denormalized into the postings row so a probe never joins a
+  corpus-sized doc-length table.
+- ``df/`` — per-batch document-frequency partials (term, df)
+  partitioned by ``batch_id`` (vocabulary-sized per batch).
+- ``stats/`` — one row per batch (n_docs, total_tokens).
+
+Probe reads: the query terms' ``term_bucket`` partitions of postings
+(static partition pruning — the bucket list comes from the probe's
+own bounded vocabulary), the vocabulary-sized df partials, and the
+per-batch stats rows. Per-query work is Σ_t∈q postings(t) — the
+inverted-index bound.
+
+Incremental ingest: a new corpus batch is one more
+``write_bm25_batch(batch_id=N)`` call — df/stats are per-batch
+PARTIALS merged at probe time (sums of exact integers), so appending
+never rewrites existing data and a replayed batch overwrites exactly
+its own partitions (dynamic partitionOverwriteMode, the matview.py
+idempotency pattern).
+
+Numeric parity: :func:`bm25_contribution` is the ONE definition of
+the scoring arithmetic — queries/retrieval.py's inline ``bm25_topk``
+uses the same expression, so index-probe results are bit-identical to
+the inline plan and share its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import word_tokens
+from .hashing import h32
+
+__all__ = [
+    "K1", "B", "K1_PLUS_1", "ONE_MINUS_B", "N_TERM_BUCKETS",
+    "bm25_contribution", "query_terms", "write_bm25_batch",
+    "probe_bm25_index",
+]
+
+# Pinned scoring constants (Lucene defaults). K1_PLUS_1 and
+# ONE_MINUS_B are literals, not runtime sums — 1.2 + 1.0 re-rounded
+# at runtime need not equal the double literal 2.2.
+K1 = 1.2
+B = 0.75
+K1_PLUS_1 = 2.2
+ONE_MINUS_B = 0.25
+
+N_TERM_BUCKETS = 32
+
+
+def bm25_contribution(tf: Column, dl: Column, df: Column,
+                      n_docs: int, avgdl: float) -> Column:
+    """Per-(query-term, document) BM25 contribution, cast to
+    DECIMAL(38,9) so the per-document sum is exact and order-free.
+    The idf is the non-negative Lucene form ln(1 + (N-df+.5)/(df+.5));
+    the tf normalization is pure rational arithmetic on exact inputs,
+    written in the same association order as the DuckDB oracle
+    (queries/retrieval.py::_bm25_ctes)."""
+    idf = F.log(F.lit(1.0)
+                + ((F.lit(float(n_docs)) - df.cast("double") + F.lit(0.5))
+                   / (df.cast("double") + F.lit(0.5))))
+    tf_norm = ((tf.cast("double") * F.lit(K1_PLUS_1))
+               / (tf.cast("double")
+                  + F.lit(K1) * (F.lit(ONE_MINUS_B)
+                                 + F.lit(B) * (dl.cast("double")
+                                               / F.lit(avgdl)))))
+    return (idf * tf_norm).cast("decimal(38,9)")
+
+
+def query_terms(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(q_id, term) — the distinct whitespace terms of each query
+    document's lowercased text (the more-like-this query form)."""
+    return (docs.filter(F.length(F.trim(text_col)) > 0)
+                .select(F.col(id_col).alias("q_id"),
+                        F.explode(word_tokens(F.lower(F.col(text_col))))
+                         .alias("term"))
+                .distinct())
+
+
+def _tf_dl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = (docs.filter(F.length(F.trim(text_col)) > 0)
+                .select(F.col(id_col).alias("doc_id"),
+                        F.explode(word_tokens(F.lower(F.col(text_col))))
+                         .alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def write_bm25_batch(docs: DataFrame, path: str, batch_id: int = 0,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """Index one corpus batch: postings + df/stats PARTIALS land in
+    ``batch_id``-keyed partitions. First call creates the index;
+    later calls append new batches; a REPLAYED batch_id overwrites
+    exactly its own partitions (dynamic partition overwrite), so the
+    writer is idempotent per batch."""
+    spark = docs.sparkSession
+    tfdl = _tf_dl(docs, id_col, text_col).persist()
+    bid = F.lit(int(batch_id)).cast("bigint")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (tfdl.withColumn("term_bucket",
+                         (h32(F.col("term")) % N_TERM_BUCKETS).cast("int"))
+             .withColumn("batch_id", bid)
+             .write.mode("overwrite").partitionBy("batch_id", "term_bucket")
+             .parquet(os.path.join(path, "postings")))
+        # tfdl is distinct per (doc_id, term): df partial = COUNT(*)
+        (tfdl.groupBy("term").agg(F.count("*").alias("df"))
+             .withColumn("batch_id", bid)
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(os.path.join(path, "df")))
+        (tfdl.select("doc_id", "dl").distinct()
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("dl").alias("total_tokens"))
+             .withColumn("batch_id", bid)
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(os.path.join(path, "stats")))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    tfdl.unpersist()
+
+
+def probe_bm25_index(queries: DataFrame, path: str, k: int = 10) -> DataFrame:
+    """Answer BM25 top-k from the persisted index. ``queries`` is a
+    (q_id, term) relation (see :func:`query_terms`); results exclude
+    the query document itself (doc_id != q_id).
+
+    Reads: only the query terms' term_bucket partitions of postings
+    (the bucket list is collected from the probe's own bounded
+    vocabulary — static partition pruning, the collect is query-sized
+    by contract), the df partials (vocabulary-sized), and the stats
+    rows (one per batch). Merging the per-batch df/stats partials is
+    a sum of exact integers, so a probe over N appended batches
+    computes exactly what a single-batch build would."""
+    spark = queries.sparkSession
+    qt = queries.select("q_id", "term").distinct()
+    buckets = sorted({
+        r.b for r in
+        qt.select((h32(F.col("term")) % N_TERM_BUCKETS).cast("int")
+                  .alias("b")).distinct().collect()})
+    srow = (spark.read.parquet(os.path.join(path, "stats"))
+                 .agg(F.sum("n_docs").alias("n"),
+                      F.sum("total_tokens").alias("tot")).first())
+    n_docs = int(srow["n"])
+    avgdl = float(srow["tot"]) / float(n_docs)
+    df_merged = (spark.read.parquet(os.path.join(path, "df"))
+                      .groupBy("term").agg(F.sum("df").alias("df")))
+    qdf = F.broadcast(qt).join(df_merged, "term")
+    postings = (spark.read.parquet(os.path.join(path, "postings"))
+                     .filter(F.col("term_bucket").isin(buckets)))
+    contrib = (postings.join(F.broadcast(qdf), "term")
+                       .filter(F.col("doc_id") != F.col("q_id"))
+                       .select("q_id", "doc_id",
+                               bm25_contribution(F.col("tf"), F.col("dl"),
+                                                 F.col("df"),
+                                                 n_docs, avgdl).alias("c")))
+    scored = contrib.groupBy("q_id", "doc_id").agg(F.sum("c").alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", "doc_id", "rank"))

@@ -54,14 +54,17 @@ from ..sources.registry import load_table
 from . import register
 from .llm_ext import _cosine_sql, _tok_sql
 
-# Pinned scoring constants. Injected via repr() into the oracle SQL
-# and via F.lit() into the Spark plan so both engines compute with the
-# SAME double literals (1.2 + 1.0 re-computed at runtime could round
-# differently than the literal 2.2).
-_K1 = 1.2
-_B = 0.75
-_K1_PLUS_1 = 2.2
-_ONE_MINUS_B = 0.25
+# Pinned scoring constants — canonical definitions live in
+# operators/bm25.py (the index builder must score identically).
+# Injected via repr() into the oracle SQL and via F.lit() into the
+# Spark plan so both engines compute with the SAME double literals
+# (1.2 + 1.0 re-computed at runtime could round differently than the
+# literal 2.2).
+from ..operators.bm25 import B as _B
+from ..operators.bm25 import K1 as _K1
+from ..operators.bm25 import K1_PLUS_1 as _K1_PLUS_1
+from ..operators.bm25 import ONE_MINUS_B as _ONE_MINUS_B
+from ..operators.bm25 import bm25_contribution as _bm25_contribution
 _N_QUERY_DOCS = 5   # query docs: doc_id < 5 ("more like this" seeds)
 _TOPK = 10          # serving depth
 _POOL_K = 20        # per-system pool depth feeding the fusion
@@ -183,21 +186,14 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, pool_k: int) -> DataFrame:
     qterms = (tf.filter(F.col("doc_id") < _N_QUERY_DOCS)
                 .select(F.col("doc_id").alias("q_id"), "term").distinct())
 
-    idf = F.log(F.lit(1.0)
-                + ((F.lit(float(n_docs)) - F.col("df").cast("double")
-                    + F.lit(0.5))
-                   / (F.col("df").cast("double") + F.lit(0.5))))
-    tf_norm = ((F.col("tf").cast("double") * F.lit(_K1_PLUS_1))
-               / (F.col("tf").cast("double")
-                  + F.lit(_K1) * (F.lit(_ONE_MINUS_B)
-                                  + F.lit(_B) * (F.col("dl").cast("double")
-                                                 / F.lit(avgdl)))))
     contrib = (tf.join(F.broadcast(qterms), "term")
                  .filter(F.col("doc_id") != F.col("q_id"))
                  .join(F.broadcast(df), "term")
                  .join(dl, "doc_id")
                  .select("q_id", "doc_id",
-                         (idf * tf_norm).cast("decimal(38,9)").alias("c")))
+                         _bm25_contribution(F.col("tf"), F.col("dl"),
+                                            F.col("df"), n_docs, avgdl)
+                         .alias("c")))
     scored = contrib.groupBy("q_id", "doc_id").agg(F.sum("c").alias("score"))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("sparse_rank", F.row_number().over(w))
@@ -314,3 +310,61 @@ def retriever_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count("dense_rank").alias("n_overlap"),
                        (F.count("dense_rank").cast("double")
                         / F.lit(float(_TOPK))).alias("overlap_frac")))
+
+
+@register(
+    "bm25_index_probe",
+    f"""
+    WITH {_bm25_ctes(_TOPK)}
+    SELECT q_id, doc_id, sparse_rank AS rank FROM bm25
+    """,
+    doc="The ON-DISK BM25 path (operators/bm25.py): the corpus is "
+        "indexed in TWO batches (doc_id%4 split — the second batch "
+        "exercises incremental append: df/avgdl partials merge at "
+        "probe time as exact integer sums), then the seed queries are "
+        "answered by probing the persisted postings — the probe reads "
+        "only the query terms' term_bucket partitions (static "
+        "partition pruning from the probe's own bounded vocabulary). "
+        "Scoring arithmetic is the SAME bm25_contribution expression "
+        "as the inline bm25_topk, so this shares its oracle: the "
+        "build-once/probe-forever layout must compute exactly what "
+        "the inline plan computes. The serving shape of lexical "
+        "retrieval at 100 TB — per query Σ postings(t), never a "
+        "corpus scan.",
+)
+def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..functions.core import cleanup_at_exit
+    from ..operators.bm25 import (probe_bm25_index, query_terms,
+                                  write_bm25_batch)
+    docs = load_table(spark, sf_dir, "documents")
+    # key by (sf_dir, applicationId): concurrent runs get disjoint
+    # paths; build ONCE per session (stage + atomic rename, the
+    # ann_ivf_index_probe pattern — no half-built layout is ever
+    # probeable); removed at interpreter exit
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"sg_bm25_{app}_{tag}")
+    marker = os.path.join(path, "_SUCCESS_LAYOUT")
+    if not os.path.exists(marker):
+        import shutil
+        import uuid
+        cleanup_at_exit(path)
+        staged = f"{path}.staging.{uuid.uuid4().hex[:12]}"
+        cleanup_at_exit(staged)
+        write_bm25_batch(docs.filter(F.col("doc_id") % 4 != 0), staged,
+                         batch_id=0)
+        write_bm25_batch(docs.filter(F.col("doc_id") % 4 == 0), staged,
+                         batch_id=1)
+        open(os.path.join(staged, "_SUCCESS_LAYOUT"), "w").close()
+        try:
+            os.rename(staged, path)
+        except OSError:
+            # another builder published first; its layout is identical
+            # (same deterministic inputs) — use it
+            shutil.rmtree(staged, ignore_errors=True)
+    q = query_terms(docs.filter(F.col("doc_id") < _N_QUERY_DOCS))
+    return probe_bm25_index(q, path, k=_TOPK)
