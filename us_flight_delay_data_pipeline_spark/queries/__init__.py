@@ -117,9 +117,10 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # driver-sample slot burns on a no_oracle row; their checkable exact
 # twins (hll_partition_merge_exact, distinct_and_quantiles_exact)
 # take the last two slots instead.  Round 7: fold these into the
-# checked set; 31 names remain (24 never-checked from r5, the 5
-# queries registered in r6 — retrieval family, temperature mixture,
-# k-anonymity — + the 2 rows-only).
+# checked set; 33 names remain (24 never-checked from r5, the 7
+# queries registered in r6 — retrieval family incl. the on-disk index
+# and its streaming twin, temperature mixture, k-anonymity — + the 2
+# rows-only).
 DRIVER_SAMPLE_R06 = (
     'knn_graph_mutual_capped', 'knn_cap_recall_audit',
     'semantic_dedup_capped', 'stream_hourly_kpis_gated',

@@ -474,3 +474,76 @@ def _patch_stream_classifier_oracle() -> None:
 
 
 _patch_stream_classifier_oracle()
+
+
+def _bm25_stream_oracle() -> str:
+    from .retrieval import _TOPK, _bm25_ctes
+    return f"""
+    WITH {_bm25_ctes(_TOPK)}
+    SELECT q_id, doc_id, sparse_rank AS rank FROM bm25
+    """
+
+
+@register(
+    "stream_bm25_index_gated",
+    None,  # oracle attached below — retrieval.py registers later in
+           # load_registry order, so the CTE builder is imported lazily
+    doc="Incremental BM25 index maintenance under the oracle gate: a "
+        "REAL streaming job ingests the documents table through "
+        "foreachBatch, each micro-batch writing its own postings/df/"
+        "stats partitions (operators/bm25.py::write_bm25_batch — "
+        "batch_id = epoch id, dynamic partition overwrite makes "
+        "replayed epochs idempotent), and the returned result PROBES "
+        "the maintained index — which must value-hash-match the "
+        "inline batch bm25_topk plan exactly, because the per-batch "
+        "df/avgdl partials merge as exact integer sums (the same "
+        "algebraic-fold guarantee stream_matview_gated pins, here for "
+        "a search index instead of a rollup). At 100 TB this is the "
+        "standing index-refresh service: new corpus batches append "
+        "their own partitions; probes never rescan history.",
+)
+def stream_bm25_index_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..functions.core import cleanup_at_exit
+    from ..operators.bm25 import (probe_bm25_index, query_terms,
+                                  write_bm25_batch)
+    from ..sources.registry import load_table
+    from .retrieval import _N_QUERY_DOCS, _TOPK
+    src = _stream_source(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:12]
+    idx = tempfile.mkdtemp(prefix=f"sg_bm25s_{tag}_idx_")
+    ckpt = tempfile.mkdtemp(prefix=f"sg_bm25s_{tag}_ckpt_")
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_bm25_batch(batch_df, idx, batch_id=epoch_id)
+
+    try:
+        q = (src.writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    cleanup_at_exit(idx)
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = query_terms(docs.filter(F.col("doc_id") < _N_QUERY_DOCS))
+    return probe_bm25_index(seeds, idx, k=_TOPK)
+
+
+def _patch_stream_bm25_oracle() -> None:
+    """Attach the shared BM25 oracle after registration (retrieval.py
+    owns the CTE builder; importing it at module top would invert the
+    registry's import order)."""
+    import dataclasses
+
+    from . import REGISTRY
+    spec = REGISTRY["stream_bm25_index_gated"]
+    if spec.oracle is None:
+        REGISTRY["stream_bm25_index_gated"] = dataclasses.replace(
+            spec, oracle=_bm25_stream_oracle())
+
+
+_patch_stream_bm25_oracle()
