@@ -117,11 +117,18 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # driver-sample slot burns on a no_oracle row; their checkable exact
 # twins (hll_partition_merge_exact, distinct_and_quantiles_exact)
 # take the last two slots instead.  Round 7: fold these into the
-# checked set; 33 names remain (24 never-checked from r5, the 7
-# queries registered in r6 — retrieval family incl. the on-disk index
-# and its streaming twin, temperature mixture, k-anonymity — + the 2
-# rows-only).
+# checked set; 34 names remain (24 never-checked from r5 incl. the
+# re-queued month_spine_fill, the 7 queries registered in r6 —
+# retrieval family incl. the on-disk index and its streaming twin,
+# temperature mixture, k-anonymity — + the 2 rows-only).
 DRIVER_SAMPLE_R06 = (
+    # First slot: NOT a never-checked name — the one red r05 row.
+    # VERDICT r5 task #1's done-criterion is a GREEN r06 driver row
+    # for mergeable_partial_aggs (the decimal-end-to-end fix landed
+    # in 00581c1); re-sampling it is the only way the driver can
+    # issue that row. month_spine_fill moved to the r7 set to keep
+    # the sample at 50.
+    'mergeable_partial_aggs',
     'knn_graph_mutual_capped', 'knn_cap_recall_audit',
     'semantic_dedup_capped', 'stream_hourly_kpis_gated',
     'stream_dedup_gated', 'stream_session_window_gated',
@@ -141,7 +148,7 @@ DRIVER_SAMPLE_R06 = (
     'nation_revenue_share', 'large_orders', 'promo_revenue_share',
     'brand_size_supplier_counts', 'customer_order_fill',
     'monthly_revenue_reconciliation', 'rolling_hour_user_value',
-    'month_spine_fill', 'lateral_top_orders', 'volume_shipping',
+    'lateral_top_orders', 'volume_shipping',
     'disjunctive_predicate_revenue', 'hll_partition_merge_exact',
     'distinct_and_quantiles_exact',
 )
