@@ -117,10 +117,11 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # driver-sample slot burns on a no_oracle row; their checkable exact
 # twins (hll_partition_merge_exact, distinct_and_quantiles_exact)
 # take the last two slots instead.  Round 7: fold these into the
-# checked set; 34 names remain (24 never-checked from r5 incl. the
-# re-queued month_spine_fill, the 7 queries registered in r6 —
-# retrieval family incl. the on-disk index and its streaming twin,
-# temperature mixture, k-anonymity — + the 2 rows-only).
+# checked set; 35 names remain (24 never-checked from r5 incl. the
+# re-queued month_spine_fill, the 8 queries registered in r6 —
+# retrieval family incl. the on-disk index, its streaming twin and
+# phrase search, temperature mixture, k-anonymity — + the 2
+# rows-only).
 DRIVER_SAMPLE_R06 = (
     # First slot: NOT a never-checked name — the one red r05 row.
     # VERDICT r5 task #1's done-criterion is a GREEN r06 driver row

@@ -368,3 +368,64 @@ def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(staged, ignore_errors=True)
     q = query_terms(docs.filter(F.col("doc_id") < _N_QUERY_DOCS))
     return probe_bm25_index(q, path, k=_TOPK)
+
+
+@register(
+    "phrase_search_top_bigram",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM base, unnest(range(1, len(toks))) AS u(i)
+    ),
+    top_bg AS (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+        ORDER BY c DESC, w1, w2 LIMIT 1)
+    )
+    SELECT b.doc_id,
+           len([i for i in range(1, len(b.toks))
+                IF b.toks[i] = t.w1 AND b.toks[i+1] = t.w2])::BIGINT
+             AS n_matches
+    FROM base b CROSS JOIN top_bg t
+    WHERE len([i for i in range(1, len(b.toks))
+               IF b.toks[i] = t.w1 AND b.toks[i+1] = t.w2]) > 0
+    """,
+    doc="Phrase search: find every document containing the corpus's "
+        "most frequent bigram as a CONSECUTIVE phrase, with exact "
+        "occurrence counts. The phrase is data-derived (top bigram by "
+        "count, lexicographic tiebreak — deterministic), and matching "
+        "is a pure per-row array expression over the token array — "
+        "zero shuffle on the matching side; the only shuffle trains "
+        "the 2-row broadcast phrase table. At 100 TB the scan-side "
+        "expression IS the right plan for one-off phrases; a standing "
+        "phrase workload extends operators/bm25.py's postings with a "
+        "positions column (same layout, same pruning) so candidates "
+        "come from the index instead of a scan. Exact integers "
+        "end-to-end.",
+)
+def phrase_search_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim("text")) > 0)
+    base = d.select("doc_id",
+                    word_tokens(F.lower(F.col("text"))).alias("toks"))
+    bg = (base.filter(F.size("toks") >= 2)
+              .select("doc_id",
+                      F.explode(F.expr(
+                          "transform(sequence(1, size(toks) - 1), "
+                          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+                       .alias("b"))
+              .select("b.w1", "b.w2"))
+    top_bg = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+                .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2")).limit(1)
+                .select("w1", "w2"))
+    matches = F.expr(
+        "size(filter(sequence(1, size(toks) - 1), "
+        "i -> toks[i-1] = w1 AND toks[i] = w2))").cast("bigint")
+    return (base.filter(F.size("toks") >= 2)
+                .crossJoin(F.broadcast(top_bg))
+                .select("doc_id", matches.alias("n_matches"))
+                .filter(F.col("n_matches") > 0))
