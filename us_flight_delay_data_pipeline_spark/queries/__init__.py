@@ -122,6 +122,33 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # retrieval family incl. the on-disk index, its streaming twin and
 # phrase search, temperature mixture, k-anonymity — + the 2
 # rows-only).
+# Round-7 pinned sample: the ONE red r06 row re-queued first (the
+# decimal-end-to-end fix landed this round: zero doubles survive in
+# the output — revenue/qty are DECIMAL(38,6) on both engine and
+# oracle sides, so no engine-dependent decimal->double conversion
+# remains anywhere in the query), followed by ALL 33 checkable
+# never-checked names (VERDICT r6 task #2: 33 < 50, the whole
+# remainder fits in one round -> driver union reaches 213/215, the
+# other 2 rows-only by declared design).  Slots 35-50 fall to this
+# round's new registrations, which sort ahead of already-checked
+# names in load_registry.
+DRIVER_SAMPLE_R07 = (
+    'mergeable_partial_aggs',
+    'array_funcs', 'bitwise_funcs', 'bm25_index_probe', 'bm25_topk',
+    'cdc_latest_state', 'conditional_funcs', 'customer_order_histogram',
+    'discount_band_revenue', 'dormant_rich_customers',
+    'heavy_shipper_suppliers', 'hybrid_rrf_topk', 'k_anonymity_audit',
+    'listagg_funcs', 'map_funcs', 'month_spine_fill',
+    'nation_market_share', 'order_priority_exists',
+    'phrase_search_top_bigram', 'pivot_event_counts',
+    'point_in_time_join', 'priority_linestatus_counts',
+    'product_type_profit', 'props_variant_extract', 'regex_funcs',
+    'retriever_overlap_at_k', 'returned_item_customers',
+    'scalar_subquery_filter', 'small_quantity_revenue',
+    'sole_failing_suppliers', 'sql_udf_rates', 'stream_bm25_index_gated',
+    'temperature_mixture_weights', 'top_revenue_supplier',
+)
+
 DRIVER_SAMPLE_R06 = (
     # First slot: NOT a never-checked name — the one red r05 row.
     # VERDICT r5 task #1's done-criterion is a GREEN r06 driver row
@@ -236,11 +263,12 @@ def load_registry() -> dict[str, QuerySpec]:
     # the driver's first-50 sample is drawn entirely from them; the
     # pinned r06 sample stays at the very front so late registrations
     # this round cannot displace it.
-    r06_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R06)}
-    checked = DRIVER_CHECKED_R01_R04 | frozenset(DRIVER_SAMPLE_R05)
+    r07_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R07)}
+    checked = (DRIVER_CHECKED_R01_R04 | frozenset(DRIVER_SAMPLE_R05)
+               | frozenset(DRIVER_SAMPLE_R06))
     ordered = sorted(
         REGISTRY,
-        key=lambda n: (r06_rank.get(n, len(r06_rank)), n in checked))
+        key=lambda n: (r07_rank.get(n, len(r07_rank)), n in checked))
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(reordered)

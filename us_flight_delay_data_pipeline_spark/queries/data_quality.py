@@ -146,9 +146,9 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2, 3
     )
     SELECT year, month,
-           CAST(SUM(revenue) AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) AS DECIMAL(38,6)) AS revenue,
            SUM(n) AS n,
-           CAST(SUM(qty) AS DOUBLE) AS qty,
+           CAST(SUM(qty) AS DECIMAL(38,6)) AS qty,
            COUNT(*) AS n_partials
     FROM half GROUP BY year, month
     """,
@@ -167,7 +167,16 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engine-dependent at the half-ulp (Java BigDecimal rounds "
         "the shortest repr, DuckDB the binary value), which broke "
         "the driver's exact value-hash in r05 while passing every "
-        "local sweep. One cast to double, at the very end.",
+        "local sweep. The r6 fix kept the partials decimal but still "
+        "CAST the FINAL sums to DOUBLE — and decimal->double "
+        "conversion itself differs across DuckDB builds (hugeint-"
+        "division path) vs Java BigDecimal.doubleValue at one-ulp "
+        "boundaries, so the driver row stayed red while the local "
+        "differential was bit-exact. r7: ZERO doubles in the output "
+        "— revenue/qty are DECIMAL(38,6) end-to-end on both engine "
+        "and oracle sides; every operation is integer arithmetic, so "
+        "any downstream normalization applies the same function to "
+        "the same exact value on both sides.",
 )
 def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -179,9 +188,9 @@ def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n"),
                    F.sum(F.col("l_quantity").cast(DEC)).alias("qty")))
     return (half.groupBy("year", "month")
-                .agg(F.sum("revenue").cast("double").alias("revenue"),
+                .agg(F.sum("revenue").cast(DEC).alias("revenue"),
                      F.sum("n").alias("n"),
-                     F.sum("qty").cast("double").alias("qty"),
+                     F.sum("qty").cast(DEC).alias("qty"),
                      F.count("*").alias("n_partials")))
 
 

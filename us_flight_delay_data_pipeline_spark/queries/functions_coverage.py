@@ -576,16 +576,21 @@ def listagg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_udf_rates",
     """
-    SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           CASE WHEN CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                     AS DOUBLE) = 0 THEN 0
-                ELSE CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-                          AS DOUBLE)
-                     / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                            AS DOUBLE)
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                  * 1000000 AS BIGINT) AS price_micros,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                  * 1000000 AS BIGINT) AS qty_micros
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_items,
+           CASE WHEN qty_micros = 0 THEN 0
+                ELSE CAST(price_micros AS DOUBLE)
+                     / CAST(qty_micros AS DOUBLE)
            END AS price_per_unit
-    FROM lineitem GROUP BY l_returnflag
+    FROM sums
     """,
     doc="Declarative SQL UDF surface (CREATE TEMPORARY FUNCTION ... "
         "RETURN expr, Spark 4's SQL-defined functions): the engine's "
@@ -612,14 +617,24 @@ def sql_udf_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         RETURN CASE WHEN den = 0 THEN 0 ELSE num / den END""")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     try:
+        # The rate routes through exact BIGINT micros (the scale-6
+        # factors cancel in the ratio): int64->double is a single
+        # correctly-rounded hardware conversion on every engine,
+        # unlike decimal->double whose rounding is build-dependent.
         return spark.sql(f"""
-            SELECT l_returnflag,
-                   CAST(COUNT(*) AS BIGINT) AS n_items,
-                   {fn}(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-                             AS DOUBLE),
-                        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                             AS DOUBLE)) AS price_per_unit
-            FROM {view} GROUP BY l_returnflag""")
+            WITH sums AS (
+              SELECT l_returnflag,
+                     CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                          * 1000000 AS BIGINT) AS price_micros,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                          * 1000000 AS BIGINT) AS qty_micros
+              FROM {view} GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n_items,
+                   {fn}(CAST(price_micros AS DOUBLE),
+                        CAST(qty_micros AS DOUBLE)) AS price_per_unit
+            FROM sums""")
     finally:
         spark.catalog.dropTempView(view)
         # a SQL UDF inlines into the plan at ANALYSIS time (which ran

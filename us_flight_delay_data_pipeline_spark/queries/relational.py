@@ -35,6 +35,40 @@ def _osum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
 
 
+def dsum_exact(c: Column | str) -> Column:
+    """Order-independent exact sum -> DECIMAL(38,6), NO final double
+    cast.  The mergeable_partial_aggs driver history (red r05+r06)
+    showed that even the terminal ``CAST(decimal AS DOUBLE)`` is
+    engine-dependent at one-ulp boundaries: DuckDB's decimal->double
+    goes through a hugeint-division path whose rounding differs
+    across builds from Java BigDecimal.doubleValue.  Pure-sum output
+    columns therefore stay decimal end-to-end — every op is integer
+    arithmetic, bit-identical on any engine."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(DEC)).cast(DEC)
+
+
+def _osum_exact(expr: str) -> str:
+    """Oracle-side mirror of :func:`dsum_exact`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DECIMAL(38,6))"
+
+
+def micros(c: Column) -> Column:
+    """Exact integer micro-units of a DECIMAL(38,6) column (BIGINT).
+    decimal(38,6) * 1e6 is integral by construction, and the
+    int64->double conversion downstream is a single correctly-rounded
+    hardware op on every engine — so ``micros(x)/micros(y)`` in double
+    is the bit-portable way to emit a ratio of two exact sums, unlike
+    ``CAST(x AS DOUBLE)/CAST(y AS DOUBLE)`` whose per-operand
+    decimal->double rounding is build-dependent."""
+    return (c * F.lit(1000000)).cast("long")
+
+
+def _omicros(expr: str) -> str:
+    """Oracle-side mirror of :func:`micros` (expr must be decimal-typed)."""
+    return f"CAST({expr} * 1000000 AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # Flight-parity shapes (SURVEY.md §2.4 A1-A6, §2.6 O1-O2, §2.8 F6-F9)
 # ---------------------------------------------------------------------------

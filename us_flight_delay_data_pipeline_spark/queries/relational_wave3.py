@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from ..sources.registry import load_table
 from . import register
-from .relational import DEC, _osum, dsum
+from .relational import DEC, _osum, _osum_exact, dsum, dsum_exact
 
 _Q2_SIZES = (15, 25, 35)
 
@@ -509,8 +509,9 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     "dormant_rich_customers",
     f"""
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-               / COUNT(*) AS avg_positive
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS sum_positive,
+             COUNT(*) AS n_positive
       FROM customer WHERE c_acctbal > 0
     ),
     last AS (
@@ -519,11 +520,12 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS n_customers,
-           {_osum('c.c_acctbal')} AS total_balance
+           {_osum_exact('c.c_acctbal')} AS total_balance
     FROM customer c
     JOIN last l ON c.c_custkey = l.o_custkey
     CROSS JOIN avg_bal
-    WHERE c.c_acctbal > 0.5 * avg_bal.avg_positive
+    WHERE CAST(c.c_acctbal AS DECIMAL(38,6)) * 2 * avg_bal.n_positive
+            > avg_bal.sum_positive
       AND l.last_order < DATE '2000-06-01'
     GROUP BY c.c_mktsegment
     """,
@@ -536,15 +538,20 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # Threshold compared in EXACT decimal arithmetic (2*bal*n > sum)
+    # rather than against a double average: a double threshold makes
+    # row MEMBERSHIP engine-dependent at one-ulp boundaries.
     thr = (c.filter(F.col("c_acctbal") > 0)
-            .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
-                  / F.count("*")).alias("avg_positive")))
+            .agg(F.sum(F.col("c_acctbal").cast(DEC)).cast(DEC)
+                  .alias("sum_positive"),
+                 F.count("*").alias("n_positive")))
     last = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"))
     return (c.join(last, c.c_custkey == last.o_custkey)
              .crossJoin(F.broadcast(thr))
-             .filter((F.col("c_acctbal") > 0.5 * F.col("avg_positive"))
+             .filter((F.col("c_acctbal").cast(DEC) * 2 * F.col("n_positive")
+                      > F.col("sum_positive"))
                      & (F.col("last_order") < F.lit("2000-06-01").cast("date")))
              .groupBy("c_mktsegment")
              .agg(F.count("*").alias("n_customers"),
-                  dsum("c_acctbal").alias("total_balance")))
+                  dsum_exact("c_acctbal").alias("total_balance")))

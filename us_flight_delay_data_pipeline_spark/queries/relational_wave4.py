@@ -29,7 +29,8 @@ from pyspark.sql.window import Window
 
 from ..sources.registry import load_table
 from . import register
-from .relational import DEC, _osum, dsum
+from .relational import (DEC, _omicros, _osum, _osum_exact, dsum,
+                         dsum_exact, micros)
 
 
 @register(
@@ -67,7 +68,7 @@ def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "discount_band_revenue",
     f"""
-    SELECT {_osum('l_extendedprice * l_discount')} AS revenue,
+    SELECT {_osum_exact('l_extendedprice * l_discount')} AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -88,7 +89,7 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
                       & F.col("l_discount").between(0.02, 0.04)
                       & (F.col("l_quantity") < 24))
-              .agg(F.sum(rev).cast("double").alias("revenue"),
+              .agg(F.sum(rev).cast(DEC).alias("revenue"),
                    F.count("*").alias("n_lineitems")))
 
 
@@ -112,12 +113,16 @@ _Q8_NATION = "NATION_2"
       JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
       WHERE r.r_name = '{_Q8_REGION}'
     )
-    SELECT year,
-           {_osum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END")} AS nation_volume,
-           {_osum('volume')} AS market_volume,
-           {_osum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END")}
-             / {_osum('volume')} AS market_share
-    FROM market GROUP BY year
+    , agg AS (
+      SELECT year,
+             {_osum_exact(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END")} AS nation_volume,
+             {_osum_exact('volume')} AS market_volume
+      FROM market GROUP BY year
+    )
+    SELECT year, nation_volume, market_volume,
+           CAST({_omicros('nation_volume')} AS DOUBLE)
+             / CAST({_omicros('market_volume')} AS DOUBLE) AS market_share
+    FROM agg
     """,
     doc="TPC-H Q8 shape (market share): the fraction of a region's "
         "customer market supplied by one nation, per order year. Six "
@@ -152,10 +157,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
               .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("year"))
-              .agg(F.sum(nat_vol.cast(DEC)).cast("double").alias("nation_volume"),
-                   F.sum(vol.cast(DEC)).cast("double").alias("market_volume"))
+              .agg(F.sum(nat_vol.cast(DEC)).cast(DEC).alias("nation_volume"),
+                   F.sum(vol.cast(DEC)).cast(DEC).alias("market_volume"))
               .select("year", "nation_volume", "market_volume",
-                      (F.col("nation_volume") / F.col("market_volume"))
+                      (micros(F.col("nation_volume")).cast("double")
+                       / micros(F.col("market_volume")).cast("double"))
                       .alias("market_share")))
 
 
@@ -167,7 +173,7 @@ _Q9_COST = 0.6  # stand-in supply-cost fraction of retail price (no partsupp)
     f"""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate::DATE) AS INTEGER) AS year,
-           {_osum(f'l.l_extendedprice * (1 - l.l_discount) - {_Q9_COST} * p.p_retailprice * l.l_quantity')} AS profit
+           {_osum_exact(f'l.l_extendedprice * (1 - l.l_discount) - {_Q9_COST} * p.p_retailprice * l.l_quantity')} AS profit
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -202,14 +208,14 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(o, li.l_orderkey == o.o_orderkey)
               .groupBy(F.col("n_name").alias("nation"),
                        F.year(F.col("o_orderdate").cast("date")).alias("year"))
-              .agg(F.sum(profit.cast(DEC)).cast("double").alias("profit")))
+              .agg(F.sum(profit.cast(DEC)).cast(DEC).alias("profit")))
 
 
 @register(
     "returned_item_customers",
     f"""
     SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
-           n.n_name, {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           n.n_name, {_osum_exact('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -245,7 +251,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
               .groupBy("c_custkey", "c_name", "c_acctbal",
                        "c_mktsegment", "n_name")
-              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .agg(F.sum(rev).cast(DEC).alias("revenue"))
               .orderBy(F.desc("revenue"), F.asc("c_custkey"))
               .limit(20))
 
@@ -366,16 +372,22 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH thr AS (
       SELECT l_partkey,
-             0.2 * ({_osum('l_quantity')} / COUNT(*)) AS avg_qty_fifth
+             {_osum_exact('l_quantity')} AS sum_qty,
+             COUNT(*) AS n_qty
       FROM lineitem GROUP BY l_partkey
+    ),
+    agg AS (
+      SELECT {_osum_exact('l.l_extendedprice')} AS sum_price,
+             COUNT(*) AS n_small
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN thr t ON l.l_partkey = t.l_partkey
+      WHERE p.p_brand = 'Brand#2' AND p.p_type = 'PROMO'
+        AND CAST(l.l_quantity AS DECIMAL(38,6)) * 5 * t.n_qty < t.sum_qty
     )
-    SELECT {_osum('l.l_extendedprice')} / 7.0 AS avg_yearly,
-           COUNT(*) AS n_small
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN thr t ON l.l_partkey = t.l_partkey
-    WHERE p.p_brand = 'Brand#2' AND p.p_type = 'PROMO'
-      AND l.l_quantity < t.avg_qty_fifth
+    SELECT CAST({_omicros('sum_price')} AS DOUBLE) / 7000000.0 AS avg_yearly,
+           n_small
+    FROM agg
     """,
     doc="TPC-H Q17 shape (correlated-average threshold): revenue from "
         "orders below a fifth of their part's average quantity. The "
@@ -392,14 +404,24 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (load_table(spark, sf_dir, "part")
          .filter((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "PROMO"))
          .select("p_partkey"))
+    # The Q17 threshold l_quantity < 0.2*avg(qty) is compared in EXACT
+    # decimal arithmetic (5*qty*n < sum_qty): a double threshold would
+    # make row MEMBERSHIP engine-dependent at one-ulp boundaries, which
+    # is worse than a wobbly output value.  The final avg routes
+    # through exact BIGINT micros so the only float ops are a
+    # correctly-rounded int64->double conversion and one division.
     thr = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
-             .agg((F.lit(0.2) * (dsum("l_quantity") / F.count("*")))
-                  .alias("avg_qty_fifth")))
+             .agg(dsum_exact("l_quantity").alias("sum_qty"),
+                  F.count("*").alias("n_qty")))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .join(thr, li.l_partkey == thr.t_partkey)
-              .filter(F.col("l_quantity") < F.col("avg_qty_fifth"))
-              .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
-                   F.count("*").alias("n_small")))
+              .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("n_qty")
+                      < F.col("sum_qty"))
+              .agg(dsum_exact("l_extendedprice").alias("sum_price"),
+                   F.count("*").alias("n_small"))
+              .select((micros(F.col("sum_price")).cast("double")
+                       / F.lit(7000000.0)).alias("avg_yearly"),
+                      "n_small"))
 
 
 _Q20_QTY = 40
@@ -525,7 +547,8 @@ def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM log) WHERE rn = 1
     )
     SELECT status, COUNT(*) AS n_live,
-           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total_val
+           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DECIMAL(38,6))
+             AS total_val
     FROM latest WHERE op <> 'D' GROUP BY status
     """,
     doc="CDC apply (changelog -> current state): a synthetic I/U/D "
@@ -560,7 +583,7 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter((F.col("rn") == 1) & (F.col("op") != "D")))
     return (latest.groupBy("status")
                   .agg(F.count("*").alias("n_live"),
-                       dsum("val").alias("total_val")))
+                       dsum_exact("val").alias("total_val")))
 
 
 @register(
@@ -582,7 +605,7 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     SELECT f.key, COUNT(*) AS n_enriched,
-           CAST(SUM(CAST(v.attr AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(v.attr AS DECIMAL(38,6))) AS DECIMAL(38,6))
              AS total_attr,
            COUNT(DISTINCT v.version_id) AS n_versions_used
     FROM facts f
@@ -626,5 +649,5 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .drop(versions.key))
     return (j.groupBy("key")
              .agg(F.count("*").alias("n_enriched"),
-                  dsum("attr").alias("total_attr"),
+                  dsum_exact("attr").alias("total_attr"),
                   F.countDistinct("version_id").alias("n_versions_used")))
