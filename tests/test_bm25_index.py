@@ -90,3 +90,48 @@ def test_df_partials_merge_to_global_df(spark, sf_dir, index_path):
         assert diff == 0
     finally:
         shutil.rmtree(single_path, ignore_errors=True)
+
+
+def test_probe_missing_index_raises_descriptive(spark, sf_dir):
+    """A probe against a nonexistent index path must fail with a
+    descriptive FileNotFoundError, not a bare AnalysisException
+    (ADVICE r6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = query_terms(docs.filter(F.col("doc_id") == 1)).limit(1)
+    missing = os.path.join(tempfile.gettempdir(),
+                           f"sg_bm25_nope_{uuid.uuid4().hex[:8]}")
+    with pytest.raises(FileNotFoundError, match="BM25 index not found"):
+        probe_bm25_index(q, missing, k=5).collect()
+
+
+def test_probe_empty_query_set_short_circuits(spark, sf_dir, index_path):
+    """An empty (q_id, term) relation returns an empty
+    (q_id, doc_id, rank) frame without touching the index."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = query_terms(docs.filter(F.col("doc_id") < 0))  # empty
+    out = probe_bm25_index(q, index_path, k=5)
+    assert out.columns == ["q_id", "doc_id", "rank"]
+    assert out.count() == 0
+
+
+def test_probe_validate_catches_overlapping_reingest(spark, sf_dir,
+                                                     index_path):
+    """validate=True must detect a doc_id ingested under two different
+    batch_ids (the silent df/n_docs double-count ADVICE r6 flagged).
+    Uses a scratch copy so the shared fixture index stays clean."""
+    import shutil
+    dirty = index_path + "_dirty"
+    shutil.copytree(index_path, dirty)
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        # re-ingest batch-0 docs under a NEW batch_id -> overlap
+        write_bm25_batch(docs.filter(F.col("doc_id") % 4 != 0), dirty,
+                         batch_id=7)
+        q = query_terms(docs.filter(F.col("doc_id") < 5))
+        with pytest.raises(ValueError, match="batch disjointness"):
+            probe_bm25_index(q, dirty, k=5, validate=True).collect()
+        # the clean index passes the same validation
+        assert probe_bm25_index(q, index_path, k=5,
+                                validate=True).count() > 0
+    finally:
+        shutil.rmtree(dirty, ignore_errors=True)

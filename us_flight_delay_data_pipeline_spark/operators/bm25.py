@@ -107,7 +107,23 @@ def write_bm25_batch(docs: DataFrame, path: str, batch_id: int = 0,
     ``batch_id``-keyed partitions. First call creates the index;
     later calls append new batches; a REPLAYED batch_id overwrites
     exactly its own partitions (dynamic partition overwrite), so the
-    writer is idempotent per batch."""
+    writer is idempotent per batch.
+
+    PRECONDITION — batches must be doc-disjoint: the df/stats
+    partials are merged at probe time as plain sums, so a doc_id
+    ingested under TWO different batch_ids is double-counted in
+    df/n_docs and silently corrupts scores. Re-ingesting a batch is
+    safe only under its ORIGINAL batch_id (that is the idempotent
+    replay path). ``probe_bm25_index(validate=True)`` checks the
+    invariant (SUM(n_docs) == COUNT(DISTINCT doc_id) of postings)
+    before scoring.
+
+    The writer temporarily sets the session-global
+    ``partitionOverwriteMode=dynamic`` (restored in ``finally``) —
+    concurrent writers in the SAME SparkSession during that window
+    would observe it; the engine's contract is single-writer-per-
+    session for index builds (the queries build under
+    applicationId-keyed paths, which enforces it)."""
     spark = docs.sparkSession
     tfdl = _tf_dl(docs, id_col, text_col).persist()
     bid = F.lit(int(batch_id)).cast("bigint")
@@ -132,11 +148,14 @@ def write_bm25_batch(docs: DataFrame, path: str, batch_id: int = 0,
              .write.mode("overwrite").partitionBy("batch_id")
              .parquet(os.path.join(path, "stats")))
     finally:
+        # unpersist inside the finally: a failed write must not leak
+        # the persisted tf/dl frame (ADVICE r6)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    tfdl.unpersist()
+        tfdl.unpersist()
 
 
-def probe_bm25_index(queries: DataFrame, path: str, k: int = 10) -> DataFrame:
+def probe_bm25_index(queries: DataFrame, path: str, k: int = 10,
+                     validate: bool = False) -> DataFrame:
     """Answer BM25 top-k from the persisted index. ``queries`` is a
     (q_id, term) relation (see :func:`query_terms`); results exclude
     the query document itself (doc_id != q_id).
@@ -147,16 +166,51 @@ def probe_bm25_index(queries: DataFrame, path: str, k: int = 10) -> DataFrame:
     by contract), the df partials (vocabulary-sized), and the stats
     rows (one per batch). Merging the per-batch df/stats partials is
     a sum of exact integers, so a probe over N appended batches
-    computes exactly what a single-batch build would."""
+    computes exactly what a single-batch build would.
+
+    ``validate=True`` additionally checks the batch-disjointness
+    invariant (SUM(n_docs) over stats == COUNT(DISTINCT doc_id) over
+    postings) and raises if an overlapping re-ingest corrupted the
+    partials — one vocabulary-pruned distinct, intended for audits
+    and post-append sanity checks, not the per-query hot path."""
     spark = queries.sparkSession
     qt = queries.select("q_id", "term").distinct()
     buckets = sorted({
         r.b for r in
         qt.select((h32(F.col("term")) % N_TERM_BUCKETS).cast("int")
                   .alias("b")).distinct().collect()})
-    srow = (spark.read.parquet(os.path.join(path, "stats"))
-                 .agg(F.sum("n_docs").alias("n"),
-                      F.sum("total_tokens").alias("tot")).first())
+    if not buckets:
+        # empty query set: nothing to probe — return an empty
+        # (q_id, doc_id, rank) frame typed from the inputs
+        q_type = queries.schema["q_id"].dataType.simpleString()
+        return (queries.select("q_id",
+                               F.col("q_id").alias("doc_id"),
+                               F.lit(1).alias("rank"))
+                       .limit(0).selectExpr(
+                           "q_id", f"CAST(doc_id AS {q_type}) AS doc_id",
+                           "rank"))
+    try:
+        stats = spark.read.parquet(os.path.join(path, "stats"))
+    except Exception as e:
+        raise FileNotFoundError(
+            f"BM25 index not found at {path!r} (missing stats/): {e}"
+        ) from e
+    srow = stats.agg(F.sum("n_docs").alias("n"),
+                     F.sum("total_tokens").alias("tot")).first()
+    if srow is None or srow["n"] is None:
+        raise ValueError(
+            f"BM25 index at {path!r} is empty (stats/ has no rows) — "
+            f"write at least one batch with write_bm25_batch first")
+    if validate:
+        distinct_docs = (spark.read.parquet(os.path.join(path, "postings"))
+                              .select("doc_id").distinct().count())
+        if int(srow["n"]) != distinct_docs:
+            raise ValueError(
+                f"BM25 index at {path!r} violates batch disjointness: "
+                f"stats SUM(n_docs)={int(srow['n'])} != "
+                f"{distinct_docs} distinct posting doc_ids — a doc_id "
+                f"was re-ingested under a different batch_id; rebuild "
+                f"the index or replay under original batch_ids")
     n_docs = int(srow["n"])
     avgdl = float(srow["tot"]) / float(n_docs)
     df_merged = (spark.read.parquet(os.path.join(path, "df"))

@@ -513,6 +513,11 @@ def stream_bm25_index_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stream_source(spark, sf_dir, "documents")
     tag = uuid.uuid4().hex[:12]
     idx = tempfile.mkdtemp(prefix=f"sg_bm25s_{tag}_idx_")
+    # registered BEFORE the stream starts: a failing streaming query
+    # must not leak the index dir (ADVICE r6) — the probe below reads
+    # it lazily within the same process lifetime, so exit-time
+    # cleanup is still correct
+    cleanup_at_exit(idx)
     ckpt = tempfile.mkdtemp(prefix=f"sg_bm25s_{tag}_ckpt_")
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
@@ -527,7 +532,6 @@ def stream_bm25_index_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    cleanup_at_exit(idx)
     docs = load_table(spark, sf_dir, "documents")
     seeds = query_terms(docs.filter(F.col("doc_id") < _N_QUERY_DOCS))
     return probe_bm25_index(seeds, idx, k=_TOPK)
