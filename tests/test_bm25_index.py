@@ -135,3 +135,39 @@ def test_probe_validate_catches_overlapping_reingest(spark, sf_dir,
                                 validate=True).count() > 0
     finally:
         shutil.rmtree(dirty, ignore_errors=True)
+
+
+def test_phrase_probe_matches_inline_scan(spark, sf_dir):
+    """phrase_search_indexed (positional-postings probe) must produce
+    exactly the rows of phrase_search_top_bigram (inline scan) — the
+    oracle-shared twin contract."""
+    inline = sorted(tuple(r) for r in
+                    REGISTRY["phrase_search_top_bigram"]
+                    .fn(spark, sf_dir).collect())
+    indexed = sorted(tuple(r) for r in
+                     REGISTRY["phrase_search_indexed"]
+                     .fn(spark, sf_dir).collect())
+    assert indexed == inline
+    assert len(inline) > 0  # non-vacuous
+
+
+def test_phrase_probe_prunes_postings_partitions(spark, sf_dir,
+                                                 index_path):
+    """The phrase probe must read only the phrase terms' term_bucket
+    partitions (PartitionFilters on the postings scan)."""
+    from us_flight_delay_data_pipeline_spark.operators.bm25 import (
+        phrase_probe)
+    phrases = spark.createDataFrame(
+        [(0, "data", "pipeline")], "phrase_id INT, w1 STRING, w2 STRING")
+    plan = phrase_probe(phrases, index_path) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400], plan
+
+
+def test_positions_column_consistency(spark, sf_dir, index_path):
+    """Postings invariants: positions sorted, tf == size(positions)."""
+    p = spark.read.parquet(os.path.join(index_path, "postings"))
+    bad = p.filter(
+        (F.col("tf") != F.size("positions"))
+        | (F.col("positions") != F.sort_array("positions"))).count()
+    assert bad == 0

@@ -5,10 +5,17 @@ forever — the lexical sibling of the persisted ANN index
 
 Layout at ``{path}``:
 
-- ``postings/`` — (term, doc_id, tf, dl) partitioned by
+- ``postings/`` — (term, doc_id, tf, dl, positions) partitioned by
   ``(batch_id, term_bucket)``; ``term_bucket = h32(term) % 32``.
   dl is denormalized into the postings row so a probe never joins a
-  corpus-sized doc-length table.
+  corpus-sized doc-length table. ``positions`` is the sorted 0-based
+  token-position array of the term in the doc (tf == its size) — it
+  turns standing phrase/proximity workloads into index probes
+  (:func:`phrase_probe`) instead of corpus scans, at the classic
+  positional-index cost of roughly token-stream-sized postings
+  (Manning/Raghavan/Schütze IIR §2.4.2); BM25 probes never read the
+  column (parquet column pruning keeps them at the non-positional
+  I/O bound).
 - ``df/`` — per-batch document-frequency partials (term, df)
   partitioned by ``batch_id`` (vocabulary-sized per batch).
 - ``stats/`` — one row per batch (n_docs, total_tokens).
@@ -46,7 +53,7 @@ from .hashing import h32
 __all__ = [
     "K1", "B", "K1_PLUS_1", "ONE_MINUS_B", "N_TERM_BUCKETS",
     "bm25_contribution", "query_terms", "write_bm25_batch",
-    "probe_bm25_index",
+    "probe_bm25_index", "phrase_probe",
 ]
 
 # Pinned scoring constants (Lucene defaults). K1_PLUS_1 and
@@ -91,11 +98,18 @@ def query_terms(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _tf_dl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # posexplode keeps the 0-based token position so the postings can
+    # carry a positions column (phrase/proximity probes); sort_array
+    # pins the collect_list order — positions are per-(doc, term)
+    # unique, so the sorted array is deterministic under any
+    # partitioning. tf == size(positions) by construction.
     toks = (docs.filter(F.length(F.trim(text_col)) > 0)
                 .select(F.col(id_col).alias("doc_id"),
-                        F.explode(word_tokens(F.lower(F.col(text_col))))
-                         .alias("term")))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+                        F.posexplode(word_tokens(F.lower(F.col(text_col))))
+                         .alias("pos", "term")))
+    tf = (toks.groupBy("doc_id", "term")
+              .agg(F.count("*").alias("tf"),
+                   F.sort_array(F.collect_list("pos")).alias("positions")))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return tf.join(dl, "doc_id")
 
@@ -229,3 +243,61 @@ def probe_bm25_index(queries: DataFrame, path: str, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("q_id", "doc_id", "rank"))
+
+
+def phrase_probe(phrases: DataFrame, path: str) -> DataFrame:
+    """Exact consecutive-bigram phrase search from the positional
+    postings: for each (phrase_id, w1, w2) row return every doc
+    containing w1 immediately followed by w2, with the exact
+    occurrence count — ``n_matches = |{p in pos(w1) : p+1 in
+    pos(w2)}|``, a pure per-row array expression
+    (array_intersect(transform(pos1, p->p+1), pos2); positions are
+    unique per (doc, term), so the intersect size IS the adjacency
+    count, including the w1 == w2 case).
+
+    Reads only the phrase terms' term_bucket partitions (static
+    pruning from the phrase table's bounded vocabulary — same
+    contract as :func:`probe_bm25_index`). Per-batch postings need no
+    merge: a doc lives in exactly one batch (the writer's
+    disjointness precondition), so its positions arrays are complete
+    within that batch. Per-phrase work is |postings(w1)| +
+    |postings(w2)| + a doc_id-keyed join of the two lists — the
+    positional-index bound, never a corpus scan.
+    """
+    spark = phrases.sparkSession
+    ph = phrases.select("phrase_id", "w1", "w2").distinct()
+    terms = {t for r in ph.select("w1", "w2").collect()
+             for t in (r["w1"], r["w2"])}
+    if not terms:
+        return (ph.select("phrase_id",
+                          F.lit(None).cast("long").alias("doc_id"),
+                          F.lit(0).cast("bigint").alias("n_matches"))
+                  .limit(0))
+    buckets = sorted({_bucket_of(t) for t in terms})
+    postings = (spark.read.parquet(os.path.join(path, "postings"))
+                     .filter(F.col("term_bucket").isin(buckets)
+                             & F.col("term").isin(sorted(terms)))
+                     .select("term", "doc_id", "positions"))
+    p1 = postings.select(F.col("term").alias("w1"), "doc_id",
+                         F.col("positions").alias("pos1"))
+    p2 = postings.select(F.col("term").alias("w2"),
+                         F.col("doc_id").alias("doc_id2"),
+                         F.col("positions").alias("pos2"))
+    n_matches = F.size(F.array_intersect(
+        F.expr("transform(pos1, p -> p + 1)"), F.col("pos2"))) \
+        .cast("bigint")
+    cand = p1.join(F.broadcast(ph), "w1")
+    return (cand.join(p2, (cand.w2 == p2.w2)
+                          & (cand.doc_id == p2.doc_id2))
+                .select("phrase_id", cand.doc_id.alias("doc_id"),
+                        n_matches.alias("n_matches"))
+                .filter(F.col("n_matches") > 0))
+
+
+def _bucket_of(term: str) -> int:
+    """Driver-side term_bucket — exact mirror of the column expr
+    ``h32(term) % N_TERM_BUCKETS`` (hashing.h60 = first 15 md5 hex
+    digits as int; h32 = h60 % 2^32)."""
+    import hashlib
+    h60_val = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+    return (h60_val % (1 << 32)) % N_TERM_BUCKETS
