@@ -105,11 +105,17 @@ def decode_image_batch(df: DataFrame, fake_decode: bool = False) -> DataFrame:
 
 
 def extract_image_features(df: DataFrame, dim: int = 8,
-                           fake_decode: bool = False) -> DataFrame:
+                           fake_decode: bool = False,
+                           normalize: bool = True) -> DataFrame:
     """image binary → float feature vector (the embed stage).
 
     The fake computes a deterministic byte-histogram projection — a
-    stand-in with the same schema/batch shape as a real vision encoder."""
+    stand-in with the same schema/batch shape as a real vision
+    encoder. ``normalize=False`` keeps the raw histogram COUNTS —
+    exact integers (float32 represents ints < 2^24 exactly), which is
+    what makes the media_image_features_exact oracle twin possible:
+    the normalized vector divides by the byte total (float rounding),
+    the counts do not."""
     def gen(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import numpy as np
         import pandas as pd
@@ -121,7 +127,9 @@ def extract_image_features(df: DataFrame, dim: int = 8,
                 arr = np.frombuffer(blob or b"", dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 total = hist.sum()
-                feats.append((hist / total if total else hist).tolist())
+                if normalize:
+                    hist = hist / total if total else hist
+                feats.append(hist.tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.select("media_id", "content").mapInPandas(gen, _FEATURE_SCHEMA)

@@ -126,6 +126,50 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", arr_str(q).alias("feature"))
 
 
+_HIST_DIM = 8
+
+
+@register(
+    "media_image_features_exact",
+    f"""
+    WITH {_MEDIA_CTE},
+    imgs AS (
+      SELECT media_id, payload FROM media WHERE kind = 'image'
+    ),
+    chars AS (
+      SELECT i.media_id,
+             ascii(substring(i.payload, g.j::INT + 1, 1))
+               % {_HIST_DIM} AS b
+      FROM imgs i,
+           LATERAL (SELECT unnest(range(0,
+                      octet_length(encode(i.payload)))) AS j) g
+    )
+    SELECT media_id,
+           {', '.join(f"SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END)::BIGINT"
+                      f" AS h{i}" for i in range(_HIST_DIM))}
+    FROM chars GROUP BY media_id
+    """,
+    doc="Full-oracle EXACT twin of media_image_features (VERDICT r6 "
+        "task #6): the same mapInPandas vision-encoder stand-in, run "
+        "with normalize=False so the byte-histogram COUNTS come back "
+        "— exact integers (float32 holds ints < 2^24 exactly; "
+        "payloads are bounded), so the whole Arrow round-trip "
+        "(binary column in, fixed-dim vector out, batch shape, "
+        "schema) is pinned by a bit-exact value hash instead of a "
+        "rows-only check. The normalized float vector stays rows-"
+        "only in media_image_features; this twin checks everything "
+        "up to the one engine-local division.",
+)
+def media_image_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import extract_image_features
+    imgs = _media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    feats = extract_image_features(imgs, dim=_HIST_DIM, fake_decode=True,
+                                   normalize=False)
+    cols = [F.element_at("feature", i + 1).cast("bigint").alias(f"h{i}")
+            for i in range(_HIST_DIM)]
+    return feats.select("media_id", *cols)
+
+
 _RSZ_W, _RSZ_H, _RSZ_SRC_W = 8, 4, 16
 
 
