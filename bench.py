@@ -36,16 +36,38 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 CONTROL_R2_SEC = {"region_revenue": 0.898, "text_stats": 0.457,
                   "segment_sales": 0.437, "topk_orders": 0.133}
 
+# Shuffle-profile controls (VERDICT r6 task #4): host drift is not
+# scalar — a shift in shuffle/spill throughput moves shuffle-dense
+# queries without moving the scan-bound controls (bigram_lm_scores /
+# bitext_margin_pairs bounced for two rounds under the scalar factor).
+# These two queries are window/shuffle-dominated and code-frozen since
+# their introduction (git -S: one commit each); their ratio vs the
+# round-2 record measures the host's SHUFFLE speed. compare_bench.py
+# flags a query only when it regresses under BOTH normalizations.
+SHUFFLE_CONTROL_R2_SEC = {"sessionize_events": 0.447,
+                          "customer_running_total": 0.414}
+
+
+def _r2_record() -> dict[str, float]:
+    try:
+        return json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_local_r2.json")))["queries"]
+    except Exception:
+        return {}
+
 
 def control_reference() -> dict[str, float]:
     ref = dict(CONTROL_R2_SEC)
-    try:
-        r2 = json.load(open(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "BENCH_local_r2.json")))["queries"]
-        ref.update({k: r2[k] for k in ref if k in r2})
-    except Exception:
-        pass
+    r2 = _r2_record()
+    ref.update({k: r2[k] for k in ref if k in r2})
+    return ref
+
+
+def shuffle_control_reference() -> dict[str, float]:
+    ref = dict(SHUFFLE_CONTROL_R2_SEC)
+    r2 = _r2_record()
+    ref.update({k: r2[k] for k in ref if k in r2})
     return ref
 
 
@@ -87,6 +109,13 @@ def main() -> None:
     ratios = sorted(box_controls.values())
     box_factor = (round(statistics.median(ratios), 3)
                   if ratios else None)
+    sref = shuffle_control_reference()
+    box_controls_shuffle = {n: round(timings[n] / sref[n], 3)
+                            for n in sorted(sref)
+                            if n in timings and sref[n] > 0}
+    sratios = sorted(box_controls_shuffle.values())
+    box_factor_shuffle = (round(statistics.median(sratios), 3)
+                          if sratios else None)
     # Box-normalized seconds (raw / session control factor) stored
     # NEXT TO raw: the host drifted 1.13-1.9x within round 5 alone,
     # so raw seconds across sessions are not comparable — perf triage
@@ -114,6 +143,11 @@ def main() -> None:
         # scripts/compare_bench.py applies it automatically)
         "box_controls": box_controls,
         "box_factor": box_factor,
+        # shuffle-profile host factor — frozen window/shuffle-dense
+        # controls; a shuffle-throughput shift moves this without
+        # moving box_factor (see SHUFFLE_CONTROL_R2_SEC)
+        "box_controls_shuffle": box_controls_shuffle,
+        "box_factor_shuffle": box_factor_shuffle,
         "queries_box_normalized": normalized,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

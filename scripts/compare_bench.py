@@ -27,17 +27,31 @@ import sys
 # must match bench.py's fallback control records (round-2 box)
 CONTROL_R2_SEC = {"region_revenue": 0.898, "text_stats": 0.457,
                   "segment_sales": 0.437, "topk_orders": 0.133}
+# shuffle-profile controls (bench.py SHUFFLE_CONTROL_R2_SEC): a
+# shuffle-throughput host shift moves shuffle-dense queries without
+# moving the scan-bound controls, so a query is flagged only when it
+# regresses under BOTH normalizations (VERDICT r6 task #4)
+SHUFFLE_CONTROL_R2_SEC = {"sessionize_events": 0.447,
+                          "customer_running_total": 0.414}
+
+
+def _factor(doc: dict, field: str, controls: dict[str, float]) -> float:
+    """The JSON's recorded host-speed factor, else derive it from its
+    own control-query timings, else 1.0."""
+    if doc.get(field):
+        return float(doc[field])
+    q = doc.get("queries", {})
+    ratios = sorted(q[n] / r for n, r in controls.items()
+                    if n in q and r > 0)
+    return round(statistics.median(ratios), 3) if ratios else 1.0
 
 
 def box_factor(doc: dict) -> float:
-    """The JSON's recorded host-speed factor, else derive it from its
-    own control-query timings, else 1.0."""
-    if doc.get("box_factor"):
-        return float(doc["box_factor"])
-    q = doc.get("queries", {})
-    ratios = sorted(q[n] / r for n, r in CONTROL_R2_SEC.items()
-                    if n in q and r > 0)
-    return round(statistics.median(ratios), 3) if ratios else 1.0
+    return _factor(doc, "box_factor", CONTROL_R2_SEC)
+
+
+def shuffle_factor(doc: dict) -> float:
+    return _factor(doc, "box_factor_shuffle", SHUFFLE_CONTROL_R2_SEC)
 
 
 def main() -> int:
@@ -50,8 +64,12 @@ def main() -> int:
 
     bf_base, bf_new = box_factor(base_doc), box_factor(new_doc)
     norm = bf_new / bf_base if bf_base > 0 else 1.0
+    sf_base, sf_new = shuffle_factor(base_doc), shuffle_factor(new_doc)
+    snorm = sf_new / sf_base if sf_base > 0 else 1.0
     print(f"box factors: base {bf_base}  new {bf_new}  "
           f"normalizing new/base ratios by {norm:.3f}")
+    print(f"shuffle factors: base {sf_base}  new {sf_new}  "
+          f"shuffle-normalizing by {snorm:.3f}")
 
     shared = sorted(set(base) & set(new))
     ratios = []
@@ -61,9 +79,13 @@ def main() -> int:
         if b <= 0:
             continue
         r = (n / b) / norm
+        rs = (n / b) / snorm
         ratios.append(r)
-        if r >= threshold and max(b, n) >= 0.3:
-            flagged.append((r, name, b, n))
+        # a real regression exceeds the threshold under BOTH host
+        # profiles; one-profile-only excursions are host drift in
+        # that profile, not a plan change
+        if min(r, rs) >= threshold and max(b, n) >= 0.3:
+            flagged.append((min(r, rs), name, b, n, r, rs))
 
     ratios.sort()
     med = ratios[len(ratios) // 2] if ratios else float("nan")
@@ -71,12 +93,13 @@ def main() -> int:
           f"added: {sorted(set(new) - set(base))}  "
           f"removed: {sorted(set(base) - set(new))}")
     print(f"median box-normalized per-query ratio: {med:.2f}x  "
-          f"threshold: {threshold}x")
-    for r, name, b, n in sorted(flagged, reverse=True):
+          f"threshold: {threshold}x (must exceed under both profiles)")
+    for _, name, b, n, r, rs in sorted(flagged, reverse=True):
         print(f"FLAG {name}: {b:.2f}s -> {n:.2f}s "
-              f"({r:.2f}x box-normalized)")
+              f"({r:.2f}x scan-normalized, {rs:.2f}x shuffle-normalized)")
     if not flagged:
-        print("no per-query regressions at threshold (box-normalized)")
+        print("no per-query regressions at threshold "
+              "(dual-profile normalized)")
     return 1 if flagged else 0
 
 
