@@ -65,6 +65,7 @@ class QuerySpec:
 AUDIT_QUERIES = frozenset({
     "minhash_band_tuning", "ivf_recall_audit", "lsh_recall_audit",
     "source_overlap_audit", "knn_cap_recall_audit",
+    "matryoshka_recall_audit",
 })
 
 
@@ -238,6 +239,7 @@ def load_registry() -> dict[str, QuerySpec]:
     """
     from . import curation_extra  # noqa: F401
     from . import curation_wave6  # noqa: F401
+    from . import curation_wave7  # noqa: F401
     from . import graph_and_index  # noqa: F401
     from . import data_quality  # noqa: F401
     from . import transactions  # noqa: F401
