@@ -491,3 +491,53 @@ def test_python_datasource_scan_node(q):
     p = plan(q("pyds_envelope_counts"), "simple")
     assert "sg_jsonl_envelope" in p
     assert "(Python)" in p
+
+
+def test_gdpr_cascade_is_all_broadcast_semi(q):
+    """gdpr_delete_propagation: every cascade is a broadcast
+    left-semi — no fact table is ever shuffled for the join."""
+    p = plan(q("gdpr_delete_propagation"), "simple")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_blocking_is_equi_join_not_cartesian(q):
+    """fuzzy_name_blocking: the block key must drive a hash join —
+    Levenshtein runs only inside blocks, never all-pairs."""
+    p = plan(q("fuzzy_name_blocking"), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_layout_audits_are_single_scan_aggregates(q):
+    """zonemap/zorder audits: scan -> project -> hash agg, no joins
+    (the audit must be metadata-cheap by design)."""
+    for name in ("zonemap_pruning_audit", "zorder_layout_audit"):
+        p = plan(q(name), "simple")
+        assert "Join" not in p, name
+        assert "HashAggregate" in p, name
+
+
+def test_epoch_shuffle_is_map_side_expression(q):
+    """epoch_shuffle_plan: hash assignment is a pure projection —
+    the ONLY shuffle is the 16-row final aggregate (partial+final
+    hash agg over one explode; no join, no window, no sort)."""
+    p = plan(q("epoch_shuffle_plan"), "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "Generate explode" in p
+    assert p.count("Exchange") == 1, p
+
+
+def test_equi_depth_window_runs_on_distinct_values(q):
+    """equi_depth_binning: the cumulative window must sit ABOVE the
+    distinct-value aggregate (window input is |distinct| rows, not
+    the fact table)."""
+    p = plan(q("equi_depth_binning"), "formatted")
+    assert "Window" in p
+    # fact-table aggregation happens before any window: the first
+    # HashAggregate appears earlier in the plan tree dump than the
+    # Window operator's input ordering requires — pin by checking
+    # the window's child chain includes the v-grouping aggregate
+    assert p.index("HashAggregate") < p.index("Window") or \
+        "HashAggregate" in p.split("Window", 1)[1]
