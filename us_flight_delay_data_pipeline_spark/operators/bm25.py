@@ -53,7 +53,7 @@ from .hashing import h32
 __all__ = [
     "K1", "B", "K1_PLUS_1", "ONE_MINUS_B", "N_TERM_BUCKETS",
     "bm25_contribution", "query_terms", "write_bm25_batch",
-    "probe_bm25_index", "phrase_probe",
+    "probe_bm25_index", "phrase_probe", "proximity_probe",
 ]
 
 # Pinned scoring constants (Lucene defaults). K1_PLUS_1 and
@@ -301,3 +301,45 @@ def _bucket_of(term: str) -> int:
     import hashlib
     h60_val = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
     return (h60_val % (1 << 32)) % N_TERM_BUCKETS
+
+
+def proximity_probe(pairs: DataFrame, path: str, window: int) -> DataFrame:
+    """NEAR/w proximity search from the positional postings: for each
+    (pair_id, w1, w2) row return every doc where the two terms occur
+    within ``window`` token positions of each other, with the exact
+    count of qualifying position pairs —
+    ``n_pairs = |{(p,q) in pos(w1) x pos(w2) : |p-q| <= window, p<>q}|``
+    (symmetric, unlike the directional phrase adjacency). The
+    position-pair count is a nested higher-order expression
+    (aggregate over pos1 of size(filter(pos2, ...))) — JVM-side, no
+    UDF. Same candidate generation and term_bucket pruning as
+    :func:`phrase_probe`.
+    """
+    spark = pairs.sparkSession
+    ph = pairs.select("pair_id", "w1", "w2").distinct()
+    terms = {t for r in ph.select("w1", "w2").collect()
+             for t in (r["w1"], r["w2"])}
+    if not terms:
+        return (ph.select("pair_id",
+                          F.lit(None).cast("long").alias("doc_id"),
+                          F.lit(0).cast("bigint").alias("n_pairs"))
+                  .limit(0))
+    buckets = sorted({_bucket_of(t) for t in terms})
+    postings = (spark.read.parquet(os.path.join(path, "postings"))
+                     .filter(F.col("term_bucket").isin(buckets)
+                             & F.col("term").isin(sorted(terms)))
+                     .select("term", "doc_id", "positions"))
+    p1 = postings.select(F.col("term").alias("w1"), "doc_id",
+                         F.col("positions").alias("pos1"))
+    p2 = postings.select(F.col("term").alias("w2"),
+                         F.col("doc_id").alias("doc_id2"),
+                         F.col("positions").alias("pos2"))
+    n_pairs = F.expr(
+        f"aggregate(pos1, 0L, (acc, p) -> acc + size(filter(pos2, "
+        f"q -> abs(q - p) <= {int(window)} AND q <> p)))").cast("bigint")
+    cand = p1.join(F.broadcast(ph), "w1")
+    return (cand.join(p2, (cand.w2 == p2.w2)
+                          & (cand.doc_id == p2.doc_id2))
+                .select("pair_id", cand.doc_id.alias("doc_id"),
+                        n_pairs.alias("n_pairs"))
+                .filter(F.col("n_pairs") > 0))

@@ -503,42 +503,65 @@ _FUZZY_MAX_DIST = 2
 @register(
     "fuzzy_name_blocking",
     f"""
-    WITH blocked AS (
-      SELECT s_suppkey, s_name, right(s_name, 1) AS blk FROM supplier
+    WITH named AS (
+      SELECT s_name, right(s_name, 1) AS blk, COUNT(*) AS m
+      FROM supplier GROUP BY 1, 2
+    ),
+    fuzzy AS (
+      SELECT levenshtein(a.s_name, b.s_name) AS distance,
+             SUM(a.m * b.m) AS n_pairs
+      FROM named a JOIN named b
+        ON a.blk = b.blk AND a.s_name < b.s_name
+      WHERE levenshtein(a.s_name, b.s_name) <= {_FUZZY_MAX_DIST}
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT 0 AS distance, SUM(m * (m - 1) // 2) AS n_pairs
+      FROM named WHERE m > 1 HAVING COUNT(*) > 0
     )
-    SELECT levenshtein(a.s_name, b.s_name) AS distance,
-           COUNT(*) AS n_pairs
-    FROM blocked a JOIN blocked b
-      ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
-    WHERE levenshtein(a.s_name, b.s_name) <= {_FUZZY_MAX_DIST}
-    GROUP BY 1
+    SELECT distance, n_pairs FROM fuzzy
+    UNION ALL SELECT distance, n_pairs FROM exact
     """,
-    doc="Entity-resolution verify stage: supplier-name pairs within "
+    doc="Entity-resolution verify stage: supplier-record pairs within "
         f"Levenshtein distance {_FUZZY_MAX_DIST}, candidates bounded "
-        "by a blocking key (last name character) exactly like the "
-        "dedup family bounds Σ block² — the expensive edit-distance "
-        "DP runs only inside blocks, never all-pairs. Levenshtein is "
-        "the textbook DP definition in both Spark and DuckDB "
-        "(cross-engine parity verified), so pair counts are exact. "
-        "At 100 TB the block key is the scalability lever — q-gram "
-        "or phonetic keys slot into the identical plan shape "
-        "(sorted-neighborhood and PPJoin are this family's "
-        "siblings in the registry).",
+        "by a blocking key (last name character). Scale-correct ER "
+        "order of operations: EXACT duplicates collapse FIRST into "
+        "(name, multiplicity) groups — distance-0 pairs are the "
+        "closed form Σ C(m,2) and the edit-distance DP runs only on "
+        "DISTINCT-name pairs per block, weighted by m_a*m_b. On "
+        "replicated corpora this is the difference between "
+        "|distinct|² and |rows|² DP calls (measured: the naive "
+        "row-pair formulation went super-linear on the 100x replica "
+        "set, the collapsed one is flat — BENCH_scale100_wave7). "
+        "Levenshtein is the textbook DP definition in both Spark and "
+        "DuckDB (parity verified); pair counts are exact integers. "
+        "At 100 TB the block key is the scalability lever — q-gram / "
+        "phonetic keys slot into the identical plan shape (sorted-"
+        "neighborhood and PPJoin are this family's registry "
+        "siblings).",
 )
 def fuzzy_name_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load_table(spark, sf_dir, "supplier") \
-        .select("s_suppkey", "s_name",
-                F.substring(F.col("s_name"), -1, 1).alias("blk"))
-    a = s.select(F.col("s_suppkey").alias("k1"),
-                 F.col("s_name").alias("n1"), "blk")
-    b = s.select(F.col("s_suppkey").alias("k2"),
-                 F.col("s_name").alias("n2"),
-                 F.col("blk").alias("blk2"))
-    return (a.join(b, (a.blk == b.blk2) & (F.col("k1") < F.col("k2")))
-             .select(F.levenshtein("n1", "n2").alias("distance"))
-             .filter(F.col("distance") <= _FUZZY_MAX_DIST)
-             .groupBy("distance")
-             .agg(F.count("*").alias("n_pairs")))
+    named = (load_table(spark, sf_dir, "supplier")
+             .groupBy(F.col("s_name"),
+                      F.substring(F.col("s_name"), -1, 1).alias("blk"))
+             .agg(F.count("*").alias("m")))
+    a = named.select(F.col("s_name").alias("n1"), "blk",
+                     F.col("m").alias("m1"))
+    b = named.select(F.col("s_name").alias("n2"),
+                     F.col("blk").alias("blk2"), F.col("m").alias("m2"))
+    fuzzy = (a.join(b, (a.blk == b.blk2) & (F.col("n1") < F.col("n2")))
+              .select(F.levenshtein("n1", "n2").alias("distance"),
+                      (F.col("m1") * F.col("m2")).alias("w"))
+              .filter(F.col("distance") <= _FUZZY_MAX_DIST)
+              .groupBy("distance")
+              .agg(F.sum("w").alias("n_pairs")))
+    exact = (named.filter(F.col("m") > 1)
+                  .agg(F.lit(0).alias("distance"),
+                       F.sum(F.col("m") * (F.col("m") - 1) / 2)
+                        .cast("long").alias("n_pairs"),
+                       F.count("*").alias("_g"))
+                  .filter(F.col("_g") > 0).drop("_g"))
+    return fuzzy.unionByName(exact)
 
 
 # ---------------------------------------------------------------- #

@@ -328,7 +328,7 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_supplier",
     f"""
     WITH rev AS (
-      SELECT l_suppkey, {_osum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      SELECT l_suppkey, {_osum_exact('l_extendedprice * (1 - l_discount)')} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1997-07-01'
@@ -347,14 +347,20 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "does not dedupe repeated subplans; the persist makes the two "
         "references to `rev` one scan), and the supplier-count-sized "
         "rollup never funnels through a single-partition window. "
-        "Supplier and nation broadcast into the final result.",
+        "Supplier and nation broadcast into the final result. "
+        "total_revenue stays DECIMAL end-to-end so the argmax "
+        "EQUALITY is exact integer comparison — a double argmax "
+        "could tie differently across engines at a one-ulp "
+        "boundary and change the row count (r7 portability "
+        "policy).",
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))))
     rev = (li.groupBy("l_suppkey")
-             .agg(dsum((F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .agg(dsum_exact(
+                      (F.col("l_extendedprice") * (1 - F.col("l_discount"))))
                   .alias("total_revenue"))
              .persist())
     mx = rev.agg(F.max("total_revenue").alias("_mx"))

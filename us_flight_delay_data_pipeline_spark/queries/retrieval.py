@@ -383,7 +383,8 @@ def _shared_bm25_index(spark: SparkSession, sf_dir: str) -> str:
 # Shared by phrase_search_top_bigram (inline scan) and
 # phrase_search_indexed (positional-postings probe) — the twin pair
 # must hash-match each other AND this oracle.
-_PHRASE_ORACLE = f"""
+# top-bigram derivation shared by the phrase and proximity oracles
+_TOPBG_CTES = f"""
     WITH base AS (
       SELECT doc_id, {_tok_sql()} AS toks FROM documents
       WHERE length(trim(text)) > 0
@@ -396,7 +397,10 @@ _PHRASE_ORACLE = f"""
       SELECT w1, w2 FROM (
         SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
         ORDER BY c DESC, w1, w2 LIMIT 1)
-    )
+    )"""
+
+_PHRASE_ORACLE = f"""
+    {_TOPBG_CTES}
     SELECT b.doc_id,
            len([i for i in range(1, len(b.toks))
                 IF b.toks[i] = t.w1 AND b.toks[i+1] = t.w2])::BIGINT
@@ -483,3 +487,55 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("phrase_id", F.lit(0))
     return (phrase_probe(top_bg, path)
             .select("doc_id", "n_matches"))
+
+
+_PROX_WINDOW = 3
+
+
+@register(
+    "proximity_search_indexed",
+    f"""
+    {_TOPBG_CTES},
+    pos AS (
+      SELECT b.doc_id,
+             [i for i in range(1, len(b.toks) + 1)
+              IF b.toks[i] = t.w1] AS pos1,
+             [i for i in range(1, len(b.toks) + 1)
+              IF b.toks[i] = t.w2] AS pos2
+      FROM base b CROSS JOIN top_bg t
+    )
+    SELECT doc_id,
+           COALESCE(list_sum(
+             [len([q for q in pos2
+                   IF abs(q - p) <= {_PROX_WINDOW} AND q <> p])
+              for p in pos1]), 0)::BIGINT AS n_pairs
+    FROM pos
+    WHERE COALESCE(list_sum(
+            [len([q for q in pos2
+                  IF abs(q - p) <= {_PROX_WINDOW} AND q <> p])
+             for p in pos1]), 0) > 0
+    """,
+    doc=f"NEAR/{_PROX_WINDOW} proximity search from the positional "
+        "index: every document where the corpus's top-bigram terms "
+        f"co-occur within {_PROX_WINDOW} token positions (symmetric, "
+        "unlike the directional phrase adjacency), with the exact "
+        "count of qualifying position pairs. Candidates come from "
+        "postings(w1) join postings(w2) on doc_id inside the two "
+        "terms' term_bucket partitions — same pruned probe shape as "
+        "phrase_search_indexed; the pair count is a nested "
+        "higher-order array expression (aggregate over filter), "
+        "JVM-side. Proximity is the ranking signal phrase match is "
+        "too strict for (IIR §2.4.2's positional-index use case); at "
+        "100 TB per-query cost stays at the two postings lists. The "
+        "oracle recomputes positions from a corpus scan — index "
+        "layout vs scan must agree exactly, pinning the positions "
+        "arrays themselves (the phrase twin only pins adjacency). "
+        "Exact integers end-to-end.",
+)
+def proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bm25 import proximity_probe
+    path = _shared_bm25_index(spark, sf_dir)
+    top_bg = _top_bigram(_tokenized_base(spark, sf_dir)) \
+        .withColumn("pair_id", F.lit(0))
+    return (proximity_probe(top_bg, path, window=_PROX_WINDOW)
+            .select("doc_id", "n_pairs"))
