@@ -171,3 +171,27 @@ def test_positions_column_consistency(spark, sf_dir, index_path):
         (F.col("tf") != F.size("positions"))
         | (F.col("positions") != F.sort_array("positions"))).count()
     assert bad == 0
+
+
+def test_compaction_probe_equals_multibatch(spark, sf_dir, index_path):
+    """Compacting the two-batch index must change nothing a probe can
+    observe; the compacted layout has exactly one stats row and one
+    df partial set."""
+    import shutil
+    from us_flight_delay_data_pipeline_spark.operators.bm25 import (
+        compact_bm25_index)
+    dst = index_path + "_cmp"
+    try:
+        compact_bm25_index(index_path, dst)
+        docs = load_table(spark, sf_dir, "documents")
+        q = query_terms(docs.filter(F.col("doc_id") < 5))
+        before = sorted(tuple(r) for r in
+                        probe_bm25_index(q, index_path, k=10).collect())
+        after = sorted(tuple(r) for r in
+                       probe_bm25_index(q, dst, k=10,
+                                        validate=True).collect())
+        assert after == before
+        assert spark.read.parquet(
+            os.path.join(dst, "stats")).count() == 1
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)

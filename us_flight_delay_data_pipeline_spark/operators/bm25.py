@@ -54,6 +54,7 @@ __all__ = [
     "K1", "B", "K1_PLUS_1", "ONE_MINUS_B", "N_TERM_BUCKETS",
     "bm25_contribution", "query_terms", "write_bm25_batch",
     "probe_bm25_index", "phrase_probe", "proximity_probe",
+    "compact_bm25_index",
 ]
 
 # Pinned scoring constants (Lucene defaults). K1_PLUS_1 and
@@ -343,3 +344,36 @@ def proximity_probe(pairs: DataFrame, path: str, window: int) -> DataFrame:
                 .select("pair_id", cand.doc_id.alias("doc_id"),
                         n_pairs.alias("n_pairs"))
                 .filter(F.col("n_pairs") > 0))
+
+
+def compact_bm25_index(src: str, dst: str) -> "None":
+    """Compact a multi-batch index into a single batch_id=0 layout at
+    ``dst`` — the standing maintenance op of any append-only index:
+    N small per-batch partitions (and N df/stats partials, merged at
+    every probe) become one partition per term_bucket and ONE
+    pre-merged df/stats, so probe-time partial merging drops to a
+    no-op and small-file count stops growing with ingest history.
+    Pure exact-integer folds (df/stats merge by SUM; postings pass
+    through unchanged — a doc lives in exactly one batch), so a probe
+    of the compacted index is bit-identical to the multi-batch one:
+    bm25_index_compaction_probe shares the inline bm25_topk oracle to
+    pin exactly that. The caller owns dst staging/publish (the
+    queries use the stage + atomic-rename pattern)."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    zero = F.lit(0).cast("bigint")
+    (spark.read.parquet(os.path.join(src, "postings"))
+          .withColumn("batch_id", zero)
+          .write.mode("overwrite").partitionBy("batch_id", "term_bucket")
+          .parquet(os.path.join(dst, "postings")))
+    (spark.read.parquet(os.path.join(src, "df"))
+          .groupBy("term").agg(F.sum("df").alias("df"))
+          .withColumn("batch_id", zero)
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(os.path.join(dst, "df")))
+    (spark.read.parquet(os.path.join(src, "stats"))
+          .agg(F.sum("n_docs").alias("n_docs"),
+               F.sum("total_tokens").alias("total_tokens"))
+          .withColumn("batch_id", zero)
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(os.path.join(dst, "stats")))

@@ -539,3 +539,51 @@ def proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pair_id", F.lit(0))
     return (proximity_probe(top_bg, path, window=_PROX_WINDOW)
             .select("doc_id", "n_pairs"))
+
+
+@register(
+    "bm25_index_compaction_probe",
+    f"""
+    WITH {_bm25_ctes(_TOPK)}
+    SELECT q_id, doc_id, sparse_rank AS rank FROM bm25
+    """,
+    doc="Index COMPACTION under the oracle gate — the standing "
+        "maintenance op of any append-only index: the session-shared "
+        "two-batch index is compacted into a single batch_id=0 layout "
+        "(per-batch df/stats partials pre-merged by exact integer "
+        "sums, postings re-partitioned once per term_bucket), then "
+        "the seed queries probe the COMPACTED index. Shares the "
+        "inline bm25_topk oracle, so the gate pins that compaction "
+        "changes nothing a probe can observe — the algebraic-fold "
+        "guarantee that lets a 100 TB deployment compact ingest "
+        "history (bounding small-file count and probe-time partial "
+        "merging) without a correctness re-validation. Compaction "
+        "itself is one pass over the index, corpus-free; built once "
+        "per session (stage + atomic rename, applicationId-keyed "
+        "scratch).",
+)
+def bm25_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.core import cleanup_at_exit
+    from ..operators.bm25 import (compact_bm25_index, probe_bm25_index,
+                                  query_terms)
+    docs = load_table(spark, sf_dir, "documents")
+    src = _shared_bm25_index(spark, sf_dir)
+    dst = src + "_compacted"
+    marker = os.path.join(dst, "_SUCCESS_LAYOUT")
+    if not os.path.exists(marker):
+        import shutil
+        import uuid
+        cleanup_at_exit(dst)
+        staged = f"{dst}.staging.{uuid.uuid4().hex[:12]}"
+        cleanup_at_exit(staged)
+        compact_bm25_index(src, staged)
+        open(os.path.join(staged, "_SUCCESS_LAYOUT"), "w").close()
+        try:
+            os.rename(staged, dst)
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+    q = query_terms(docs.filter(F.col("doc_id") < _N_QUERY_DOCS))
+    return probe_bm25_index(q, dst, k=_TOPK)
