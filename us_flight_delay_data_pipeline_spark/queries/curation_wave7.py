@@ -397,18 +397,20 @@ _N_BINS = 16
         "deterministically so.",
 )
 def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cumulative counts over the distinct-value relation go through
+    # the distributed two-pass prefix shape (operators/prefix.py) —
+    # the registry-wide plan audit bans unpartitioned windows even on
+    # value-histogram-sized inputs (byte-level vocabularies at 100 TB
+    # are themselves corpus-scale; same discipline as vocab_coverage).
+    from ..operators.prefix import with_global_running
     o = load_table(spark, sf_dir, "orders")
     vals = (o.select(F.floor("o_totalprice").cast("long").alias("v"))
              .groupBy("v").agg(F.count("*").alias("cnt")))
-    w_cum = (Window.orderBy("v")
-                   .rowsBetween(Window.unboundedPreceding, -1))
-    w_tot = Window.partitionBy()
-    cum = vals.select(
-        "v", "cnt",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_before"),
-        F.sum("cnt").over(w_tot).alias("total"))
+    cum = with_global_running(vals, [F.asc("v")], sum_col="cnt",
+                              cum_name="cum", totals=True)
     return (cum.select(
-                F.floor(F.col("cum_before") * _N_BINS / F.col("total"))
+                F.floor((F.col("cum") - F.col("cnt")) * _N_BINS
+                        / F.col("_sum_total"))
                  .cast("long").alias("bin"), "cnt", "v")
                .groupBy("bin")
                .agg(F.sum("cnt").alias("n_orders"),
