@@ -18,7 +18,24 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["table_file_stats", "compact_parquet", "zorder_compact"]
+__all__ = ["table_file_stats", "compact_parquet", "zorder_compact",
+           "morton_interleave"]
+
+
+def morton_interleave(x, y, bits: int = 8):
+    """Morton (Z-order) bit interleave of two non-negative ``bits``-bit
+    integer columns: x on even output bits, y on odd. Pure
+    shift/and/or column expression (no UDF) — shared by
+    zorder_compact (the rewrite) and zorder_layout_audit (the
+    decision metric); queries/curation_wave7.py mirrors it in SQL for
+    the DuckDB oracle."""
+    from pyspark.sql import functions as F
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i) % 2, 2 * i)).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1))
+    return z
 
 
 def table_file_stats(spark: SparkSession, path: str) -> dict:
@@ -127,11 +144,7 @@ def zorder_compact(spark: SparkSession, in_path: str, out_path: str,
         return F.coalesce(scaled, F.lit(0).cast("bigint"))
 
     xa, xb = bucket(a, lo_a, hi_a), bucket(b, lo_b, hi_b)
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(xa, i) % 2, 2 * i)).bitwiseOR(
-            F.shiftleft(F.shiftright(xb, i) % 2, 2 * i + 1))
+    z = morton_interleave(xa, xb, bits)
     (df.withColumn("_z", z)
        .repartitionByRange(n_files, F.col("_z"))
        .sortWithinPartitions("_z")

@@ -144,19 +144,9 @@ def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_BITS = 8
 
 
-def _z_spark(x: Column, y: Column) -> Column:
-    """Morton interleave of two _Z_BITS-bit ints (x even bits, y odd)."""
-    z = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
-        z = (z
-             + F.shiftright(x, i).bitwiseAND(F.lit(1))
-             * F.lit(1 << (2 * i))
-             + F.shiftright(y, i).bitwiseAND(F.lit(1))
-             * F.lit(1 << (2 * i + 1)))
-    return z
-
-
 def _z_sql(x: str, y: str) -> str:
+    """DuckDB mirror of operators.maintenance.morton_interleave
+    (disjoint bits summed instead of OR'd — same value)."""
     terms = [f"((({x}) >> {i}) & 1) * {1 << (2 * i)} "
              f"+ ((({y}) >> {i}) & 1) * {1 << (2 * i + 1)}"
              for i in range(_Z_BITS)]
@@ -208,7 +198,9 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 256).alias("zx"),
         (F.floor(F.col("o_totalprice") / 2000).cast("long") % 256)
             .alias("zy"))
-    keyed = pts.withColumn("z", _z_spark(F.col("zx"), F.col("zy")))
+    from ..operators.maintenance import morton_interleave
+    keyed = pts.withColumn(
+        "z", morton_interleave(F.col("zx"), F.col("zy"), _Z_BITS))
 
     def stats(bucket: Column, layout: str) -> DataFrame:
         return (keyed.groupBy(bucket.alias("b"))
