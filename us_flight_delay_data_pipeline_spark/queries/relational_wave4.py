@@ -16,9 +16,14 @@ adapted to equivalent plan shapes on the columns that exist):
 - Q21 multi-EXISTS self-join           -> sole_failing_suppliers
 
 SURVEY.md §2.3-§2.4 relational completeness. All aggregates follow
-the registry's decimal-exact-sum policy; every ratio/avg is a
-division of two deterministic numbers (exact decimal sums cast to
-double, or integer counts).
+the registry's decimal-exact-sum policy; since r7, pure-sum OUTPUT
+columns stay DECIMAL(38,6) end-to-end (no terminal double cast —
+decimal->double rounding is engine-build-dependent at one-ulp
+boundaries, the mergeable_partial_aggs lesson) and every ratio/avg
+routes through exact BIGINT micros before its single IEEE division
+(relational.micros/_omicros). Thresholds and argmax comparisons are
+exact decimal/integer arithmetic, never float — row MEMBERSHIP must
+not depend on a cast.
 """
 
 from __future__ import annotations
