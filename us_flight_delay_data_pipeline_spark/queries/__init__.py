@@ -10,10 +10,30 @@ DuckDB sum doubles in different orders, so raw double aggregates can
 drift in the last bits and break value-hash comparison. We therefore
 sum through ``DECIMAL(38,6)`` — casting the *same* input double to
 decimal rounds identically in both engines (no representable exact
-ties at the half-ulp), decimal addition is exact, and the final cast
-back to double is deterministic. Ratios of exact sums are then
-bit-identical too. Averages are computed as exact-sum/count, never via
-the engines' ``avg``.
+ties at the half-ulp) and decimal addition is exact.
+
+r7 refinement (the mergeable_partial_aggs lesson — red driver rows in
+r05 AND r06 while every local sweep was bit-exact): even a TERMINAL
+``CAST(decimal AS DOUBLE)`` is engine-BUILD-dependent — DuckDB's
+decimal->double goes through a hugeint-division path whose one-ulp
+rounding differs across builds from Java BigDecimal.doubleValue. So:
+
+- pure-sum output columns stay ``DECIMAL(38,6)`` end-to-end
+  (``relational.dsum_exact`` / ``_osum_exact``) — zero doubles in the
+  output, every op integer arithmetic;
+- ratios/averages route through exact BIGINT micro-units first
+  (``relational.micros`` / ``_omicros``): int64->double is one
+  correctly-rounded hardware conversion on every engine, then one
+  IEEE division — bit-portable, unlike per-operand decimal->double;
+- FILTER thresholds and argmax comparisons are exact decimal/integer
+  algebra (``5*qty*n < sum``), never a float compare — row
+  MEMBERSHIP must not depend on a cast;
+- never the engines' ``avg``.
+
+Queries driver-checked green before r7 keep their legacy
+``dsum``/``_osum`` double outputs (proven portable at the driver's
+data; churning them risks more than it buys); every query entering a
+new driver sample follows the refined policy.
 """
 
 from __future__ import annotations
