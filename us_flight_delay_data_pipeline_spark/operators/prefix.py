@@ -45,10 +45,21 @@ def with_global_running(
     sum_col: str | None = None,
     cum_name: str = "_cum",
     totals: bool = False,
+    min_col: str | None = None,
+    min_name: str = "_runmin",
 ) -> DataFrame:
-    """Attach a global 1-based row_number (``rank``) and/or inclusive
-    running sum of ``sum_col`` (``cum_name``) over a unique total
+    """Attach a global 1-based row_number (``rank``), inclusive
+    running sum of ``sum_col`` (``cum_name``), and/or inclusive
+    running minimum of ``min_col`` (``min_name``) over a unique total
     order, without a single-partition window.
+
+    The running minimum uses the same two-pass shape as the sum: a
+    partitioned local running min plus per-partition minima folded
+    into exclusive prefix minima (``least`` fold; a NULL prefix —
+    partition 0 — falls through to the local min, which Spark's
+    null-skipping ``least`` handles). ``min_col`` must be BIGINT-
+    valued and non-null (CUSUM/drawdown recurrences quantize first —
+    the same contract as ``sum_col``).
 
     With ``totals=True`` also attaches the scalar grand totals
     ``_n_total`` (row count) and, if ``sum_col`` is set,
@@ -97,15 +108,25 @@ def with_global_running(
             F.sum(sum_col).over(
                 wloc.rowsBetween(Window.unboundedPreceding,
                                  Window.currentRow)))
+    if min_col is not None:
+        out = out.withColumn(
+            "_lmin",
+            F.min(min_col).over(
+                wloc.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)))
 
     aggs = [F.count("*").alias("_pcnt")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_psum"))
+    if min_col is not None:
+        aggs.append(F.min(min_col).alias("_pmin"))
     parts = ranged.groupBy("_pid").agg(*aggs)
 
     # fold P per-partition totals into exclusive prefix offsets inside
     # ONE row (P = shuffle partitions — bounded, not data-scale)
-    fields = ["_pid", "_pcnt"] + (["_psum"] if sum_col is not None else [])
+    fields = (["_pid", "_pcnt"]
+              + (["_psum"] if sum_col is not None else [])
+              + (["_pmin"] if min_col is not None else []))
     ps = F.array_sort(F.collect_list(F.struct(*fields)))
 
     def _prefix(field: str):
@@ -114,11 +135,22 @@ def with_global_running(
             lambda acc, x: acc + F.coalesce(x[field].cast("bigint"),
                                             F.lit(0)))
 
+    def _prefix_min(s, i):
+        # exclusive prefix minimum of earlier partitions' minima;
+        # NULL init -> partition 0 gets NULL (falls through to the
+        # local min via null-skipping least below)
+        return F.aggregate(
+            F.slice(ps, F.lit(1), i),
+            F.lit(None).cast("bigint"),
+            lambda acc, x: F.least(acc, x["_pmin"].cast("bigint")))
+
     def _entry(s, i):
         cols = [s["_pid"].alias("_pid"),
                 _prefix("_pcnt")(s, i).alias("_cnt_off")]
         if sum_col is not None:
             cols.append(_prefix("_psum")(s, i).alias("_sum_off"))
+        if min_col is not None:
+            cols.append(_prefix_min(s, i).alias("_min_off"))
         return F.struct(*cols)
 
     one = [F.transform(ps, _entry).alias("_po")]
@@ -144,5 +176,10 @@ def with_global_running(
         out = out.withColumn(rank, F.col("_cnt_off") + F.col("_lrn"))
     if sum_col is not None:
         out = out.withColumn(cum_name, F.col("_sum_off") + F.col("_lcum"))
-    drop = ["_pid", "_lrn", "_lcum", "_cnt_off", "_sum_off"]
+    if min_col is not None:
+        # least skips NULL: partition 0's NULL offset yields _lmin
+        out = out.withColumn(min_name,
+                             F.least(F.col("_min_off"), F.col("_lmin")))
+    drop = ["_pid", "_lrn", "_lcum", "_lmin",
+            "_cnt_off", "_sum_off", "_min_off"]
     return out.drop(*[c for c in drop if c in out.columns])

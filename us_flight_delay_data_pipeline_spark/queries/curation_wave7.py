@@ -647,3 +647,69 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(_MRL_NQ).cast("long").alias("n_queries"),
                         F.lit(_MRL_K).cast("long").alias("k"),
                         "n_hits", "n_possible"))
+
+
+# ---------------------------------------------------------------- #
+# CUSUM change-point detection                                      #
+# ---------------------------------------------------------------- #
+
+
+@register(
+    "cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS day,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                       AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(x) AS tot, COUNT(*) AS n FROM daily),
+    d AS (
+      SELECT day, x - (tot // n) AS d, (tot // n) AS k
+      FROM daily, tot
+    ),
+    p AS (SELECT day, k, SUM(d) OVER (ORDER BY day) AS pt FROM d),
+    s AS (
+      SELECT day, k,
+             pt - LEAST(0, MIN(pt) OVER (ORDER BY day)) AS st
+      FROM p
+    )
+    SELECT day, st AS s_micros FROM s WHERE st > k
+    """,
+    doc="CUSUM change-point detection (Page 1954) over the daily "
+        "revenue series, in exact integer micro-units: the classic "
+        "recurrence S_t = max(0, S_{t-1} + x_t - k) is NOT a prefix "
+        "sum — but it equals P_t - min(0, min_{i<=t} P_i) where P is "
+        "the prefix sum of the k-centered series, so the whole "
+        "detector is two distributed prefix passes "
+        "(operators/prefix.py: running sum, then running MIN — the "
+        "min fold added for exactly this recurrence class, which "
+        "also covers drawdown/high-water-mark analytics). Allowance "
+        "k = the exact integer mean daily revenue (floor division — "
+        "identical on both engines); alarm threshold = k (one "
+        "average day). No unpartitioned window anywhere despite the "
+        "inherently sequential recurrence; at 100 TB the daily "
+        "rollup is date-cardinality-sized and the prefix passes "
+        "touch only that. Exact integers end-to-end.",
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import with_global_running
+    from .relational import DEC, micros
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+              .agg(micros(F.sum(F.col("o_totalprice").cast(DEC))
+                          .cast(DEC)).alias("x")))
+    tot = daily.agg(F.sum("x").alias("tot"), F.count("*").alias("n"))
+    d = (daily.crossJoin(F.broadcast(tot))
+              .select("day", F.expr("tot div n").alias("k"),
+                      (F.col("x") - F.expr("tot div n")).alias("d")))
+    p = with_global_running(d, [F.asc("day")], sum_col="d",
+                            cum_name="pt")
+    s = with_global_running(p.select("day", "k", "pt"),
+                            [F.asc("day")], min_col="pt",
+                            min_name="runmin")
+    st = (F.col("pt")
+          - F.least(F.lit(0).cast("bigint"), F.col("runmin")))
+    return (s.select("day", st.alias("s_micros"), "k")
+             .filter(F.col("s_micros") > F.col("k"))
+             .select("day", "s_micros"))
