@@ -100,3 +100,44 @@ def test_rank_consistent_across_subtree_recomputation(spark):
         assert got == list(range(1, n + 1)), "rank set has gaps/dups"
     finally:
         conf.set(key, old)
+
+
+def test_running_min_matches_single_partition_reference(spark):
+    """The min fold: global running minimum must match the local
+    reference on a multi-partition, sign-mixed series (the CUSUM
+    prefix-of-centered-series shape)."""
+    vals = [((i * 7919) % 997) - 498 for i in range(500)]  # mixed signs
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v long") \
+        .repartition(8)
+    out = with_global_running(
+        df, [F.asc("id")], min_col="v", min_name="rmin").collect()
+    expect = {}
+    run = None
+    for i, v in enumerate(vals):
+        run = v if run is None else min(run, v)
+        expect[i] = run
+    for r in out:
+        assert r.rmin == expect[r.id], (r.id, r.rmin, expect[r.id])
+
+
+def test_running_min_with_sum_combined(spark):
+    """min_col and sum_col together on the same order — the exact
+    CUSUM composition — stay mutually consistent."""
+    vals = [(i * 31 % 11) - 5 for i in range(100)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v long") \
+        .repartition(5)
+    p = with_global_running(df, [F.asc("id")], sum_col="v",
+                            cum_name="pt")
+    s = with_global_running(p.select("id", "pt"), [F.asc("id")],
+                            min_col="pt", min_name="rmin").collect()
+    run = 0
+    pref, rmin = {}, {}
+    m = None
+    for i, v in enumerate(vals):
+        run += v
+        m = run if m is None else min(m, run)
+        pref[i], rmin[i] = run, m
+    for r in s:
+        assert (r.pt, r.rmin) == (pref[r.id], rmin[r.id]), r
