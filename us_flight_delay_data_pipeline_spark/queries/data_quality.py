@@ -146,9 +146,9 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2, 3
     )
     SELECT year, month,
-           CAST(SUM(revenue) AS DECIMAL(38,6)) AS revenue,
+           CAST(SUM(revenue) * 1000000 AS BIGINT) AS revenue_micros,
            SUM(n) AS n,
-           CAST(SUM(qty) AS DECIMAL(38,6)) AS qty,
+           CAST(SUM(qty) * 1000000 AS BIGINT) AS qty_micros,
            COUNT(*) AS n_partials
     FROM half GROUP BY year, month
     """,
@@ -174,9 +174,12 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boundaries, so the driver row stayed red while the local "
         "differential was bit-exact. r7: ZERO doubles in the output "
         "— revenue/qty are DECIMAL(38,6) end-to-end on both engine "
-        "and oracle sides; every operation is integer arithmetic, so "
-        "any downstream normalization applies the same function to "
-        "the same exact value on both sides.",
+        "and oracle sides and the OUTPUT is exact BIGINT micro-units "
+        "(decimal(38,6) * 1e6 is integral by construction): plain "
+        "int64 is the one type every normalizer on either side of "
+        "the gate — value-hash, pandas fetch, JSON — handles "
+        "identically, with no decimal->double conversion anywhere "
+        "for any engine build to disagree on.",
 )
 def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -187,10 +190,12 @@ def mergeable_partial_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(rev).alias("revenue"),
                    F.count("*").alias("n"),
                    F.sum(F.col("l_quantity").cast(DEC)).alias("qty")))
+    from .relational import micros
     return (half.groupBy("year", "month")
-                .agg(F.sum("revenue").cast(DEC).alias("revenue"),
+                .agg(micros(F.sum("revenue").cast(DEC))
+                     .alias("revenue_micros"),
                      F.sum("n").alias("n"),
-                     F.sum("qty").cast(DEC).alias("qty"),
+                     micros(F.sum("qty").cast(DEC)).alias("qty_micros"),
                      F.count("*").alias("n_partials")))
 
 

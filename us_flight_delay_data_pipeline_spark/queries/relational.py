@@ -60,7 +60,18 @@ def micros(c: Column) -> Column:
     hardware op on every engine — so ``micros(x)/micros(y)`` in double
     is the bit-portable way to emit a ratio of two exact sums, unlike
     ``CAST(x AS DOUBLE)/CAST(y AS DOUBLE)`` whose per-operand
-    decimal->double rounding is build-dependent."""
+    decimal->double rounding is build-dependent.
+
+    Beyond ratios, micro-unit BIGINT is also the gate-OUTPUT type for
+    exact monetary sums: int64 is the one type every normalizer on
+    either side of a differential gate (value-hash, pandas fetch,
+    JSON) handles identically — a DECIMAL output column would be
+    converted by whatever decimal->double path the consumer's build
+    ships (DuckDB's pandas fetch included), re-opening the
+    mergeable_partial_aggs class. Range contract: |value| must stay
+    under ~9.2e12 currency units (int64 max / 1e6) — comfortably true
+    for every registered rollup grain; a grain that could exceed it
+    keeps DECIMAL internally and outputs at a coarser quantization."""
     return (c * F.lit(1000000)).cast("long")
 
 

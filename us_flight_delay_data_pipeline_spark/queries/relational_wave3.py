@@ -16,7 +16,8 @@ from pyspark.sql.window import Window
 
 from ..sources.registry import load_table
 from . import register
-from .relational import DEC, _osum, _osum_exact, dsum, dsum_exact
+from .relational import (DEC, _osum, _osum_exact, dsum, dsum_exact,
+                         micros)
 
 _Q2_SIZES = (15, 25, 35)
 
@@ -520,7 +521,8 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS n_customers,
-           {_osum_exact('c.c_acctbal')} AS total_balance
+           CAST({_osum_exact('c.c_acctbal')} * 1000000 AS BIGINT)
+             AS total_balance_micros
     FROM customer c
     JOIN last l ON c.c_custkey = l.o_custkey
     CROSS JOIN avg_bal
@@ -554,4 +556,5 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("last_order") < F.lit("2000-06-01").cast("date")))
              .groupBy("c_mktsegment")
              .agg(F.count("*").alias("n_customers"),
-                  dsum_exact("c_acctbal").alias("total_balance")))
+                  micros(dsum_exact("c_acctbal"))
+                  .alias("total_balance_micros")))

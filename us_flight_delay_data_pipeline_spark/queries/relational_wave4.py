@@ -73,7 +73,8 @@ def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "discount_band_revenue",
     f"""
-    SELECT {_osum_exact('l_extendedprice * l_discount')} AS revenue,
+    SELECT CAST({_osum_exact('l_extendedprice * l_discount')}
+                * 1000000 AS BIGINT) AS revenue_micros,
            COUNT(*) AS n_lineitems
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -94,7 +95,7 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
                       & F.col("l_discount").between(0.02, 0.04)
                       & (F.col("l_quantity") < 24))
-              .agg(F.sum(rev).cast(DEC).alias("revenue"),
+              .agg(micros(F.sum(rev).cast(DEC)).alias("revenue_micros"),
                    F.count("*").alias("n_lineitems")))
 
 
@@ -124,7 +125,9 @@ _Q8_NATION = "NATION_2"
              {_osum_exact('volume')} AS market_volume
       FROM market GROUP BY year
     )
-    SELECT year, nation_volume, market_volume,
+    SELECT year,
+           {_omicros('nation_volume')} AS nation_volume_micros,
+           {_omicros('market_volume')} AS market_volume_micros,
            CAST({_omicros('nation_volume')} AS DOUBLE)
              / CAST({_omicros('market_volume')} AS DOUBLE) AS market_share
     FROM agg
@@ -164,7 +167,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("year"))
               .agg(F.sum(nat_vol.cast(DEC)).cast(DEC).alias("nation_volume"),
                    F.sum(vol.cast(DEC)).cast(DEC).alias("market_volume"))
-              .select("year", "nation_volume", "market_volume",
+              .select("year",
+                      micros(F.col("nation_volume"))
+                      .alias("nation_volume_micros"),
+                      micros(F.col("market_volume"))
+                      .alias("market_volume_micros"),
                       (micros(F.col("nation_volume")).cast("double")
                        / micros(F.col("market_volume")).cast("double"))
                       .alias("market_share")))
@@ -178,7 +185,8 @@ _Q9_COST = 0.6  # stand-in supply-cost fraction of retail price (no partsupp)
     f"""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate::DATE) AS INTEGER) AS year,
-           {_osum_exact(f'l.l_extendedprice * (1 - l.l_discount) - {_Q9_COST} * p.p_retailprice * l.l_quantity')} AS profit
+           CAST({_osum_exact(f'l.l_extendedprice * (1 - l.l_discount) - {_Q9_COST} * p.p_retailprice * l.l_quantity')}
+                * 1000000 AS BIGINT) AS profit_micros
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -213,14 +221,17 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(o, li.l_orderkey == o.o_orderkey)
               .groupBy(F.col("n_name").alias("nation"),
                        F.year(F.col("o_orderdate").cast("date")).alias("year"))
-              .agg(F.sum(profit.cast(DEC)).cast(DEC).alias("profit")))
+              .agg(micros(F.sum(profit.cast(DEC)).cast(DEC))
+                   .alias("profit_micros")))
 
 
 @register(
     "returned_item_customers",
     f"""
     SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
-           n.n_name, {_osum_exact('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           n.n_name,
+           CAST({_osum_exact('l.l_extendedprice * (1 - l.l_discount)')}
+                * 1000000 AS BIGINT) AS revenue_micros
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -229,7 +240,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate::DATE >= DATE '1996-01-01'
       AND o.o_orderdate::DATE < DATE '1996-07-01'
     GROUP BY 1, 2, 3, 4, 5
-    ORDER BY revenue DESC, c.c_custkey
+    ORDER BY revenue_micros DESC, c.c_custkey
     LIMIT 20
     """,
     doc="TPC-H Q10 shape (returned-item reporting): the top-20 "
@@ -256,8 +267,8 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
               .groupBy("c_custkey", "c_name", "c_acctbal",
                        "c_mktsegment", "n_name")
-              .agg(F.sum(rev).cast(DEC).alias("revenue"))
-              .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+              .agg(micros(F.sum(rev).cast(DEC)).alias("revenue_micros"))
+              .orderBy(F.desc("revenue_micros"), F.asc("c_custkey"))
               .limit(20))
 
 
@@ -339,7 +350,9 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1997-07-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, n.n_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(r.total_revenue * 1000000 AS BIGINT)
+             AS total_revenue_micros
     FROM rev r
     JOIN supplier s ON r.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -375,7 +388,9 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
                 .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-                .select("s_suppkey", "s_name", "n_name", "total_revenue"))
+                .select("s_suppkey", "s_name", "n_name",
+                        micros(F.col("total_revenue"))
+                        .alias("total_revenue_micros")))
 
 
 @register(
@@ -558,8 +573,8 @@ def sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM log) WHERE rn = 1
     )
     SELECT status, COUNT(*) AS n_live,
-           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DECIMAL(38,6))
-             AS total_val
+           CAST(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                * 1000000 AS BIGINT) AS total_val_micros
     FROM latest WHERE op <> 'D' GROUP BY status
     """,
     doc="CDC apply (changelog -> current state): a synthetic I/U/D "
@@ -594,7 +609,8 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter((F.col("rn") == 1) & (F.col("op") != "D")))
     return (latest.groupBy("status")
                   .agg(F.count("*").alias("n_live"),
-                       dsum_exact("val").alias("total_val")))
+                       micros(dsum_exact("val"))
+                       .alias("total_val_micros")))
 
 
 @register(
@@ -616,8 +632,9 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     SELECT f.key, COUNT(*) AS n_enriched,
-           CAST(SUM(CAST(v.attr AS DECIMAL(38,6))) AS DECIMAL(38,6))
-             AS total_attr,
+           CAST(CAST(SUM(CAST(v.attr AS DECIMAL(38,6)))
+                     AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+             AS total_attr_micros,
            COUNT(DISTINCT v.version_id) AS n_versions_used
     FROM facts f
     JOIN versions v
@@ -660,5 +677,5 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .drop(versions.key))
     return (j.groupBy("key")
              .agg(F.count("*").alias("n_enriched"),
-                  dsum_exact("attr").alias("total_attr"),
+                  micros(dsum_exact("attr")).alias("total_attr_micros"),
                   F.countDistinct("version_id").alias("n_versions_used")))
