@@ -143,6 +143,16 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # retrieval family incl. the on-disk index, its streaming twin and
 # phrase search, temperature mixture, k-anonymity — + the 2
 # rows-only).
+# Round-8 prep (write the r8 pin from this recipe once
+# CORRECTNESS_r07 lands): fold DRIVER_SAMPLE_R07 + the 14 r7-
+# registered names (wave-7 family, phrase/proximity/compaction
+# twins, cusum, media exact twin) into the checked set; re-queue any
+# red r07 row at the front of DRIVER_SAMPLE_R08. If the r7 sample is
+# all green, driver union reaches every checkable name (226 of 228;
+# media_image_features + approx_distinct_and_quantiles are rows-only
+# by declared design, and both now have driver-green exact twins) —
+# from r8 on, the sample is pure re-confirmation + new registrations.
+
 # Round-7 pinned sample: the ONE red r06 row re-queued first (the
 # decimal-end-to-end fix landed this round: zero doubles survive in
 # the output — revenue/qty are DECIMAL(38,6) on both engine and
