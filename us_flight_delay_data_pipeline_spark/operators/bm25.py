@@ -196,13 +196,22 @@ def probe_bm25_index(queries: DataFrame, path: str, k: int = 10,
                   .alias("b")).distinct().collect()})
     if not buckets:
         # empty query set: nothing to probe — return an empty
-        # (q_id, doc_id, rank) frame typed from the inputs
-        q_type = queries.schema["q_id"].dataType.simpleString()
+        # (q_id, doc_id, rank) frame. doc_id is typed from the INDEX
+        # postings schema (schema-only read, no data scan) so the
+        # empty path matches the non-empty path exactly — typing it
+        # from q_id broke unions when q_id was narrower than the
+        # indexed ids (ADVICE r7); if the index itself is unreadable
+        # the q_id type is the only thing available, fall back.
+        try:
+            d_type = (spark.read.parquet(os.path.join(path, "postings"))
+                           .schema["doc_id"].dataType.simpleString())
+        except Exception:
+            d_type = queries.schema["q_id"].dataType.simpleString()
         return (queries.select("q_id",
                                F.col("q_id").alias("doc_id"),
                                F.lit(1).alias("rank"))
                        .limit(0).selectExpr(
-                           "q_id", f"CAST(doc_id AS {q_type}) AS doc_id",
+                           "q_id", f"CAST(doc_id AS {d_type}) AS doc_id",
                            "rank"))
     try:
         stats = spark.read.parquet(os.path.join(path, "stats"))
@@ -346,7 +355,8 @@ def proximity_probe(pairs: DataFrame, path: str, window: int) -> DataFrame:
                 .filter(F.col("n_pairs") > 0))
 
 
-def compact_bm25_index(src: str, dst: str) -> "None":
+def compact_bm25_index(src: str, dst: str,
+                       spark: "SparkSession | None" = None) -> "None":
     """Compact a multi-batch index into a single batch_id=0 layout at
     ``dst`` — the standing maintenance op of any append-only index:
     N small per-batch partitions (and N df/stats partials, merged at
@@ -358,22 +368,40 @@ def compact_bm25_index(src: str, dst: str) -> "None":
     of the compacted index is bit-identical to the multi-batch one:
     bm25_index_compaction_probe shares the inline bm25_topk oracle to
     pin exactly that. The caller owns dst staging/publish (the
-    queries use the stage + atomic-rename pattern)."""
-    from pyspark.sql import SparkSession
-    spark = SparkSession.getActiveSession()
+    queries use the stage + atomic-rename pattern).
+
+    ``spark`` is explicit because ``getActiveSession()`` is None in a
+    non-driver thread; the dst writes also pin
+    ``partitionOverwriteMode=static`` (restored after) — under an
+    inherited ``dynamic`` mode an overwrite onto a non-fresh dst
+    would silently RETAIN stale batch_id>0 partitions and the merged
+    df/stats would double-count them (ADVICE r7)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "compact_bm25_index: no active SparkSession on this "
+                "thread — pass spark= explicitly")
     zero = F.lit(0).cast("bigint")
-    (spark.read.parquet(os.path.join(src, "postings"))
-          .withColumn("batch_id", zero)
-          .write.mode("overwrite").partitionBy("batch_id", "term_bucket")
-          .parquet(os.path.join(dst, "postings")))
-    (spark.read.parquet(os.path.join(src, "df"))
-          .groupBy("term").agg(F.sum("df").alias("df"))
-          .withColumn("batch_id", zero)
-          .write.mode("overwrite").partitionBy("batch_id")
-          .parquet(os.path.join(dst, "df")))
-    (spark.read.parquet(os.path.join(src, "stats"))
-          .agg(F.sum("n_docs").alias("n_docs"),
-               F.sum("total_tokens").alias("total_tokens"))
-          .withColumn("batch_id", zero)
-          .write.mode("overwrite").partitionBy("batch_id")
-          .parquet(os.path.join(dst, "stats")))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        (spark.read.parquet(os.path.join(src, "postings"))
+              .withColumn("batch_id", zero)
+              .write.mode("overwrite").partitionBy("batch_id", "term_bucket")
+              .parquet(os.path.join(dst, "postings")))
+        (spark.read.parquet(os.path.join(src, "df"))
+              .groupBy("term").agg(F.sum("df").alias("df"))
+              .withColumn("batch_id", zero)
+              .write.mode("overwrite").partitionBy("batch_id")
+              .parquet(os.path.join(dst, "df")))
+        (spark.read.parquet(os.path.join(src, "stats"))
+              .agg(F.sum("n_docs").alias("n_docs"),
+                   F.sum("total_tokens").alias("total_tokens"))
+              .withColumn("batch_id", zero)
+              .write.mode("overwrite").partitionBy("batch_id")
+              .parquet(os.path.join(dst, "stats")))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

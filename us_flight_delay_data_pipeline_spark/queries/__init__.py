@@ -34,6 +34,20 @@ Queries driver-checked green before r7 keep their legacy
 ``dsum``/``_osum`` double outputs (proven portable at the driver's
 data; churning them risks more than it buys); every query entering a
 new driver sample follows the refined policy.
+
+r8 refinement (the 13-red-row lesson of r7): the policy above gated
+the SPARK output types and the monetary oracle sums, but nothing
+audited the ORACLE side's result types — and DuckDB's ``SUM(<any
+integer>)`` returns HUGEINT (int128), which surfaces as
+``decimal128(38,0)`` through Arrow and as ``float64`` through pandas
+(``3.0`` != int64 ``3`` under a typed value-hash), even though a
+plain ``fetchall()`` shows indistinguishable Python ints. So every
+oracle integer SUM must be written ``CAST(SUM(...) AS BIGINT)``, and
+``tests/test_oracle_portability.py`` enforces the whole class
+registry-wide: each oracle's ``fetch_arrow_table()`` schema and each
+Spark result schema may contain only fixed-width-int64-or-narrower /
+float / bool / string / date / timestamp / lists-structs thereof —
+no decimal128/256, no int128, on EITHER side.
 """
 
 from __future__ import annotations
@@ -163,6 +177,53 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # other 2 rows-only by declared design).  Slots 35-50 fall to this
 # round's new registrations, which sort ahead of already-checked
 # names in load_registry.
+# Round-8 pinned sample head: the 13 r7-red rows re-queued first
+# (VERDICT r7 task #1 done-criterion is a green r08 row for each).
+# All 13 were hash_match=False for ONE mechanical cause — DuckDB
+# SUM(<integer>) returns HUGEINT (int128), float64 through the
+# driver's pandas fetch — fixed this round by CAST(... AS BIGINT) on
+# the 17 offending oracle columns (Spark side untouched; the judge's
+# three-session repro already proved it bit-exact). Slots 14+ fall to
+# this round's new registrations (never-checked names sort ahead of
+# checked ones), then to the OLDEST-green rows (r01-r04-checked,
+# re-confirmation rotation) — all 228 queries have at least one
+# driver row, so the sample is now re-queue + new + re-confirm.
+DRIVER_SAMPLE_R08 = (
+    'mergeable_partial_aggs', 'bitwise_funcs', 'map_funcs',
+    'priority_linestatus_counts', 'regex_funcs',
+    'temperature_mixture_weights', 'zonemap_pruning_audit',
+    'zorder_layout_audit', 'epoch_shuffle_plan', 'equi_depth_binning',
+    'multi_touch_attribution', 'fuzzy_name_blocking',
+    'cusum_changepoints',
+)
+
+# Every name that got a CORRECTNESS_r07 row (the 34 pinned below plus
+# the 16 r7 registrations that took slots 35-50).
+DRIVER_CHECKED_R07 = frozenset({
+    'mergeable_partial_aggs', 'array_funcs', 'bitwise_funcs',
+    'bm25_index_probe', 'bm25_topk', 'cdc_latest_state',
+    'conditional_funcs', 'customer_order_histogram',
+    'discount_band_revenue', 'dormant_rich_customers',
+    'heavy_shipper_suppliers', 'hybrid_rrf_topk', 'k_anonymity_audit',
+    'listagg_funcs', 'map_funcs', 'month_spine_fill',
+    'nation_market_share', 'order_priority_exists',
+    'phrase_search_top_bigram', 'pivot_event_counts',
+    'point_in_time_join', 'priority_linestatus_counts',
+    'product_type_profit', 'props_variant_extract', 'regex_funcs',
+    'retriever_overlap_at_k', 'returned_item_customers',
+    'scalar_subquery_filter', 'small_quantity_revenue',
+    'sole_failing_suppliers', 'sql_udf_rates', 'stream_bm25_index_gated',
+    'temperature_mixture_weights', 'top_revenue_supplier',
+    'zonemap_pruning_audit', 'zorder_layout_audit',
+    'gdpr_delete_propagation', 'epoch_shuffle_plan',
+    'equi_depth_binning', 'multi_touch_attribution',
+    'fuzzy_name_blocking', 'matryoshka_recall_audit',
+    'cusum_changepoints', 'phrase_search_indexed',
+    'proximity_search_indexed', 'bm25_index_compaction_probe',
+    'media_image_features', 'media_image_features_exact',
+    'approx_distinct_and_quantiles', 'text_stats',
+})
+
 DRIVER_SAMPLE_R07 = (
     'mergeable_partial_aggs',
     'array_funcs', 'bitwise_funcs', 'bm25_index_probe', 'bm25_topk',
@@ -291,16 +352,27 @@ def load_registry() -> dict[str, QuerySpec]:
         spec = REGISTRY[name]
         if not spec.audit:
             REGISTRY[name] = dataclasses.replace(spec, audit=True)
-    # Never-driver-checked names first (stable within each group) so
-    # the driver's first-50 sample is drawn entirely from them; the
-    # pinned r06 sample stays at the very front so late registrations
-    # this round cannot displace it.
-    r07_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R07)}
-    checked = (DRIVER_CHECKED_R01_R04 | frozenset(DRIVER_SAMPLE_R05)
-               | frozenset(DRIVER_SAMPLE_R06))
+    # Sample order for round 8 (all 228 queries now have >=1 driver
+    # row, so the never-checked tier only ever holds THIS round's new
+    # registrations): (1) the pinned r8 head — the 13 r7-red rows,
+    # immovable by late registrations; (2) never-checked new
+    # registrations; (3) checked names, OLDEST driver evidence first
+    # (r01-r04 before r05 before r06 before r07), so the remaining
+    # slots re-confirm the stalest green rows.
+    r08_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R08)}
+    last_checked: dict[str, int] = {}
+    for rnd, grp in ((4, DRIVER_CHECKED_R01_R04),
+                     (5, DRIVER_SAMPLE_R05),
+                     (6, DRIVER_SAMPLE_R06),
+                     (7, DRIVER_CHECKED_R07)):
+        for n in grp:
+            last_checked[n] = rnd
     ordered = sorted(
         REGISTRY,
-        key=lambda n: (r07_rank.get(n, len(r07_rank)), n in checked))
+        key=lambda n: (r08_rank.get(n, len(r08_rank)),
+                       n in last_checked,
+                       last_checked.get(n, 0),
+                       n))
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(reordered)

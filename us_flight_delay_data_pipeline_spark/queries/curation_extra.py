@@ -1116,7 +1116,8 @@ _TEMP_QUANT = 1_000_000
       WHERE length(trim(text)) > 0
     ),
     per_src AS (
-      SELECT source, SUM(n) AS n_tokens FROM tok GROUP BY source
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source
     ),
     q AS (
       SELECT source, n_tokens,

@@ -89,11 +89,11 @@ _ZM_LO, _ZM_HI = "1997-01-01", "1997-03-31"  # the quarter predicate
     )
     SELECT layout,
            COUNT(*) AS n_files,
-           SUM(CASE WHEN hi < DATE '{_ZM_LO}' OR lo > DATE '{_ZM_HI}'
-                    THEN 1 ELSE 0 END) AS n_pruned,
-           SUM(CASE WHEN hi < DATE '{_ZM_LO}' OR lo > DATE '{_ZM_HI}'
-                    THEN n ELSE 0 END) AS rows_skipped,
-           SUM(n) AS rows_total
+           CAST(SUM(CASE WHEN hi < DATE '{_ZM_LO}' OR lo > DATE '{_ZM_HI}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN hi < DATE '{_ZM_LO}' OR lo > DATE '{_ZM_HI}'
+                         THEN n ELSE 0 END) AS BIGINT) AS rows_skipped,
+           CAST(SUM(n) AS BIGINT) AS rows_total
     FROM stats GROUP BY layout
     """,
     doc="Zone-map (min/max file-stats) pruning audit: simulate two "
@@ -175,8 +175,8 @@ def _z_sql(x: str, y: str) -> str:
       FROM keyed GROUP BY z // 256
     )
     SELECT layout, COUNT(*) AS n_files,
-           SUM(span_x) AS span_x_total,
-           SUM(span_y) AS span_y_total
+           CAST(SUM(span_x) AS BIGINT) AS span_x_total,
+           CAST(SUM(span_y) AS BIGINT) AS span_y_total
     FROM stats GROUP BY layout
     """,
     doc="Z-order (Morton curve) clustering audit: orders projected to "
@@ -308,7 +308,8 @@ _N_EPOCHS = 2
     )
     SELECT epoch, shard,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN shard <> shard_e0 THEN 1 ELSE 0 END) AS n_moved
+           CAST(SUM(CASE WHEN shard <> shard_e0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
     FROM assigned GROUP BY epoch, shard
     """,
     doc="Deterministic per-epoch training shuffle: shard(doc, epoch) "
@@ -368,7 +369,7 @@ _N_BINS = 16
       FROM vals
     )
     SELECT CAST(cum_before * {_N_BINS} // total AS BIGINT) AS bin,
-           SUM(cnt) AS n_orders,
+           CAST(SUM(cnt) AS BIGINT) AS n_orders,
            min(v) AS lo_value, max(v) AS hi_value
     FROM cum GROUP BY 1
     """,
@@ -401,9 +402,12 @@ def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_running(vals, [F.asc("v")], sum_col="cnt",
                               cum_name="cum", totals=True)
     return (cum.select(
-                F.floor((F.col("cum") - F.col("cnt")) * _N_BINS
-                        / F.col("_sum_total"))
-                 .cast("long").alias("bin"), "cnt", "v")
+                # exact integer floor-div (long `div` long), matching
+                # the oracle's `//`: Spark's `/` on longs is DOUBLE
+                # division, so bin MEMBERSHIP would hinge on a float
+                # op once (cum-cnt)*K exceeds 2^53 (ADVICE r7)
+                F.expr(f"((cum - cnt) * {_N_BINS}) div _sum_total")
+                 .alias("bin"), "cnt", "v")
                .groupBy("bin")
                .agg(F.sum("cnt").alias("n_orders"),
                     F.min("v").alias("lo_value"),
@@ -444,7 +448,7 @@ def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM touches
     )
     SELECT event_type, COUNT(*) AS n_touches,
-           SUM(bp) AS total_credit_bp
+           CAST(SUM(bp) AS BIGINT) AS total_credit_bp
     FROM credited GROUP BY event_type
     """,
     doc="Position-based (U-shaped) multi-touch attribution in exact "
@@ -503,14 +507,15 @@ _FUZZY_MAX_DIST = 2
     ),
     fuzzy AS (
       SELECT levenshtein(a.s_name, b.s_name) AS distance,
-             SUM(a.m * b.m) AS n_pairs
+             CAST(SUM(a.m * b.m) AS BIGINT) AS n_pairs
       FROM named a JOIN named b
         ON a.blk = b.blk AND a.s_name < b.s_name
       WHERE levenshtein(a.s_name, b.s_name) <= {_FUZZY_MAX_DIST}
       GROUP BY 1
     ),
     exact AS (
-      SELECT 0 AS distance, SUM(m * (m - 1) // 2) AS n_pairs
+      SELECT 0 AS distance,
+             CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_pairs
       FROM named WHERE m > 1 HAVING COUNT(*) > 0
     )
     SELECT distance, n_pairs FROM fuzzy
@@ -551,8 +556,11 @@ def fuzzy_name_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum("w").alias("n_pairs")))
     exact = (named.filter(F.col("m") > 1)
                   .agg(F.lit(0).alias("distance"),
-                       F.sum(F.col("m") * (F.col("m") - 1) / 2)
-                        .cast("long").alias("n_pairs"),
+                       # all-integer C(m,2): m*(m-1) is even, so long
+                       # `div` is exact at any m — the double-division
+                       # form capped exactness at 2^53 (ADVICE r7)
+                       F.sum(F.expr("(m * (m - 1)) div 2"))
+                        .alias("n_pairs"),
                        F.count("*").alias("_g"))
                   .filter(F.col("_g") > 0).drop("_g"))
     return fuzzy.unionByName(exact)
@@ -674,7 +682,7 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              pt - LEAST(0, MIN(pt) OVER (ORDER BY day)) AS st
       FROM p
     )
-    SELECT day, st AS s_micros FROM s WHERE st > k
+    SELECT day, CAST(st AS BIGINT) AS s_micros FROM s WHERE st > k
     """,
     doc="CUSUM change-point detection (Page 1954) over the daily "
         "revenue series, in exact integer micro-units: the classic "

@@ -147,7 +147,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT year, month,
            CAST(SUM(revenue) * 1000000 AS BIGINT) AS revenue_micros,
-           SUM(n) AS n,
+           CAST(SUM(n) AS BIGINT) AS n,
            CAST(SUM(qty) * 1000000 AS BIGINT) AS qty_micros,
            COUNT(*) AS n_partials
     FROM half GROUP BY year, month

@@ -400,8 +400,8 @@ _HOT_N = 10
              AS type_keys,
            max(CASE WHEN event_type = 'click' THEN n END) AS n_clicks,
            COUNT(*) FILTER (WHERE n >= {_HOT_N}) AS n_hot_types,
-           SUM(n) AS total_events,
-           SUM(least(n, {_HOT_N})) AS capped_events
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(SUM(least(n, {_HOT_N})) AS BIGINT) AS capped_events
     FROM per GROUP BY user_id
     """,
     doc="Map-type function surface (the battery the array/string/"
@@ -469,7 +469,7 @@ def _morton16_sql(x: str, y: str) -> str:
            bit_and(zval) AS z_and,
            bit_or(zval) AS z_or,
            bit_xor(zval) AS z_xor,
-           SUM(bit_count(zval)) AS total_bits,
+           CAST(SUM(bit_count(zval)) AS BIGINT) AS total_bits,
            CAST(min(zval) AS BIGINT) AS z_min,
            CAST(max(zval) AS BIGINT) AS z_max
     FROM z GROUP BY 1
@@ -515,12 +515,14 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN regexp_matches(text, '\b(spark|table)\b')
-                    THEN 1 ELSE 0 END) AS n_mentioning,
-           SUM(len(regexp_extract_all(text, '\bd[a-z]+'))) AS n_d_words,
-           SUM(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS devoweled_len,
-           SUM(CASE WHEN regexp_extract(text, '^(\w+)', 1) = 'the'
-                    THEN 1 ELSE 0 END) AS starts_with_the
+           CAST(SUM(CASE WHEN regexp_matches(text, '\b(spark|table)\b')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mentioning,
+           CAST(SUM(len(regexp_extract_all(text, '\bd[a-z]+')))
+                AS BIGINT) AS n_d_words,
+           CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g')))
+                AS BIGINT) AS devoweled_len,
+           CAST(SUM(CASE WHEN regexp_extract(text, '^(\w+)', 1) = 'the'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS starts_with_the
     FROM documents
     WHERE length(trim(text)) > 0
     GROUP BY lang

@@ -579,7 +579,7 @@ def bm25_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup_at_exit(dst)
         staged = f"{dst}.staging.{uuid.uuid4().hex[:12]}"
         cleanup_at_exit(staged)
-        compact_bm25_index(src, staged)
+        compact_bm25_index(src, staged, spark=spark)
         open(os.path.join(staged, "_SUCCESS_LAYOUT"), "w").close()
         try:
             os.rename(staged, dst)
