@@ -262,6 +262,16 @@ _GDPR_MOD = 97  # tombstones: every 97th customer requests erasure
 def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     tomb = c.filter(F.col("c_custkey") % _GDPR_MOD == 0)
+    return _gdpr_cascade_audit(spark, sf_dir, tomb)
+
+
+def _gdpr_cascade_audit(spark: SparkSession, sf_dir: str,
+                        tomb: DataFrame) -> DataFrame:
+    """The cascade audit over an externally supplied tombstone set
+    (``tomb``: one ``c_custkey`` column) — shared by the batch query
+    above and its streaming twin (streaming_gated.py::
+    stream_gdpr_tombstones_gated), so the two can never diverge."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     del_orders = o.join(F.broadcast(tomb),
                         o.o_custkey == tomb.c_custkey, "left_semi") \

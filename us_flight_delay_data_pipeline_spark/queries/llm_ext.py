@@ -1047,3 +1047,127 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_dup_tokens").cast("double")
                      / F.col("n_tokens").cast("double"))
                     .alias("dup_ratio")))
+
+
+_PAIR_MAX_DF = 8  # gram blocking cap: grams in more docs are boilerplate
+
+
+@register(
+    "substring_dup_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_tok_sql()} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base
+      WHERE len(toks) >= {_SUBSTR_L}
+    ),
+    grams AS (
+      SELECT doc_id, u.i::INT AS pos,
+             md5(array_to_string(
+               toks[(u.i::INT):(u.i::INT + {_SUBSTR_L} - 1)], ' ')) AS g
+      FROM sized,
+           LATERAL (SELECT unnest(range(1, n - {_SUBSTR_L} + 2)) AS i) u
+    ),
+    keep AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_PAIR_MAX_DF}
+    ),
+    kept AS (SELECT doc_id, pos, g FROM grams JOIN keep USING (g)),
+    mpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS off
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs0 AS (
+      SELECT doc_a, doc_b, off, pos_a,
+             CASE WHEN pos_a - lag(pos_a) OVER (
+                    PARTITION BY doc_a, doc_b, off ORDER BY pos_a) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM mpairs
+    ),
+    runs1 AS (
+      SELECT doc_a, doc_b, off, pos_a,
+             SUM(brk) OVER (PARTITION BY doc_a, doc_b, off
+                            ORDER BY pos_a) AS run_id
+      FROM runs0
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, off, run_id, COUNT(*) AS run_len
+      FROM runs1 GROUP BY doc_a, doc_b, off, run_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_matched_windows,
+           CAST(MAX(run_len) + {_SUBSTR_L - 1} AS BIGINT) AS lcs_tokens,
+           CAST(SUM(run_len + {_SUBSTR_L - 1}) AS BIGINT)
+             AS aligned_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+    doc="Document-PAIR span resolution — the attribution stage on top "
+        "of substring_dedup (which only says a doc contains duplicated "
+        "text, not against WHOM): every {L}-token window hash shared "
+        "by a doc pair becomes a match point (pos_a, pos_b); match "
+        "points at the SAME alignment offset (pos_a - pos_b) with "
+        "CONSECUTIVE positions merge into maximal runs — a run of k "
+        "windows is a verbatim common substring of exactly k+{Lm1} "
+        "tokens, the same maximal exact matches a suffix array "
+        "emits at match length >= {L}. Per pair: run count, matched "
+        "windows, the LONGEST common substring (lcs_tokens — the "
+        "decision signal for which doc to cut), and total aligned "
+        "tokens (overlapping alignments double-count by design; it is "
+        "an alignment-volume, not a coverage, measure). Scale guard: "
+        "grams occurring in more than {cap} docs are dropped BEFORE "
+        "the pair join (boilerplate blocking — same reason "
+        "fuzzy_name_blocking collapses multiplicity): pair fan-out is "
+        "bounded by C({cap},2) per gram instead of quadratic in the "
+        "hottest gram's df; the dropped mass is exactly what MinHash/"
+        "boilerplate queries handle. Shuffle rows are ~28-byte "
+        "(hash, doc, pos) tuples and the islands window partitions by "
+        "(doc_a, doc_b, off) — text never shuffles.".format(
+            L=_SUBSTR_L, Lm1=_SUBSTR_L - 1, cap=_PAIR_MAX_DF),
+)
+def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    sized = (d.select("doc_id", toks.alias("toks"))
+              .withColumn("n", F.size("toks"))
+              .filter(F.col("n") >= _SUBSTR_L))
+    exploded = sized.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(
+            F.lit(1), (F.col("n") - F.lit(_SUBSTR_L - 1)).cast("int")))
+         .alias("pos"))
+    gram = F.md5(F.concat_ws(
+        " ", F.slice("toks", F.col("pos"), F.lit(_SUBSTR_L)))
+        .cast("binary"))
+    grams = exploded.select("doc_id", "pos", gram.alias("g"))
+    keep = (grams.groupBy("g")
+                 .agg(F.countDistinct("doc_id").alias("df"))
+                 .filter((F.col("df") >= 2) & (F.col("df") <= _PAIR_MAX_DF))
+                 .select("g"))
+    kept = grams.join(keep, "g")
+    a = kept.select(F.col("doc_id").alias("doc_a"),
+                    F.col("pos").alias("pos_a"), "g")
+    b = kept.select(F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("pos_b"), "g")
+    mpairs = (a.join(b, "g")
+               .filter(F.col("doc_a") < F.col("doc_b"))
+               .select("doc_a", "doc_b", "pos_a",
+                       (F.col("pos_a") - F.col("pos_b")).alias("off")))
+    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pos_a")
+    runs = (mpairs
+            .withColumn("brk",
+                        F.when(F.col("pos_a") - F.lag("pos_a").over(w)
+                               == 1, F.lit(0)).otherwise(F.lit(1)))
+            .withColumn("run_id", F.sum("brk").over(w))
+            .groupBy("doc_a", "doc_b", "off", "run_id")
+            .agg(F.count("*").alias("run_len")))
+    return (runs.groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_runs"),
+                     F.sum("run_len").alias("n_matched_windows"),
+                     (F.max("run_len") + F.lit(_SUBSTR_L - 1))
+                      .alias("lcs_tokens"),
+                     F.sum(F.col("run_len") + F.lit(_SUBSTR_L - 1))
+                      .alias("aligned_tokens")))

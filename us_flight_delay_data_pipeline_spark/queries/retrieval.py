@@ -587,3 +587,172 @@ def bm25_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(staged, ignore_errors=True)
     q = query_terms(docs.filter(F.col("doc_id") < _N_QUERY_DOCS))
     return probe_bm25_index(q, dst, k=_TOPK)
+
+
+# ------------------------------------------------------------------ #
+# cross-encoder-style reranking over the hybrid candidate pool       #
+# ------------------------------------------------------------------ #
+
+# Feature weights of the reranker stand-in (exact integer linear
+# model). The ordering mirrors what a real cross-encoder learns:
+# phrase-level evidence (shared bigrams) dominates, then repeated-term
+# mass, then mere vocabulary overlap, with a length-mismatch penalty.
+_CE_W_BIGRAM = 1000
+_CE_W_TF = 100
+_CE_W_TERM = 10
+
+
+@register(
+    "cross_encoder_rerank",
+    f"""
+    WITH {_bm25_ctes(_POOL_K)},
+    {_dense_ctes(_POOL_K)},
+    pool AS (
+      SELECT DISTINCT q_id, doc_id FROM (
+        SELECT q_id, doc_id FROM bm25
+        UNION ALL
+        SELECT q_id, doc_id FROM dense) u
+    ),
+    tokarr AS (
+      SELECT doc_id, {_tok_sql()} AS tk FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    bgtf AS (
+      SELECT doc_id, bg, COUNT(*) AS btf FROM (
+        SELECT doc_id, tk[g.i] || ' ' || tk[g.i + 1] AS bg
+        FROM tokarr, LATERAL (SELECT unnest(range(1, len(tk))) AS i) g
+        WHERE len(tk) >= 2
+      ) GROUP BY doc_id, bg
+    ),
+    qtf AS (
+      SELECT doc_id AS q_id, term, tf FROM tf
+      WHERE doc_id < {_N_QUERY_DOCS}
+    ),
+    uni AS (
+      SELECT p.q_id, p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(LEAST(q.tf, t.tf)) AS BIGINT) AS w_common
+      FROM pool p
+      JOIN qtf q ON q.q_id = p.q_id
+      JOIN tf t ON t.doc_id = p.doc_id AND t.term = q.term
+      GROUP BY p.q_id, p.doc_id
+    ),
+    bgq AS (
+      SELECT doc_id AS q_id, bg, btf FROM bgtf
+      WHERE doc_id < {_N_QUERY_DOCS}
+    ),
+    big AS (
+      SELECT p.q_id, p.doc_id,
+             CAST(SUM(LEAST(bq.btf, bt.btf)) AS BIGINT) AS w_big
+      FROM pool p
+      JOIN bgq bq ON bq.q_id = p.q_id
+      JOIN bgtf bt ON bt.doc_id = p.doc_id AND bt.bg = bq.bg
+      GROUP BY p.q_id, p.doc_id
+    ),
+    feat AS (
+      SELECT p.q_id, p.doc_id,
+             COALESCE(u.n_common, 0) AS n_common,
+             COALESCE(u.w_common, 0) AS w_common,
+             COALESCE(b.w_big, 0) AS w_big,
+             ABS(CAST(COALESCE(dq_len.dl, 0) AS BIGINT)
+                 - CAST(COALESCE(dd_len.dl, 0) AS BIGINT)) AS dl_diff
+      FROM pool p
+      LEFT JOIN uni u ON u.q_id = p.q_id AND u.doc_id = p.doc_id
+      LEFT JOIN big b ON b.q_id = p.q_id AND b.doc_id = p.doc_id
+      LEFT JOIN dl dq_len ON dq_len.doc_id = p.q_id
+      LEFT JOIN dl dd_len ON dd_len.doc_id = p.doc_id
+    )
+    SELECT q_id, doc_id, ce_score, ce_rank FROM (
+      SELECT q_id, doc_id,
+             CAST({_CE_W_BIGRAM} * w_big + {_CE_W_TF} * w_common
+                  + {_CE_W_TERM} * n_common - dl_diff AS BIGINT)
+               AS ce_score,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY {_CE_W_BIGRAM} * w_big + {_CE_W_TF} * w_common
+                        + {_CE_W_TERM} * n_common - dl_diff DESC,
+                        doc_id) AS ce_rank
+      FROM feat)
+    WHERE ce_rank <= {_TOPK}
+    """,
+    doc="Cross-encoder-style reranking stand-in: the hybrid candidate "
+        "pool (BM25 top-20 UNION dense top-20 per seed) is re-scored "
+        "by JOINT query-document features — shared-bigram mass "
+        "(Σ min(btf_q, btf_d), the phrase-evidence a cross-encoder "
+        "attends to), repeated-term mass (Σ min(tf_q, tf_d)), distinct "
+        "vocabulary overlap, and a |dl_q - dl_d| length-mismatch "
+        "penalty — combined by an exact integer linear model so the "
+        "score itself gates (no float, no ln). This is the standard "
+        "retrieve-then-rerank serving shape: the first stage bounds "
+        "candidates (<= 2*pool per query), so the expensive pairwise "
+        "feature pass is (n_queries x 40) pairs, NEVER corpus-scale. "
+        "Spark prunes the tokenize/explode feature pipeline to "
+        "query+candidate docs via a broadcast semi-join BEFORE any "
+        "explode — at 100 TB the reranker costs the same as at 1 GB "
+        "once the pool is fixed; a learned model would swap the "
+        "integer weights for a Pandas-UDF batch without changing the "
+        "plan shape.",
+)
+def cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track
+    pool = track(
+        _bm25_ranked(spark, sf_dir, _POOL_K).select("q_id", "doc_id")
+        .unionByName(_dense_ranked(spark, sf_dir, _POOL_K)
+                     .select("q_id", "doc_id"))
+        .distinct().persist())
+    pool_docs = pool.select("doc_id").distinct()
+    base = _tokenized_base(spark, sf_dir)
+    # feature extraction touches ONLY query + candidate docs: the
+    # semi-join prunes before tokenization explodes anything
+    rel = track(
+        base.join(F.broadcast(pool_docs), "doc_id", "left_semi")
+            .unionByName(base.filter(F.col("doc_id") < _N_QUERY_DOCS))
+            .dropDuplicates(["doc_id"]).persist())
+    tf = track(rel.select("doc_id", F.explode("toks").alias("term"))
+                  .groupBy("doc_id", "term")
+                  .agg(F.count("*").alias("tf")).persist())
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    bg = track(rel.filter(F.size("toks") >= 2)
+                  .select("doc_id", F.explode(F.expr(
+                      "transform(sequence(1, size(toks) - 1), "
+                      "i -> concat(toks[i-1], ' ', toks[i]))")).alias("bg"))
+                  .groupBy("doc_id", "bg")
+                  .agg(F.count("*").alias("btf")).persist())
+    qtf = (tf.filter(F.col("doc_id") < _N_QUERY_DOCS)
+             .select(F.col("doc_id").alias("q_id"), "term",
+                     F.col("tf").alias("qtf")))
+    uni = (pool.join(F.broadcast(qtf), "q_id")
+               .join(tf.withColumnRenamed("tf", "dtf"), ["doc_id", "term"])
+               .groupBy("q_id", "doc_id")
+               .agg(F.count("*").alias("n_common"),
+                    F.sum(F.least("qtf", "dtf")).alias("w_common")))
+    bgq = (bg.filter(F.col("doc_id") < _N_QUERY_DOCS)
+             .select(F.col("doc_id").alias("q_id"), "bg",
+                     F.col("btf").alias("qbtf")))
+    bigf = (pool.join(F.broadcast(bgq), "q_id")
+                .join(bg.withColumnRenamed("btf", "dbtf"), ["doc_id", "bg"])
+                .groupBy("q_id", "doc_id")
+                .agg(F.sum(F.least("qbtf", "dbtf")).alias("w_big")))
+    dlq = dl.select(F.col("doc_id").alias("q_id"), F.col("dl").alias("dlq"))
+    dld = dl.select("doc_id", F.col("dl").alias("dld"))
+    feat = (pool.join(uni, ["q_id", "doc_id"], "left")
+                .join(bigf, ["q_id", "doc_id"], "left")
+                .join(F.broadcast(dlq), "q_id", "left")
+                .join(F.broadcast(dld), "doc_id", "left")
+                .select("q_id", "doc_id",
+                        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                        F.coalesce("w_common", F.lit(0)).alias("w_common"),
+                        F.coalesce("w_big", F.lit(0)).alias("w_big"),
+                        F.abs(F.coalesce("dlq", F.lit(0))
+                              - F.coalesce("dld", F.lit(0)))
+                         .alias("dl_diff")))
+    score = (F.lit(_CE_W_BIGRAM) * F.col("w_big")
+             + F.lit(_CE_W_TF) * F.col("w_common")
+             + F.lit(_CE_W_TERM) * F.col("n_common")
+             - F.col("dl_diff")).cast("long")
+    w = Window.partitionBy("q_id").orderBy(F.desc("ce_score"),
+                                           F.asc("doc_id"))
+    return (feat.withColumn("ce_score", score)
+                .withColumn("ce_rank", F.row_number().over(w))
+                .filter(F.col("ce_rank") <= _TOPK)
+                .select("q_id", "doc_id", "ce_score", "ce_rank"))

@@ -551,3 +551,87 @@ def _patch_stream_bm25_oracle() -> None:
 
 
 _patch_stream_bm25_oracle()
+
+
+def _gdpr_stream_oracle() -> str:
+    from . import REGISTRY
+    return REGISTRY["gdpr_delete_propagation"].oracle
+
+
+@register(
+    "stream_gdpr_tombstones_gated",
+    None,  # oracle attached below (shared with the batch cascade —
+           # curation_wave7 registers earlier in load_registry order)
+    doc="Streaming GDPR tombstone propagation under the oracle gate: "
+        "a REAL streaming job ingests the customer table through "
+        "foreachBatch; each micro-batch extracts its erasure requests "
+        "and appends them to a persisted transaction-log tombstone "
+        "table via TxTable.commit_once(token=epoch id) — the exactly-"
+        "once idiom txlog_exactly_once_replay pins in batch, here "
+        "doing compliance duty: a replayed epoch is a no-op, so the "
+        "accumulated tombstone set is exact under at-least-once "
+        "delivery. The returned audit runs the SAME cascade helper as "
+        "the batch gdpr_delete_propagation over the accumulated "
+        "snapshot and must value-hash-match its oracle — pinning that "
+        "stream-accumulated tombstones drive the identical "
+        "orders/lineitem/events cascade. At 100 TB this is the "
+        "standing right-to-be-forgotten service: requests arrive "
+        "continuously, the tombstone log stays tiny and broadcasts "
+        "into every fact scan; the periodic rewrite job reads the "
+        "same snapshot.",
+)
+def stream_gdpr_tombstones_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..functions.core import cleanup_at_exit
+    from ..operators.txlog import TxTable
+    from .curation_wave7 import _GDPR_MOD, _gdpr_cascade_audit
+
+    from ..sources.registry import load_table
+    src = _stream_source(spark, sf_dir, "customer")
+    tag = uuid.uuid4().hex[:12]
+    log_dir = tempfile.mkdtemp(prefix=f"sg_gdpr_{tag}_log_")
+    # registered BEFORE the stream starts so a failing stream cannot
+    # leak the dir; the audit below reads the snapshot lazily within
+    # the same process lifetime (stream_bm25_index_gated precedent)
+    cleanup_at_exit(log_dir)
+    ckpt = tempfile.mkdtemp(prefix=f"sg_gdpr_{tag}_ckpt_")
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        tomb = (batch_df.select("c_custkey")
+                        .filter(F.col("c_custkey") % _GDPR_MOD == 0))
+        if tomb.isEmpty():
+            return
+        TxTable(batch_df.sparkSession, log_dir).commit_once(
+            tomb, token=f"tomb/{epoch_id}")
+
+    try:
+        q = (src.writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    log = TxTable(spark, log_dir)
+    if log.latest_version() is None:
+        # no erasure request in the whole stream: empty tombstone set
+        tomb = (load_table(spark, sf_dir, "customer")
+                .select("c_custkey").limit(0))
+    else:
+        # distinct() is replay hardening only — commit_once already
+        # guarantees each epoch lands exactly once
+        tomb = log.snapshot().select("c_custkey").distinct()
+    return _gdpr_cascade_audit(spark, sf_dir, tomb)
+
+
+def _patch_stream_gdpr_oracle() -> None:
+    import dataclasses
+
+    from . import REGISTRY
+    spec = REGISTRY["stream_gdpr_tombstones_gated"]
+    if spec.oracle is None:
+        REGISTRY["stream_gdpr_tombstones_gated"] = dataclasses.replace(
+            spec, oracle=_gdpr_stream_oracle())
+
+
+_patch_stream_gdpr_oracle()
