@@ -252,6 +252,65 @@ def build_minhash_index(df: DataFrame, path: str,
     sig.unpersist()
 
 
+def write_minhash_batch(docs: DataFrame, path: str, batch_id: int,
+                        coeffs: list[tuple[int, int]],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4,
+                        ngram: int = 3) -> None:
+    """Append ONE corpus batch's banded signatures to the persisted
+    LSH index — the incremental writer twin of
+    :func:`build_minhash_index` (which overwrites the whole index).
+    Rows land in (batch_id, band)-keyed partitions under dynamic
+    partition overwrite, so a REPLAYED batch_id rewrites exactly its
+    own partitions and the writer is idempotent per batch (the
+    bm25.write_bm25_batch contract). Batches must be doc-disjoint —
+    the probe deduplicates candidate PAIRS, not documents, so a doc
+    ingested twice under different batch_ids would pair with itself.
+    """
+    spark = docs.sparkSession
+    sig = minhash_signatures(docs, coeffs, text_col, id_col, ngram)
+    banded = sig.select(
+        F.col(id_col).alias("corpus_id"), "hsd",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_key(F.col("sig"), b, rows_per_band).alias("key"))
+            for b in range(bands)])).alias("bk"))         .select("corpus_id", "hsd",
+                F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"),
+                F.lit(int(batch_id)).cast("bigint").alias("batch_id"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        banded.write.mode("overwrite").partitionBy("batch_id", "band")               .parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sig.unpersist()
+
+
+def lsh_pairs_from_index(spark, path: str,
+                         threshold: float = 0.3) -> DataFrame:
+    """All near-dup pairs in the ACCUMULATED banded index: one
+    self-equi-join on (band, key) — across batches as well as within
+    them, because the band key is a pure function of the signature —
+    then exact hashed-shingle Jaccard verification. Equals
+    :func:`minhash_lsh_duplicate_pairs` over the union of every
+    ingested batch (stream_minhash_index_gated pins exactly that).
+    The serving shape of CONTINUOUS corpus dedup: signatures are
+    computed once at ingest; no text and no re-signing at probe time.
+    """
+    idx = spark.read.parquet(path)
+    a = idx.select(F.col("corpus_id").alias("doc_a"),
+                   F.col("hsd").alias("h_a"), "band", "key")
+    b = idx.select(F.col("corpus_id").alias("doc_b"),
+                   F.col("hsd").alias("h_b"), "band", "key")
+    cands = (a.join(b, ["band", "key"])
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b", "h_a", "h_b")
+              .dropDuplicates(["doc_a", "doc_b"]))
+    return _verified_jaccard_pairs(cands, threshold)
+
+
 def dedup_against_index(new_docs: DataFrame, index_path: str,
                         coeffs: list[tuple[int, int]],
                         text_col: str = "text", id_col: str = "doc_id",

@@ -1171,3 +1171,58 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("lcs_tokens"),
                      F.sum(F.col("run_len") + F.lit(_SUBSTR_L - 1))
                       .alias("aligned_tokens")))
+
+
+_TPL_N = 3  # opening-template length, in tokens
+
+
+@register(
+    "template_dedup_clusters",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(array_to_string(
+                   ({_tok_sql()})[1:{_TPL_N}], ' '),
+                 '[0-9]+', '#', 'g')) AS th,
+             md5(text) AS raw_h
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT th AS template_h,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_h) AS BIGINT) AS n_distinct_texts,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+    FROM norm GROUP BY th HAVING COUNT(*) >= 2
+    """,
+    doc="Opening-template dedup — the instruction/boilerplate family "
+        "member the hash/shingle dedups miss: documents cluster on "
+        f"their normalized first {_TPL_N} tokens (lowercased "
+        "tokenizer, digit-runs -> '#'), so prompts that differ only "
+        "in parameter values or share a generation header ('order "
+        "#1234 shipped...' / 'order #99 shipped...') fuse into one "
+        "template. Per cluster of >= 2: member count, distinct raw "
+        "texts (n_docs > n_distinct_texts means exact dupes are also "
+        "present), source spread (cross-source templates are "
+        "boilerplate; single-source ones are generation templates), "
+        "and the min-doc_id representative. The standard pre-filter "
+        "for instruction-tuning corpora. Scale: normalization is a "
+        "per-row scan projection; the shuffle carries 16-byte hashes "
+        "(text never shuffles); one partial+final hash-agg.",
+)
+def template_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length(F.trim("text")) > 0))
+    template = F.regexp_replace(
+        F.concat_ws(" ", F.slice(word_tokens(F.lower(F.col("text"))),
+                                 1, _TPL_N)),
+        r"[0-9]+", "#")
+    norm = d.select(
+        "doc_id", "source",
+        F.md5(template.cast("binary")).alias("th"),
+        F.md5(F.col("text").cast("binary")).alias("raw_h"))
+    return (norm.groupBy(F.col("th").alias("template_h"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.countDistinct("raw_h").alias("n_distinct_texts"),
+                     F.countDistinct("source").alias("n_sources"),
+                     F.min("doc_id").alias("rep_doc_id"))
+                .filter(F.col("n_docs") >= 2))

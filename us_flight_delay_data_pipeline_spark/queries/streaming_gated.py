@@ -635,3 +635,67 @@ def _patch_stream_gdpr_oracle() -> None:
 
 
 _patch_stream_gdpr_oracle()
+
+
+@register(
+    "stream_minhash_index_gated",
+    None,  # oracle attached below (shared with minhash_lsh_pairs —
+           # llm_ext registers later in load_registry order)
+    doc="Continuous fuzzy-dedup index maintenance under the oracle "
+        "gate: a REAL streaming job ingests the documents table "
+        "through foreachBatch; each micro-batch computes its MinHash "
+        "signatures ONCE and appends the banded rows to a persisted "
+        "(batch_id, band)-partitioned index (operators/dedup.py::"
+        "write_minhash_batch — dynamic partition overwrite makes "
+        "replayed epochs idempotent, the write_bm25_batch contract). "
+        "The returned result self-joins the ACCUMULATED index on "
+        "(band, key) and verifies exact hashed-shingle Jaccard — and "
+        "must value-hash-match the batch minhash_lsh_pairs oracle, "
+        "pinning that cross-batch banding finds exactly the pairs a "
+        "monolithic corpus pass finds (band keys are pure functions "
+        "of the signature, so cross-batch candidates fall out of the "
+        "same equi-join). At 100 TB this is the standing dedup "
+        "service: each arriving batch signs itself once, probes "
+        "history by equi-join, and text never rides a shuffle.",
+)
+def stream_minhash_index_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..functions.core import cleanup_at_exit
+    from ..operators.dedup import lsh_pairs_from_index, write_minhash_batch
+
+    src = _stream_source(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:12]
+    idx = tempfile.mkdtemp(prefix=f"sg_mhidx_{tag}_")
+    cleanup_at_exit(idx)
+    ckpt = tempfile.mkdtemp(prefix=f"sg_mhidx_{tag}_ckpt_")
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from .llm_ext import _BANDS, MINHASH_COEFFS
+        write_minhash_batch(batch_df, idx, batch_id=epoch_id,
+                            coeffs=MINHASH_COEFFS, bands=_BANDS)
+
+    try:
+        q = (src.writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return lsh_pairs_from_index(spark, idx, threshold=0.3)
+
+
+def _patch_stream_minhash_oracle() -> None:
+    import dataclasses
+
+    from . import REGISTRY
+    from . import llm_ext  # noqa: F401 — forces its registration
+    spec = REGISTRY["stream_minhash_index_gated"]
+    if spec.oracle is None:
+        REGISTRY["stream_minhash_index_gated"] = dataclasses.replace(
+            spec, oracle=REGISTRY["minhash_lsh_pairs"].oracle)
+
+
+_patch_stream_minhash_oracle()
