@@ -66,6 +66,9 @@ class RunningUserTotals(StatefulProcessor):
                             "total_cents": [cents]})
 
     def close(self) -> None:
+        # Required by the StatefulProcessor ABC; this processor holds
+        # no resources outside the state store, so teardown is a
+        # deliberate no-op.
         pass
 
 
