@@ -99,7 +99,7 @@ class QuerySpec:
 AUDIT_QUERIES = frozenset({
     "minhash_band_tuning", "ivf_recall_audit", "lsh_recall_audit",
     "source_overlap_audit", "knn_cap_recall_audit",
-    "matryoshka_recall_audit",
+    "matryoshka_recall_audit", "blocking_quality_audit",
 })
 
 

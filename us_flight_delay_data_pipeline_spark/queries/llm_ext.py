@@ -1226,3 +1226,129 @@ def template_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.countDistinct("source").alias("n_sources"),
                      F.min("doc_id").alias("rep_doc_id"))
                 .filter(F.col("n_docs") >= 2))
+
+
+# ------------------------------------------------------------------ #
+# graph-based ANN serving: greedy beam search over a kNN graph       #
+# ------------------------------------------------------------------ #
+
+_BEAM_KNN = 3   # graph out-degree (= curation_extra._KNN_K,
+                # the shared LSH-bucketed kNN graph)
+_BEAM_B = 8     # beam width
+_BEAM_H = 3     # hops
+_BEAM_TOPK = 5  # serving depth
+_BEAM_NQ = 5    # query vectors: vec_id < 5
+
+
+def _beam_hop_sql(h: int) -> str:
+    prev = f"beam{h - 1}"
+    return f"""
+    cand{h} AS (
+      SELECT DISTINCT q_id, node FROM (
+        SELECT q_id, node FROM {prev}
+        UNION ALL
+        SELECT b.q_id, ed.dst AS node
+        FROM {prev} b JOIN edges ed ON ed.src = b.node) u
+    ),
+    ranked{h} AS (
+      SELECT c.q_id, c.node,
+             row_number() OVER (PARTITION BY c.q_id
+               ORDER BY {_cosine_sql('q.qv', 'e.embedding')} DESC, c.node)
+               AS r
+      FROM cand{h} c
+      JOIN qs q ON q.q_id = c.q_id
+      JOIN embeddings e ON e.vec_id = c.node
+      WHERE c.node <> c.q_id
+    ),
+    beam{h} AS (SELECT q_id, node FROM ranked{h} WHERE r <= {_BEAM_B})"""
+
+
+_BEAM_ORACLE = f"""
+    WITH ev AS (
+      SELECT vec_id, embedding, {_hyperplane_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    gsims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS c
+      FROM ev a JOIN ev b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY c DESC, dst)
+                 AS r
+        FROM gsims) WHERE r <= {_BEAM_KNN}
+    ),
+    qs AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_BEAM_NQ}
+    ),
+    entry AS (
+      SELECT MIN(vec_id) AS e FROM embeddings WHERE vec_id >= {_BEAM_NQ}
+    ),
+    beam0 AS (SELECT q_id, e AS node FROM qs, entry),
+    {",".join(_beam_hop_sql(h) for h in range(1, _BEAM_H + 1))}
+    SELECT q_id, node AS doc_id, r AS rank
+    FROM ranked{_BEAM_H} WHERE r <= {_BEAM_TOPK}
+    """
+
+
+@register(
+    "ann_beam_search_topk",
+    _BEAM_ORACLE,
+    doc="Graph-based ANN serving (the HNSW/NSG family's traversal, "
+        "single-layer): a kNN graph (out-degree {d}) is walked by "
+        "greedy beam search — start at a fixed entry node, each hop "
+        "expands the beam's out-neighbors, re-scores candidates by "
+        "exact cosine against the query, and keeps the best {B}; "
+        "after {H} hops the top-{K} of the final beam is served. "
+        "Rank-only output with id tiebreaks (float scores never "
+        "output — ann_bruteforce_topk precedent). This pins the "
+        "TRAVERSAL semantics over the SAME LSH-bucketed kNN graph "
+        "knn_graph_mutual builds (bucket equi self-join, never "
+        "all-pairs — at 100 TB nn_descent_round refines it); the "
+        "traversal plan is corpus-size-independent: the beam frontier "
+        "is "
+        "(n_queries x {B}) rows per hop, each hop is one equi-join "
+        "against the edge list (co-partitioned on node) plus one "
+        "broadcast of the query vectors — per-hop cost is independent "
+        "of corpus size, which is the entire point of graph ANN over "
+        "IVF probing.".format(d=_BEAM_KNN, B=_BEAM_B, H=_BEAM_H,
+                              K=_BEAM_TOPK),
+)
+def ann_beam_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    from .curation_extra import _knn_edges
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    qs = (e.filter(F.col("vec_id") < _BEAM_NQ)
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("qv")))
+    nodes = e.select(F.col("vec_id").alias("node"),
+                     F.col("embedding").alias("nv"))
+    # one bounded driver pull: the entry node id (a scalar)
+    entry = (e.filter(F.col("vec_id") >= _BEAM_NQ)
+              .agg(F.min("vec_id")).first()[0])
+    w = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("node"))
+    beam = qs.select("q_id", F.lit(entry).cast("long").alias("node"))
+    ranked = None
+    for _ in range(_BEAM_H):
+        cand = (beam.unionByName(
+                    beam.join(edges, beam.node == edges.src)
+                        .select("q_id", F.col("dst").alias("node")))
+                    .distinct())
+        ranked = (cand.filter(F.col("node") != F.col("q_id"))
+                      .join(F.broadcast(qs), "q_id")
+                      .join(nodes, "node")
+                      .select("q_id", "node",
+                              cosine_similarity(F.col("qv"), F.col("nv"))
+                              .alias("c"))
+                      .withColumn("r", F.row_number().over(w)))
+        beam = ranked.filter(F.col("r") <= _BEAM_B).select("q_id", "node")
+    return (ranked.filter(F.col("r") <= _BEAM_TOPK)
+                  .select("q_id", F.col("node").alias("doc_id"),
+                          F.col("r").alias("rank")))
