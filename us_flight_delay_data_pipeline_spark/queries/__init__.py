@@ -177,6 +177,15 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # other 2 rows-only by declared design).  Slots 35-50 fall to this
 # round's new registrations, which sort ahead of already-checked
 # names in load_registry.
+# Round-9 prep (write the r9 pin from this recipe once
+# CORRECTNESS_r08 lands): fold the 50 r8-sampled names (the 13 reds
+# + the 7 r8 registrations + the 30 oldest-green re-confirmations)
+# into a DRIVER_CHECKED_R08 set with round stamp 8 in last_checked;
+# re-queue any red r08 row at the front of DRIVER_SAMPLE_R09; the
+# rest of the sample self-fills with r9 registrations then the next
+# 30 stalest rows (the name-keyed sort makes slot math insensitive
+# to registration order).
+#
 # Round-8 pinned sample head: the 13 r7-red rows re-queued first
 # (VERDICT r7 task #1 done-criterion is a green r08 row for each).
 # All 13 were hash_match=False for ONE mechanical cause — DuckDB
