@@ -1,0 +1,530 @@
+"""[EXT] Wave-8 operators: multi-criteria document selection (Pareto
+skyline, nucleus top-p), basket mining (association rules with
+support/confidence/lift), temporal state modelling (interval-union
+coverage, SCD2 validity intervals), robust statistics (median/MAD
+outlier flags), and exact proportional allocation (largest-remainder
+quotas).
+
+No reference counterpart (the reference is ingest glue + three fixed
+aggregates, SURVEY.md §2) — these are the curation/selection
+primitives a 100 TB training-data platform runs daily:
+
+- **Pareto skyline** — "keep documents no other document beats on
+  every quality axis" is the principled multi-criteria filter (no
+  hand-tuned scalarization). The naive formulation is an O(n²)
+  dominance anti-join; at scale we use the classic sweep: collapse to
+  one candidate per distinct x (GROUP BY — the frontier can contain
+  at most one point per x), then a single distributed prefix-max over
+  x-descending order (`operators/prefix.py` two-pass shape — no
+  single-partition window, no self-join). Work is O(|distinct x|)
+  after the first agg, not O(n²).
+- **Nucleus (top-p) selection** — per-source minimal prefix of the
+  quality-ranked corpus covering ≥90% of the mass, the data-mixing
+  analog of nucleus sampling. Membership is exact integer algebra
+  (`(cum-x)*10 < tot*9`) on a PARTITIONED running sum — per-source
+  windows parallelize across sources.
+- **Association rules** — brand co-occurrence over order baskets with
+  integer ppm confidence/lift. The pair join is per-basket (bounded
+  by basket size k → k² candidate pairs per order, never corpus²);
+  the dimension join broadcasts. Scale contract: counts stay in
+  int64 up to ~2e9 baskets (note in the lift expression); beyond
+  that route the product through DECIMAL.
+- **Interval-union coverage** — per-user union length of overlapping
+  activity intervals (sweep-line via running max of interval end over
+  a user-partitioned window). The standard "how much wall-clock was
+  covered" metric; one shuffle on user_id.
+- **SCD2 history** — collapse an event stream to type-2
+  slowly-changing-dimension validity intervals (change-point filter
+  via lag, then lead for valid_to). One window shuffle; the batch
+  twin of cdc_latest_state.
+- **Median/MAD outliers** — robust per-group outlier flags.  Both
+  medians are DISCRETE (the element at row (n+1)//2 under a pinned
+  total order) computed with row_number over group-partitioned
+  windows — identical semantics in both engines by construction, no
+  dependence on either engine's interpolating median builtin, and
+  exact integer micro-units end-to-end (the r7/r8 portability
+  policy).
+- **Largest-remainder quota** — turn target proportions into integer
+  slot allocations that sum EXACTLY to the budget (Hamilton
+  apportionment): floor shares + remainder-ranked top-up, all int64
+  arithmetic. The tiny aggregated frame ranks via a bounded
+  broadcast self-join (|sources|² pairs), not a global window.
+
+Every output column is int64 / string / timestamp / bool — no float
+leaves any query; every oracle integer SUM is CAST AS BIGINT
+(tests/test_oracle_portability.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import word_tokens
+from ..operators.prefix import with_global_running
+from ..sources.registry import load_table
+from . import register
+
+_TOKS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+             "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+
+
+# ---------------------------------------------------------------- #
+# Pareto (skyline) document frontier                                #
+# ---------------------------------------------------------------- #
+
+@register(
+    "pareto_frontier_docs",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    pts AS (
+      SELECT len(toks)::BIGINT AS n_tokens,
+             len(list_distinct(toks))::BIGINT AS n_distinct
+      FROM t
+    ),
+    cnts AS (
+      SELECT n_tokens, n_distinct, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pts GROUP BY 1, 2
+    ),
+    px AS (
+      SELECT n_tokens, max(n_distinct) AS nd
+      FROM cnts GROUP BY n_tokens
+    ),
+    sw AS (
+      SELECT n_tokens, nd,
+             max(nd) OVER (ORDER BY n_tokens DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mx
+      FROM px
+    )
+    SELECT s.n_tokens, s.nd AS n_distinct, c.n_docs
+    FROM sw s
+    JOIN cnts c ON c.n_tokens = s.n_tokens AND c.n_distinct = s.nd
+    WHERE s.mx IS NULL OR s.nd > s.mx
+    """,
+    doc="Pareto skyline over (token count, distinct-token count): "
+        "documents on the maximal frontier — no other document is >= "
+        "on both axes and > on one. Distributed sweep, not the O(n²) "
+        "dominance anti-join: per-x max (the frontier holds at most "
+        "one point per x), then one two-pass distributed prefix-max "
+        "over x-descending order; a point survives iff it strictly "
+        "raises the running max, recovered as max(x) per run of the "
+        "(monotone) inclusive running max — no single-partition "
+        "window anywhere.",
+)
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    pts = docs.select(
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"))
+    cnts = pts.groupBy("n_tokens", "n_distinct") \
+              .agg(F.count("*").alias("n_docs"))
+    per_x = cnts.groupBy("n_tokens").agg(F.max("n_distinct").alias("nd"))
+    # inclusive running MAX of nd over n_tokens DESC == -(running min
+    # of -nd); the running max is monotone non-decreasing along the
+    # sweep, so each distinct value forms one contiguous run and the
+    # frontier point of that run is its first row = max(n_tokens).
+    run = with_global_running(
+        per_x.withColumn("_neg", (-F.col("nd")).cast("bigint")),
+        order_by=[F.col("n_tokens").desc()],
+        min_col="_neg", min_name="_rm")
+    frontier = (run.groupBy("_rm")
+                   .agg(F.max("n_tokens").alias("n_tokens"))
+                   .withColumn("n_distinct", (-F.col("_rm")).cast("bigint"))
+                   .drop("_rm"))
+    return (cnts.join(F.broadcast(frontier), ["n_tokens", "n_distinct"])
+                .select("n_tokens", "n_distinct", "n_docs"))
+
+
+# ---------------------------------------------------------------- #
+# Basket association rules                                          #
+# ---------------------------------------------------------------- #
+
+@register(
+    "basket_association_rules",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    nb AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      FROM bi
+    ),
+    ic AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM bi GROUP BY p_brand
+    ),
+    pr AS (
+      SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bi a
+      JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent, n_ab,
+           (n_ab * 1000000) // ia.n_item AS conf_ab_ppm,
+           (n_ab * 1000000) // ib.n_item AS conf_ba_ppm,
+           (n_ab * n_baskets * 1000000) // (ia.n_item * ib.n_item)
+             AS lift_ppm
+    FROM pr
+    JOIN ic ia ON ia.p_brand = pr.antecedent
+    JOIN ic ib ON ib.p_brand = pr.consequent, nb
+    WHERE n_ab * 100 >= n_baskets
+    """,
+    doc="Brand-pair association rules over order baskets (support >= "
+        "1% of baskets): co-occurrence count, both-direction "
+        "confidence and lift in exact integer ppm (floor division — "
+        "no float ratio in any output). The pair join explodes per "
+        "basket (k² pairs for a k-item basket, never corpus²); the "
+        "part dimension broadcasts. int64 headroom: n_ab * n_baskets "
+        "* 1e6 stays under 2^63 up to ~2e9 baskets; beyond that the "
+        "lift numerator routes through DECIMAL(38,0).",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select("l_orderkey", "p_brand").distinct())
+    nb = bi.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    ic = bi.groupBy("p_brand").agg(F.count("*").alias("n_item"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    pr = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.p_brand") < F.col("b.p_brand")))
+           .groupBy(F.col("a.p_brand").alias("antecedent"),
+                    F.col("b.p_brand").alias("consequent"))
+           .agg(F.count("*").alias("n_ab")))
+    ia = ic.select(F.col("p_brand").alias("antecedent"),
+                   F.col("n_item").alias("n_a"))
+    ib = ic.select(F.col("p_brand").alias("consequent"),
+                   F.col("n_item").alias("n_b"))
+    return (pr.join(F.broadcast(ia), "antecedent")
+              .join(F.broadcast(ib), "consequent")
+              .crossJoin(F.broadcast(nb))
+              .where(F.col("n_ab") * 100 >= F.col("n_baskets"))
+              .select(
+                  "antecedent", "consequent", "n_ab",
+                  F.expr("(n_ab * 1000000) div n_a").alias("conf_ab_ppm"),
+                  F.expr("(n_ab * 1000000) div n_b").alias("conf_ba_ppm"),
+                  F.expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)")
+                   .alias("lift_ppm")))
+
+
+# ---------------------------------------------------------------- #
+# Interval-union coverage (sweep line)                              #
+# ---------------------------------------------------------------- #
+
+_IV_US = 30 * 60 * 1_000_000  # each event opens a 30-minute interval
+
+
+@register(
+    "interval_union_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_IV_US} AS e_us
+      FROM events
+    ),
+    sw AS (
+      SELECT *,
+             max(e_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pme
+      FROM iv
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN pme IS NULL OR pme <= s_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+           CAST(SUM(greatest(0, e_us - greatest(s_us, coalesce(pme, s_us))))
+                AS BIGINT) AS covered_us
+    FROM sw GROUP BY user_id
+    """,
+    doc="Per-user union length of overlapping 30-minute activity "
+        "intervals (sweep line: running max of interval end over a "
+        "user-partitioned window; each event contributes only the "
+        "part past the running max, so overlaps are never double-"
+        "counted) plus the count of disjoint activity blocks. One "
+        "shuffle on user_id; all integer microseconds.",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id",
+                                                   "ts")
+    s_us = F.unix_micros("ts")
+    iv = e.withColumn("s_us", s_us).withColumn("e_us", s_us + F.lit(_IV_US))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    sw = iv.withColumn("pme", F.max("e_us").over(w))
+    new_block = F.when(F.col("pme").isNull()
+                       | (F.col("pme") <= F.col("s_us")), 1).otherwise(0)
+    covered = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("e_us") - F.greatest(F.col("s_us"),
+                                   F.coalesce(F.col("pme"), F.col("s_us"))))
+    return (sw.withColumn("nb", new_block).withColumn("cv", covered)
+              .groupBy("user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum("nb").cast("bigint").alias("n_blocks"),
+                   F.sum("cv").cast("bigint").alias("covered_us")))
+
+
+# ---------------------------------------------------------------- #
+# SCD2 validity intervals                                           #
+# ---------------------------------------------------------------- #
+
+@register(
+    "scd2_history_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM o WHERE prev_t IS NULL OR prev_t <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id)
+             AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id)
+                AS BIGINT) AS version,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id))
+             IS NULL AS is_current
+    FROM c
+    """,
+    doc="Type-2 SCD history build from the event stream: collapse "
+        "consecutive same-type events per user to change points "
+        "(lag), then validity intervals [valid_from, valid_to) via "
+        "lead, versioned per user, open-ended current row flagged. "
+        "One window shuffle on user_id — the batch history twin of "
+        "cdc_latest_state.",
+)
+def scd2_history_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts",
+                                                   "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_t = F.lag("event_type").over(w)
+    changes = (e.withColumn("prev_t", prev_t)
+                .where(F.col("prev_t").isNull()
+                       | (F.col("prev_t") != F.col("event_type")))
+                .select("user_id", "event_type",
+                        F.col("ts").alias("valid_from"), "event_id"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (changes
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("version", F.row_number().over(w2).cast("bigint"))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select("user_id", "event_type", "valid_from", "valid_to",
+                    "version", "is_current"))
+
+
+# ---------------------------------------------------------------- #
+# Median/MAD robust outlier flags                                   #
+# ---------------------------------------------------------------- #
+
+@register(
+    "group_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS v_us
+      FROM events
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+    r AS (
+      SELECT v.*, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v_us, event_id) AS rn
+      FROM v
+    ),
+    med AS (
+      SELECT r.event_type, r.v_us AS med_us
+      FROM r JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT v.event_type, v.event_id, v.v_us,
+             abs(v.v_us - med_us) AS d_us, med_us
+      FROM v JOIN med USING (event_type)
+    ),
+    rd AS (
+      SELECT d.*, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY d_us, event_id) AS rn
+      FROM d
+    ),
+    mad AS (
+      SELECT rd.event_type, rd.d_us AS mad_us
+      FROM rd JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, n.n AS n_events, d.med_us, mad.mad_us,
+           CAST(SUM(CASE WHEN d.d_us > 3 * mad.mad_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d
+    JOIN mad USING (event_type)
+    JOIN n USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Robust per-group outlier flags via median/MAD: both medians "
+        "are DISCRETE — the element at row (n+1)//2 under the pinned "
+        "total order (value, event_id) — computed with row_number "
+        "over group-partitioned windows, so the semantics are "
+        "engine-identical by construction (no interpolating median "
+        "builtin on either side) and partition-invariant. Values in "
+        "exact integer micro-units; outlier = |v - med| > 3*MAD. Two "
+        "window shuffles on event_type plus broadcast med/mad joins.",
+)
+def group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id",
+                                                   "value")
+    v = e.select(
+        "event_type", "event_id",
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("bigint").alias("v_us"))
+    n = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("v_us", "event_id")
+    r = v.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    med = (r.join(F.broadcast(n), "event_type")
+            .where(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col("v_us").alias("med_us")))
+    d = (v.join(F.broadcast(med), "event_type")
+          .withColumn("d_us", F.abs(F.col("v_us") - F.col("med_us"))))
+    wd = Window.partitionBy("event_type").orderBy("d_us", "event_id")
+    rd = d.withColumn("rn", F.row_number().over(wd).cast("bigint"))
+    mad = (rd.join(F.broadcast(n), "event_type")
+             .where(F.col("rn") == F.expr("(n + 1) div 2"))
+             .select("event_type", F.col("d_us").alias("mad_us")))
+    return (d.join(F.broadcast(mad), "event_type")
+             .join(F.broadcast(n), "event_type")
+             .groupBy("event_type",
+                      F.col("n").alias("n_events"), "med_us", "mad_us")
+             .agg(F.sum(F.when(F.col("d_us") > 3 * F.col("mad_us"), 1)
+                        .otherwise(0)).cast("bigint").alias("n_outliers")))
+
+
+# ---------------------------------------------------------------- #
+# Largest-remainder (Hamilton) quota allocation                     #
+# ---------------------------------------------------------------- #
+
+_QUOTA_BUDGET = 1000
+
+
+@register(
+    "largest_remainder_quota",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM c),
+    b AS (
+      SELECT source, n_docs,
+             (n_docs * {_QUOTA_BUDGET}) // tot AS base,
+             (n_docs * {_QUOTA_BUDGET}) % tot AS rem
+      FROM c, t
+    ),
+    l AS (
+      SELECT {_QUOTA_BUDGET} - CAST(SUM(base) AS BIGINT) AS leftover
+      FROM b
+    ),
+    r AS (
+      SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b
+    )
+    SELECT r.source, r.n_docs,
+           CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r, l
+    """,
+    doc="Largest-remainder (Hamilton) apportionment of a fixed "
+        f"sampling budget ({_QUOTA_BUDGET} slots) across document "
+        "sources: integer floor shares plus remainder-ranked top-up, "
+        "so SUM(quota) == budget exactly — the allocation step every "
+        "mixture-weighted sampler needs after temperature/mixture "
+        "weights are chosen. All int64 arithmetic; the rank runs as a "
+        "bounded broadcast self-join on the |sources|-row aggregate "
+        "(no global-order window on a data-scale frame).",
+)
+def largest_remainder_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").cast("bigint").alias("tot"))
+    b = (c.crossJoin(F.broadcast(t))
+          .withColumn("base",
+                      F.expr(f"(n_docs * {_QUOTA_BUDGET}) div tot"))
+          .withColumn("rem", F.expr(f"(n_docs * {_QUOTA_BUDGET}) % tot")))
+    lo = b.agg((F.lit(_QUOTA_BUDGET)
+                - F.sum("base").cast("bigint")).alias("leftover"))
+    other = b.select(F.col("source").alias("o_source"),
+                     F.col("rem").alias("o_rem"))
+    ranked = (b.join(F.broadcast(other),
+                     (F.col("o_rem") > F.col("rem"))
+                     | ((F.col("o_rem") == F.col("rem"))
+                        & (F.col("o_source") < F.col("source"))),
+                     "left")
+               .groupBy("source", "n_docs", "base")
+               .agg((F.count("o_source") + 1).alias("rk")))
+    return (ranked.crossJoin(F.broadcast(lo))
+                  .select("source", "n_docs",
+                          (F.col("base")
+                           + F.when(F.col("rk") <= F.col("leftover"), 1)
+                              .otherwise(0)).cast("bigint").alias("quota")))
+
+
+# ---------------------------------------------------------------- #
+# Nucleus (top-p) per-source selection                              #
+# ---------------------------------------------------------------- #
+
+@register(
+    "nucleus_topp_docs",
+    """
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN (cum - n_chars) * 10 < tot * 9
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN (cum - n_chars) * 10 < tot * 9
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM w GROUP BY source
+    """,
+    doc="Nucleus (top-p) selection per source: rank documents by size "
+        "(n_chars DESC, doc_id tiebreak) and keep the minimal prefix "
+        "reaching >=90% of the source's total mass — a document stays "
+        "iff the cumulative mass BEFORE it is under the threshold, "
+        "decided by exact integer algebra ((cum-x)*10 < tot*9, never "
+        "a float share). Per-source partitioned running sum — "
+        "parallel across sources, one shuffle.",
+)
+def nucleus_topp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id",
+                                                         "n_chars")
+    wc = (Window.partitionBy("source")
+                .orderBy(F.desc("n_chars"), "doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("source")
+    d = (docs.withColumn("cum", F.sum("n_chars").over(wc))
+             .withColumn("tot", F.sum("n_chars").over(wt)))
+    keep = (F.col("cum") - F.col("n_chars")) * 10 < F.col("tot") * 9
+    return (d.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(F.when(keep, 1).otherwise(0))
+                   .cast("bigint").alias("n_kept"),
+                  F.sum("n_chars").cast("bigint").alias("chars_total"),
+                  F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+                   .cast("bigint").alias("chars_kept")))
