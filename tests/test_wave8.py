@@ -188,3 +188,128 @@ def test_association_rule_measures_are_consistent(spark, sf_dir):
            (r["n_ab"], r["conf_ab_ppm"], r["conf_ba_ppm"], r["lift_ppm"])
            for r in out}
     assert got == expect
+
+
+def test_time_decay_matches_bruteforce(spark, sf_dir):
+    """Decayed totals recomputed in plain Python (explicit 2**age
+    integer floor-div per event)."""
+    from decimal import Decimal
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", F.col("ts").cast("date").alias("d"),
+                     "value").collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        v_us = int(Decimal(repr(r["value"])).scaleb(6))
+        per_user[r["user_id"]].append((r["d"], v_us))
+    out = {r["user_id"]: r for r in
+           REGISTRY["time_decay_user_value"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(per_user)
+    for u, evs in per_user.items():
+        mx = max(d for d, _ in evs)
+        dec = sum(v // (1 << min((mx - d).days, 62)) for d, v in evs)
+        tot = sum(v for _, v in evs)
+        r = out[u]
+        assert (r["n_events"], r["decayed_us"], r["total_us"]) \
+            == (len(evs), dec, tot)
+
+
+def test_ring_constants_and_minimal_movement(spark, sf_dir):
+    """Ring positions must equal the md5-prefix hash of 'node:<i>'
+    (the reproducibility claim in the module), and the consistent
+    ring must move strictly fewer rows than mod-N — with every moved
+    row landing on the ADDED node (the defining property of
+    consistent hashing)."""
+    import hashlib
+    from us_flight_delay_data_pipeline_spark.queries.curation_wave8 import (
+        _RING_M, _RING_NODES, _ring_assign_spark)
+    from us_flight_delay_data_pipeline_spark.operators.hashing import h32
+    for i, p in enumerate(_RING_NODES):
+        expect = int(hashlib.md5(f"node:{i}".encode()).hexdigest()[:15],
+                     16) % _RING_M
+        assert p == expect, i
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hd = h32(F.concat(F.lit("d:"), F.col("doc_id").cast("string")))
+    a = docs.select(_ring_assign_spark(hd, 16).alias("o"),
+                    _ring_assign_spark(hd, 17).alias("n")).collect()
+    moved = [(r["o"], r["n"]) for r in a if r["o"] != r["n"]]
+    assert all(n == 16 for _, n in moved)
+    out = {r["scheme"]: r for r in
+           REGISTRY["consistent_hash_rebalance"].fn(spark, sf_dir)
+           .collect()}
+    assert out["ring"]["n_moved"] == len(moved)
+    assert out["ring"]["n_moved"] < out["mod"]["n_moved"]
+
+
+def test_source_overlap_matches_bruteforce(spark, sf_dir):
+    """Pairwise shared-shingle counts and ppm Jaccard recomputed with
+    plain-Python sets (explicit tokenize/shingle/df-cap)."""
+    import hashlib
+    import re
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text").collect()
+    doc_sh = {}
+    for r in docs:
+        toks = re.split(r"\s+", r["text"].strip().lower()) \
+            if r["text"].strip() else []
+        if len(toks) < 3:
+            continue
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        hs = {int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+              % 4294967296 for s in sh}
+        doc_sh[r["doc_id"]] = (r["source"], hs)
+    df = defaultdict(set)
+    for d, (_, hs) in doc_sh.items():
+        for h in hs:
+            df[h].add(d)
+    rare = {h for h, ds in df.items() if len(ds) <= 8}
+    per_src = defaultdict(set)
+    for _, (s, hs) in doc_sh.items():
+        per_src[s] |= hs & rare
+    expect = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                expect[(a, b)] = (
+                    shared,
+                    shared * 1_000_000
+                    // (len(per_src[a]) + len(per_src[b]) - shared))
+    out = REGISTRY["source_ngram_overlap_matrix"].fn(spark, sf_dir) \
+        .collect()
+    got = {(r["source_a"], r["source_b"]): (r["n_shared"],
+                                            r["jaccard_ppm"])
+           for r in out}
+    assert got == expect
+
+
+def test_systematic_pps_matches_anchor_enumeration(spark, sf_dir):
+    """Per-source selection recomputed by explicitly enumerating the
+    equally-spaced anchors and testing interval containment — a
+    different formulation than both engines' floor-div trick."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("source", "doc_id", "n_chars").collect()
+    docs.sort(key=lambda r: r["doc_id"])
+    tot = sum(r["n_chars"] for r in docs)
+    stride = tot // 100
+    u = stride // 2
+    # anchors are the values a = u + j*stride, j >= 0, 0 < a <= tot
+    anchors = {u + j * stride for j in range((tot - u) // stride + 1)}
+    anchors = {a for a in anchors if 0 < a <= tot}
+    expect = defaultdict(lambda: [0, 0, 0])
+    cum = 0
+    for r in docs:
+        lo, cum = cum, cum + r["n_chars"]
+        sel = any(lo < a <= cum for a in anchors
+                  if lo < a <= lo + r["n_chars"])
+        e = expect[r["source"]]
+        e[0] += 1
+        if sel:
+            e[1] += 1
+            e[2] += r["n_chars"]
+    out = REGISTRY["systematic_pps_sample"].fn(spark, sf_dir).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        e = expect[r["source"]]
+        assert (r["n_docs"], r["n_selected"], r["chars_selected"]) \
+            == tuple(e)

@@ -49,6 +49,20 @@ primitives a 100 TB training-data platform runs daily:
   apportionment): floor shares + remainder-ranked top-up, all int64
   arithmetic. The tiny aggregated frame ranks via a bounded
   broadcast self-join (|sources|² pairs), not a global window.
+- **Time-decayed aggregation** — recency weighting with exact
+  integer 2^-age decay (floor division by a shifted power of two),
+  the bit-portable stand-in for float EWMA.
+- **Consistent-hash rebalance audit** — mod-N vs hash-ring moved-row
+  counts for a shard-count change; scan-local integer min over
+  precomputed ring positions, the decision metric before a 100 TB
+  reshard.
+- **Source-overlap matrix** — pairwise cross-source shingle Jaccard
+  (df-capped, hash-keyed) — the contamination census that precedes
+  mixture weighting.
+- **Systematic PPS sample** — probability-proportional-to-size
+  selection via equally-spaced anchors on the global cumulative-size
+  axis (distributed prefix sum) — deterministic, zero RNG,
+  engine-exact integer membership.
 
 Every output column is int64 / string / timestamp / bool — no float
 leaves any query; every oracle integer SUM is CAST AS BIGINT
@@ -65,6 +79,7 @@ from ..functions.text import word_tokens
 from ..operators.prefix import with_global_running
 from ..sources.registry import load_table
 from . import register
+from .llm_ext import _h32_sql
 
 _TOKS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
              "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
@@ -528,3 +543,306 @@ def nucleus_topp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("n_chars").cast("bigint").alias("chars_total"),
                   F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
                    .cast("bigint").alias("chars_kept")))
+
+
+# ---------------------------------------------------------------- #
+# Time-decayed aggregation (power-of-two EWMA)                      #
+# ---------------------------------------------------------------- #
+
+_DECAY_CAP = 62  # int64 shift limit; weight is 0 past ~2^-62 anyway
+
+
+@register(
+    "time_decay_user_value",
+    f"""
+    WITH v AS (
+      SELECT user_id, ts::DATE AS d,
+             CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS v_us
+      FROM events
+    ),
+    m AS (SELECT user_id, max(d) AS max_d FROM v GROUP BY user_id)
+    SELECT v.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(v_us // (CAST(1 AS BIGINT) <<
+                    least(datediff('day', d, max_d), {_DECAY_CAP})))
+                AS BIGINT) AS decayed_us,
+           CAST(SUM(v_us) AS BIGINT) AS total_us
+    FROM v JOIN m USING (user_id)
+    GROUP BY v.user_id
+    """,
+    doc="Per-user time-decayed value: each event's contribution is "
+        "halved per day of age relative to the user's latest event "
+        "(weight 2^-age). Exact integer arithmetic — the decay is a "
+        "floor division by a shifted power of two, never a float pow "
+        "— so the recency-weighted engagement score is bit-portable "
+        "and partition-invariant. One shuffle on user_id (partitioned "
+        "max + the same grouped sum).",
+)
+def time_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    v = e.select(
+        "user_id", F.col("ts").cast("date").alias("d"),
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("bigint").alias("v_us"))
+    w = Window.partitionBy("user_id")
+    d = (v.withColumn("max_d", F.max("d").over(w))
+          .withColumn("age", F.least(F.datediff("max_d", "d"),
+                                     F.lit(_DECAY_CAP))))
+    return (d.groupBy("user_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.expr("v_us div shiftleft(cast(1 as bigint), age)"))
+                   .cast("bigint").alias("decayed_us"),
+                  F.sum("v_us").cast("bigint").alias("total_us")))
+
+
+# ---------------------------------------------------------------- #
+# Consistent-hash rebalance audit                                   #
+# ---------------------------------------------------------------- #
+
+# Ring node positions: h32('node:<i>') for i in 0..16, precomputed
+# with the same md5-prefix hash both engines use (operators/hashing.
+# h32 == ('0x'||substr(md5(x),1,15))::BIGINT % 2^32) so the constants
+# are reproducible from the expression in either engine.
+_RING_M = 4294967296
+_RING_NODES = [821854523, 3701303721, 2044611840, 1023019207, 1107978788,
+               2596918094, 3136852460, 1677622040, 1949725523, 790881153,
+               403968390, 2444461890, 1936712069, 1172840435, 1853956217,
+               1309735632, 3124818639]  # index 16 = the node being added
+
+
+def _ring_assign_sql(h: str, n_nodes: int) -> str:
+    """Owner node id for hash ``h`` on the ring: the node minimizing
+    clockwise distance (pos - h) mod 2^32, ties by node id — encoded
+    as min(dist * 32 + id) % 32 (single integer min, no argmin)."""
+    keys = ", ".join(
+        f"((({p} - {h}) % {_RING_M} + {_RING_M}) % {_RING_M}) * 32 + {i}"
+        for i, p in enumerate(_RING_NODES[:n_nodes]))
+    return f"(list_aggregate([{keys}], 'min') % 32)"
+
+
+def _ring_assign_spark(h, n_nodes: int):
+    keys = [
+        (((F.lit(p) - h) % _RING_M + _RING_M) % _RING_M) * 32 + F.lit(i)
+        for i, p in enumerate(_RING_NODES[:n_nodes])
+    ]
+    return F.array_min(F.array(*keys)) % 32
+
+
+@register(
+    "consistent_hash_rebalance",
+    f"""
+    WITH h AS (
+      SELECT {_h32_sql("'d:' || doc_id::VARCHAR")} AS hd FROM documents
+    ),
+    a AS (
+      SELECT hd % 16 AS mod_old, hd % 17 AS mod_new,
+             {_ring_assign_sql('hd', 16)} AS ring_old,
+             {_ring_assign_sql('hd', 17)} AS ring_new
+      FROM h
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mod_moved,
+             CAST(SUM(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ring_moved
+      FROM a
+    )
+    SELECT 'mod' AS scheme, n_docs, mod_moved AS n_moved,
+           (mod_moved * 1000000) // n_docs AS moved_ppm
+    FROM s
+    UNION ALL
+    SELECT 'ring', n_docs, ring_moved,
+           (ring_moved * 1000000) // n_docs
+    FROM s
+    """,
+    doc="Resharding-cost audit for growing 16 -> 17 shards: under "
+        "hash-mod placement ~16/17 of all documents move; under a "
+        "consistent-hash ring only the arc claimed by the new node "
+        "moves (~1/17 expected). Owner lookup is a 16/17-element "
+        "integer min over precomputed md5 ring positions — scan-local "
+        "arithmetic, one global count, no joins. The audit a 100 TB "
+        "store runs BEFORE committing to a shard-count change.",
+)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hashing import h32
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hd = h32(F.concat(F.lit("d:"), F.col("doc_id").cast("string")))
+    a = docs.select(
+        (hd % 16).alias("mod_old"), (hd % 17).alias("mod_new"),
+        _ring_assign_spark(hd, 16).alias("ring_old"),
+        _ring_assign_spark(hd, 17).alias("ring_new"))
+    s = a.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("mod_old") != F.col("mod_new"), 1).otherwise(0))
+         .cast("bigint").alias("mod_moved"),
+        F.sum(F.when(F.col("ring_old") != F.col("ring_new"), 1).otherwise(0))
+         .cast("bigint").alias("ring_moved"))
+    mod_row = s.select(
+        F.lit("mod").alias("scheme"), "n_docs",
+        F.col("mod_moved").alias("n_moved"),
+        F.expr("(mod_moved * 1000000) div n_docs").alias("moved_ppm"))
+    ring_row = s.select(
+        F.lit("ring").alias("scheme"), "n_docs",
+        F.col("ring_moved").alias("n_moved"),
+        F.expr("(ring_moved * 1000000) div n_docs").alias("moved_ppm"))
+    return mod_row.unionAll(ring_row)
+
+
+# ---------------------------------------------------------------- #
+# Cross-source shingle-overlap (contamination) matrix               #
+# ---------------------------------------------------------------- #
+
+_OVL_MAX_DF = 8  # global doc-frequency cap: boilerplate shingles out
+
+
+@register(
+    "source_ngram_overlap_matrix",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    b AS (SELECT doc_id, source, toks FROM t WHERE len(toks) >= 3),
+    e AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, len(toks) - 1)])) AS sgl
+      FROM b
+    ),
+    hh AS (
+      SELECT DISTINCT doc_id, source,
+             (('0x' || substr(md5(sgl), 1, 15))::BIGINT % 4294967296) AS h
+      FROM e
+    ),
+    rare AS (
+      SELECT h FROM hh GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) <= {_OVL_MAX_DF}
+    ),
+    ss AS (SELECT DISTINCT source, h FROM hh JOIN rare USING (h)),
+    ns AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM ss GROUP BY source
+    ),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           (n_shared * 1000000) // (na.n_sh + nb.n_sh - n_shared)
+             AS jaccard_ppm
+    FROM pr
+    JOIN ns na ON na.source = source_a
+    JOIN ns nb ON nb.source = source_b
+    """,
+    doc="Pairwise source-contamination matrix: distinct word-3-gram "
+        "shingle sets per source (global doc-frequency capped at "
+        f"{_OVL_MAX_DF} so boilerplate shingles cannot explode the "
+        "hash join), intersected by an 8-byte-hash equi-join, Jaccard "
+        "in integer ppm. The cross-SOURCE generalization of the "
+        "train-vs-eval decontamination_overlap check — which corpora "
+        "leak into each other, measured before mixing weights are "
+        "chosen. Shuffle rides (source, hash) pairs only; text never "
+        "moves.",
+)
+def source_ngram_overlap_matrix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..functions.text import word_ngrams
+    from ..operators.hashing import h32
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.lower(F.col("text")))
+    base = (docs.where(F.size(toks) >= 3)
+                .select("doc_id", "source",
+                        F.explode(F.array_distinct(
+                            word_ngrams(F.col("text"), 3))).alias("sgl")))
+    hh = base.select("doc_id", "source", h32(F.col("sgl")).alias("h")) \
+             .distinct()
+    rare = (hh.groupBy("h")
+              .agg(F.countDistinct("doc_id").alias("df"))
+              .where(F.col("df") <= _OVL_MAX_DF)
+              .select("h"))
+    ss = hh.join(rare, "h").select("source", "h").distinct()
+    ns = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    pr = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                 & (F.col("a.source") < F.col("b.source")))
+           .groupBy(F.col("a.source").alias("source_a"),
+                    F.col("b.source").alias("source_b"))
+           .agg(F.count("*").alias("n_shared")))
+    na = ns.select(F.col("source").alias("source_a"),
+                   F.col("n_sh").alias("n_a"))
+    nb = ns.select(F.col("source").alias("source_b"),
+                   F.col("n_sh").alias("n_b"))
+    return (pr.join(F.broadcast(na), "source_a")
+              .join(F.broadcast(nb), "source_b")
+              .select("source_a", "source_b", "n_shared",
+                      F.expr("(n_shared * 1000000) div "
+                             "(n_a + n_b - n_shared)").alias("jaccard_ppm")))
+
+
+# ---------------------------------------------------------------- #
+# Systematic PPS (probability-proportional-to-size) sample          #
+# ---------------------------------------------------------------- #
+
+_PPS_K = 100
+
+
+@register(
+    "systematic_pps_sample",
+    f"""
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER () AS tot
+      FROM documents
+    ),
+    p AS (
+      SELECT source, n_chars, cum,
+             tot // {_PPS_K} AS stride,
+             (tot // {_PPS_K}) // 2 AS u
+      FROM w
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN
+                  (cum - 1 - u + stride) // stride
+                    > (cum - n_chars - 1 - u + stride) // stride
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN
+                  (cum - 1 - u + stride) // stride
+                    > (cum - n_chars - 1 - u + stride) // stride
+                  THEN n_chars ELSE 0 END) AS BIGINT) AS chars_selected
+    FROM p GROUP BY source
+    """,
+    doc="Systematic probability-proportional-to-size sampling: lay "
+        f"documents on the cumulative-size axis (global prefix sum "
+        "over doc_id order — the distributed two-pass shape, no "
+        "single-partition window) and select every doc whose size "
+        f"interval contains one of {_PPS_K} equally-spaced anchors "
+        "(deterministic offset = stride/2). Inclusion probability is "
+        "proportional to size with zero randomness — membership is "
+        "pure integer floor-division algebra (operands kept "
+        "non-negative so trunc == floor on both engines). Reported "
+        "as per-source selection counts — the PPS twin of "
+        "quality_weighted_sample.",
+)
+def systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id",
+                                                         "n_chars")
+    run = with_global_running(docs, order_by=[F.col("doc_id")],
+                              sum_col="n_chars", cum_name="cum",
+                              totals=True)
+    p = (run.withColumn("stride", F.expr(f"_sum_total div {_PPS_K}"))
+            .withColumn("u", F.expr("stride div 2")))
+    sel = (F.expr("(cum - 1 - u + stride) div stride")
+           > F.expr("(cum - n_chars - 1 - u + stride) div stride"))
+    return (p.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(F.when(sel, 1).otherwise(0))
+                   .cast("bigint").alias("n_selected"),
+                  F.sum(F.when(sel, F.col("n_chars")).otherwise(0))
+                   .cast("bigint").alias("chars_selected")))
