@@ -129,13 +129,17 @@ _TOKS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
         "window anywhere.",
 )
 def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track
     docs = load_table(spark, sf_dir, "documents")
     toks = word_tokens(F.lower(F.col("text")))
     pts = docs.select(
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"))
-    cnts = pts.groupBy("n_tokens", "n_distinct") \
-              .agg(F.count("*").alias("n_docs"))
+    # persist: the distinct-point table feeds BOTH the per-x collapse
+    # and the final frontier join — without it the tokenization scan
+    # runs twice (point-count-sized, tiny vs the corpus)
+    cnts = track(pts.groupBy("n_tokens", "n_distinct")
+                    .agg(F.count("*").alias("n_docs")).persist())
     per_x = cnts.groupBy("n_tokens").agg(F.max("n_distinct").alias("nd"))
     # inclusive running MAX of nd over n_tokens DESC == -(running min
     # of -nd); the running max is monotone non-decreasing along the
@@ -199,11 +203,14 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lift numerator routes through DECIMAL(38,0).",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                       "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    bi = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .select("l_orderkey", "p_brand").distinct())
+    # persist: basket-items feeds FIVE subtrees (pair join a+b, item
+    # counts twice, basket total) — one scan+distinct instead of five
+    bi = track(li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                 .select("l_orderkey", "p_brand").distinct().persist())
     nb = bi.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     ic = bi.groupBy("p_brand").agg(F.count("*").alias("n_item"))
     a = bi.alias("a")
@@ -397,20 +404,25 @@ def scd2_history_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window shuffles on event_type plus broadcast med/mad joins.",
 )
 def group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track
     e = load_table(spark, sf_dir, "events").select("event_type", "event_id",
                                                    "value")
-    v = e.select(
+    # persist: the quantized scan feeds the count, the median rank
+    # pass AND the deviation table (which itself feeds the MAD rank
+    # pass and the final agg) — barriers keep it one events scan
+    v = track(e.select(
         "event_type", "event_id",
         (F.col("value").cast("decimal(38,6)") * 1000000)
-        .cast("bigint").alias("v_us"))
+        .cast("bigint").alias("v_us")).persist())
     n = v.groupBy("event_type").agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type").orderBy("v_us", "event_id")
     r = v.withColumn("rn", F.row_number().over(w).cast("bigint"))
     med = (r.join(F.broadcast(n), "event_type")
             .where(F.col("rn") == F.expr("(n + 1) div 2"))
             .select("event_type", F.col("v_us").alias("med_us")))
-    d = (v.join(F.broadcast(med), "event_type")
-          .withColumn("d_us", F.abs(F.col("v_us") - F.col("med_us"))))
+    d = track(v.join(F.broadcast(med), "event_type")
+               .withColumn("d_us", F.abs(F.col("v_us") - F.col("med_us")))
+               .persist())
     wd = Window.partitionBy("event_type").orderBy("d_us", "event_id")
     rd = d.withColumn("rn", F.row_number().over(wd).cast("bigint"))
     mad = (rd.join(F.broadcast(n), "event_type")
@@ -756,13 +768,19 @@ def source_ngram_overlap_matrix(spark: SparkSession,
                 .select("doc_id", "source",
                         F.explode(F.array_distinct(
                             word_ngrams(F.col("text"), 3))).alias("sgl")))
-    hh = base.select("doc_id", "source", h32(F.col("sgl")).alias("h")) \
-             .distinct()
+    from ..operators.cache import track
+    # persist: the hashed-shingle table is the tokenize/explode pass —
+    # it feeds the df histogram AND the capped join; ss feeds the pair
+    # join twice plus the per-source totals. Without the barriers the
+    # corpus is re-shingled four times.
+    hh = track(base.select("doc_id", "source", h32(F.col("sgl")).alias("h"))
+                   .distinct().persist())
     rare = (hh.groupBy("h")
               .agg(F.countDistinct("doc_id").alias("df"))
               .where(F.col("df") <= _OVL_MAX_DF)
               .select("h"))
-    ss = hh.join(rare, "h").select("source", "h").distinct()
+    ss = track(hh.join(rare, "h").select("source", "h").distinct()
+                 .persist())
     ns = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
     a = ss.alias("a")
     b = ss.alias("b")
