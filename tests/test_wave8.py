@@ -313,3 +313,77 @@ def test_systematic_pps_matches_anchor_enumeration(spark, sf_dir):
         e = expect[r["source"]]
         assert (r["n_docs"], r["n_selected"], r["chars_selected"]) \
             == tuple(e)
+
+
+def test_score_deciles_partition_the_corpus(spark, sf_dir):
+    """Deciles 0..9 are equal-population (±1), their doc counts sum
+    to the corpus, positives sum to the weak-label positive count,
+    and each ppm rate is the exact floor ratio of its own row."""
+    from us_flight_delay_data_pipeline_spark.functions.text import \
+        quality_score
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    n_high = docs.where(quality_score(F.col("text")) >= 0.5).count()
+    out = sorted(REGISTRY["score_decile_lift"].fn(spark, sf_dir).collect(),
+                 key=lambda r: r["decile"])
+    assert [r["decile"] for r in out] == list(range(10))
+    assert sum(r["n_docs"] for r in out) == n_total
+    assert sum(r["n_high"] for r in out) == n_high
+    sizes = [r["n_docs"] for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    for r in out:
+        assert r["high_rate_ppm"] == r["n_high"] * 1_000_000 // r["n_docs"]
+
+
+def test_effective_size_matches_bruteforce(spark, sf_dir):
+    """Per-source 1/multiplicity weighting recomputed with plain
+    Python dict counting over md5(text)."""
+    import hashlib
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("source", "text").collect()
+    mult = defaultdict(int)
+    for r in docs:
+        mult[hashlib.md5(r["text"].encode()).hexdigest()] += 1
+    expect = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        m = mult[hashlib.md5(r["text"].encode()).hexdigest()]
+        e = expect[r["source"]]
+        e[0] += 1
+        e[1] += (m == 1)
+        e[2] += 1_000_000 // m
+    out = REGISTRY["dedup_effective_size"].fn(spark, sf_dir).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        e = expect[r["source"]]
+        assert (r["n_docs"], r["n_unique"], r["eff_docs_ppm"]) == tuple(e)
+
+
+def test_clustering_coeff_matches_adjacency_bruteforce(spark, sf_dir):
+    """Per-node triangle counts and ppm coefficients recomputed with
+    plain-Python neighbor-set intersection over the same support>=2
+    co-purchase edges."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey").distinct().collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    pair = defaultdict(int)
+    for items in baskets.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pair[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), n in pair.items():
+        if n >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = REGISTRY["copurchase_clustering_coeff"].fn(spark, sf_dir) \
+        .collect()
+    assert {r["node"] for r in out} == set(adj)
+    for r in out:
+        nbrs = adj[r["node"]]
+        d = len(nbrs)
+        t = sum(len(adj[u] & nbrs) for u in nbrs) // 2
+        cp = (2 * t * 1_000_000) // (d * (d - 1)) if d >= 2 else 0
+        assert (r["degree"], r["n_tri"], r["coeff_ppm"]) == (d, t, cp)

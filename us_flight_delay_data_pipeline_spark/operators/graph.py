@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .ckpt import checkpoint_rdd_ids, release_local_checkpoint
 
-__all__ = ["pagerank", "triangle_count", "PR_QUANT"]
+__all__ = ["pagerank", "triangle_count", "triangles_per_node", "PR_QUANT"]
 
 PR_QUANT = 1e12  # contribution quantum: floor(c * PR_QUANT) units
 
@@ -119,6 +119,74 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return ranks
 
 
+def _canonical_edges_and_degrees(edges: DataFrame, a: str,
+                                 b: str) -> tuple[DataFrame, DataFrame]:
+    """Canonical (x < y) distinct undirected edge list + per-node
+    degrees, both persisted (each feeds two downstream subtrees)."""
+    e = (edges.select(F.least(F.col(a), F.col(b)).alias("x"),
+                      F.greatest(F.col(a), F.col(b)).alias("y"))
+              .filter(F.col("x") != F.col("y"))
+              .distinct().persist())
+    deg = (e.select(F.col("x").alias("node"))
+            .unionAll(e.select(F.col("y").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("d"))
+            .persist())
+    return e, deg
+
+
+def _orient_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation: every canonical edge points from
+    its lower-(degree, node-id) endpoint to the higher one — a total
+    order, so each triangle has exactly ONE source vertex and is
+    enumerated once. Returns (src, dst, dstk) with dstk the (d, n)
+    struct sort key of dst (the wedge join needs it to order the two
+    out-neighbors). Out-degrees under this orientation are O(sqrt(m))
+    even on skewed graphs."""
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    ed = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    xk = F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+    yk = F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    fwd = xk < yk
+    return ed.select(F.when(fwd, F.col("x")).otherwise(F.col("y"))
+                      .alias("src"),
+                     F.when(fwd, F.col("y")).otherwise(F.col("x"))
+                      .alias("dst"),
+                     F.when(fwd, yk).otherwise(xk).alias("dstk"))
+
+
+def triangles_per_node(edges: DataFrame, a: str = "a",
+                       b: str = "b") -> DataFrame:
+    """Per-node triangle participation over an UNDIRECTED edge list:
+    (node, d, n_tri) — degree plus the number of triangles the node
+    belongs to. Same degree-ordered orientation as
+    :func:`triangle_count` (each triangle enumerated exactly once as
+    (src, v, w)), then each triangle credits its three corners. The
+    per-node census is what local clustering coefficients and
+    community features need; cost profile matches the global count
+    plus one |triangles|-row aggregate."""
+    e, deg = _canonical_edges_and_degrees(edges, a, b)
+    oe = _orient_edges(e, deg).persist()
+    w1 = oe.select("src", F.col("dst").alias("v"),
+                   F.col("dstk").alias("vk"))
+    w2 = oe.select(F.col("src").alias("src2"), F.col("dst").alias("w"),
+                   F.col("dstk").alias("wk"))
+    wedges = (w1.join(w2, (F.col("src") == F.col("src2"))
+                      & (F.col("vk") < F.col("wk")))
+                .select("src", "v", "w"))
+    closing = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])
+    tpn = (tris.select(F.col("src").alias("node"))
+               .unionAll(tris.select(F.col("v").alias("node")))
+               .unionAll(tris.select(F.col("w").alias("node")))
+               .groupBy("node")
+               .agg(F.count("*").cast("bigint").alias("n_tri")))
+    return (deg.join(tpn, "node", "left")
+               .select("node", F.col("d").cast("bigint").alias("d"),
+                       F.coalesce(F.col("n_tri"),
+                                  F.lit(0).cast("bigint")).alias("n_tri")))
+
+
 def triangle_count(edges: DataFrame, a: str = "a",
                    b: str = "b") -> DataFrame:
     """Global triangle census over an UNDIRECTED edge list (one row
@@ -139,28 +207,8 @@ def triangle_count(edges: DataFrame, a: str = "a",
     no driver-side adjacency, exact integer arithmetic, and the one
     double division (clustering) is deterministic.
     """
-    e = (edges.select(F.least(F.col(a), F.col(b)).alias("x"),
-                      F.greatest(F.col(a), F.col(b)).alias("y"))
-              .filter(F.col("x") != F.col("y"))
-              .distinct().persist())
-    deg = (e.select(F.col("x").alias("node"))
-            .unionAll(e.select(F.col("y").alias("node")))
-            .groupBy("node").agg(F.count("*").alias("d"))
-            .persist())
-    # orient by (degree, node id) — the node-id tiebreak makes the
-    # order total, so every triangle has exactly one source vertex
-    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
-    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
-    ed = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
-    xk = F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
-    yk = F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
-    fwd = xk < yk
-    oe = (ed.select(F.when(fwd, F.col("x")).otherwise(F.col("y"))
-                     .alias("src"),
-                    F.when(fwd, F.col("y")).otherwise(F.col("x"))
-                     .alias("dst"),
-                    F.when(fwd, yk).otherwise(xk).alias("dstk"))
-            .persist())
+    e, deg = _canonical_edges_and_degrees(edges, a, b)
+    oe = _orient_edges(e, deg).persist()
     w1 = oe.select("src", F.col("dst").alias("v"),
                    F.col("dstk").alias("vk"))
     w2 = oe.select(F.col("src").alias("src2"), F.col("dst").alias("w"),

@@ -727,13 +727,14 @@ def _classifier_lab_ctes() -> str:
     )"""
 
 
-def _classifier_sql() -> str:
-    """Oracle: the full weak-label -> hashed-linear-model ->
-    score -> confusion rollup pipeline. Weights in HUGEINT (int128 —
-    exact, and DuckDB's DECIMAL(38)*DECIMAL(38) would overflow the
-    38-digit cap); Spark computes the same integers in DECIMAL(38,0).
-    Only booleans and counts are output, so no cross-engine numeric
-    formatting is on the hash path."""
+def _classifier_score_ctes() -> str:
+    """Shared oracle prefix through the per-doc score: lab (weak
+    labels) + the hashed-linear-model fit and scoring CTEs. Weights
+    in HUGEINT (int128 — exact, and DuckDB's DECIMAL(38)*DECIMAL(38)
+    would overflow the 38-digit cap); Spark computes the same
+    integers in DECIMAL(38,0). Consumers must not OUTPUT the hugeint
+    score (portability gate) — only booleans/ranks/counts derived
+    from it."""
     return f"""{_classifier_lab_ctes()}, ex AS (
       SELECT doc_id, label_high, {_h32_sql('tok')} % 1024 AS bucket
       FROM (SELECT doc_id, label_high, unnest(toks) AS tok FROM lab) u
@@ -750,7 +751,14 @@ def _classifier_sql() -> str:
     ), sc AS (
       SELECT ex.doc_id, SUM(w.w) AS score
       FROM ex JOIN w USING (bucket) GROUP BY ex.doc_id
-    )
+    )"""
+
+
+def _classifier_sql() -> str:
+    """Oracle: weak-label -> hashed-linear-model -> score ->
+    confusion rollup. Only booleans and counts are output, so no
+    cross-engine numeric formatting is on the hash path."""
+    return f"""{_classifier_score_ctes()}
     SELECT lab.source, lab.label_high,
            COALESCE(sc.score, 0) > 0 AS pred_high,
            COUNT(*) AS n_docs

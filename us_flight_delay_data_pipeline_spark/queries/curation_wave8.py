@@ -883,3 +883,193 @@ def systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("bigint").alias("n_selected"),
                   F.sum(F.when(sel, F.col("n_chars")).otherwise(0))
                    .cast("bigint").alias("chars_selected")))
+
+
+# ---------------------------------------------------------------- #
+# Classifier score-decile lift (calibration-by-rank)                #
+# ---------------------------------------------------------------- #
+
+def _score_decile_oracle() -> str:
+    from .curation_wave6 import _classifier_score_ctes
+    return f"""{_classifier_score_ctes()},
+    ranked AS (
+      SELECT lab.doc_id, lab.label_high,
+             COALESCE(sc.score, 0::HUGEINT) AS score
+      FROM lab LEFT JOIN sc USING (doc_id)
+    ),
+    r2 AS (
+      SELECT label_high,
+             row_number() OVER (ORDER BY score, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM ranked
+    )
+    SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN label_high THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           (CAST(SUM(CASE WHEN label_high THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // COUNT(*) AS high_rate_ppm
+    FROM r2 GROUP BY 1
+    """
+
+
+@register(
+    "score_decile_lift",
+    None,  # oracle patched below (shares the wave-6 classifier CTEs)
+    doc="Lift/calibration table for the distilled quality classifier "
+        "(quality_classifier_scores' model): documents ranked by raw "
+        "score (exact DECIMAL(38,0) integers, rank computed with the "
+        "distributed two-pass prefix — no single-partition window), "
+        "cut into 10 equal-population rank deciles, each reporting "
+        "its positive-label count and rate in integer ppm. A working "
+        "classifier shows monotone rates across deciles — the "
+        "evaluation every score-thresholded data-selection pipeline "
+        "runs before trusting a cutoff. The hugeint score itself "
+        "never leaves the plan (portability policy); only deciles, "
+        "counts, and ppm rates are output.",
+)
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.classifier import classify_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.withColumn("label_high",
+                           quality_score(F.col("text")) >= 0.5)
+    scored = classify_docs(labeled, "label_high") \
+        .select("doc_id", "label_high", "score")
+    run = with_global_running(scored,
+                              order_by=[F.col("score"), F.col("doc_id")],
+                              rank="rk", totals=True)
+    dec = run.withColumn("decile",
+                         F.expr("((rk - 1) * 10) div _n_total"))
+    return (dec.groupBy("decile")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(F.when(F.col("label_high"), 1).otherwise(0))
+                     .cast("bigint").alias("n_high"))
+               .select("decile", "n_docs", "n_high",
+                       F.expr("(n_high * 1000000) div n_docs")
+                        .alias("high_rate_ppm")))
+
+
+def _patch_score_decile_oracle() -> None:
+    import dataclasses
+
+    from . import REGISTRY
+    spec = REGISTRY["score_decile_lift"]
+    if spec.oracle is None:
+        REGISTRY["score_decile_lift"] = dataclasses.replace(
+            spec, oracle=_score_decile_oracle())
+
+
+_patch_score_decile_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Duplicate-aware effective dataset size                            #
+# ---------------------------------------------------------------- #
+
+@register(
+    "dedup_effective_size",
+    """
+    WITH c AS (SELECT source, md5(text) AS h FROM documents),
+    m AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS m FROM c GROUP BY h)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(1000000 // m) AS BIGINT) AS eff_docs_ppm
+    FROM c JOIN m USING (h)
+    GROUP BY source
+    """,
+    doc="Duplicate-aware effective dataset size per source: each "
+        "document weighted 1/multiplicity of its exact text cluster "
+        "(the soft alternative to hard dedup — repeated text "
+        "contributes one document's worth of training signal in "
+        "total, split across copies), reported as an exact integer "
+        "ppm sum plus the unique-document count. The weighting every "
+        "epoch-sampler applies when dedup is done by downweighting "
+        "rather than dropping. Shuffle rides (source, 16-byte hash); "
+        "text never moves — the dedup_exact contract.",
+)
+def dedup_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("source", F.md5("text").alias("h"))
+    m = docs.groupBy("h").agg(F.count("*").cast("bigint").alias("m"))
+    return (docs.join(m, "h")
+                .groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+                      .cast("bigint").alias("n_unique"),
+                     F.sum(F.expr("1000000 div m"))
+                      .cast("bigint").alias("eff_docs_ppm")))
+
+
+# ---------------------------------------------------------------- #
+# Per-node clustering coefficient (co-purchase graph)               #
+# ---------------------------------------------------------------- #
+
+@register(
+    "copurchase_clustering_coeff",
+    """
+    WITH inst AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cop AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+      FROM inst a JOIN inst b ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT p1 AS a, p2 AS b FROM cop WHERE n >= 2),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tpn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           COALESCE(tpn.n_tri, 0) AS n_tri,
+           CASE WHEN deg.d >= 2
+                THEN (2 * COALESCE(tpn.n_tri, 0) * 1000000)
+                       // (deg.d * (deg.d - 1))
+                ELSE 0 END AS coeff_ppm
+    FROM deg LEFT JOIN tpn USING (node)
+    """,
+    doc="Local (per-node) clustering coefficient over the part "
+        "co-purchase graph: 2*T(v) / (d(v)*(d(v)-1)) in exact integer "
+        "ppm, with T(v) from operators/graph.py::triangles_per_node — "
+        "the same degree-ordered orientation as the global census "
+        "(each triangle enumerated once, out-degrees O(sqrt(m)) even "
+        "on skew), then each triangle credits its three corners. The "
+        "node-level feature community detection and recommender "
+        "neighborhoods consume; the oracle enumerates id-ordered "
+        "triangles declaratively — different strategy, same census.",
+)
+def copurchase_clustering_coeff(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangles_per_node
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("p2"))
+    cop = (li.join(b, (F.col("l_orderkey") == F.col("_ok"))
+                   & (F.col("l_partkey") < F.col("p2")))
+             .groupBy(F.col("l_partkey").alias("p1"), "p2")
+             .agg(F.count("*").alias("n")))
+    edges = cop.filter(F.col("n") >= 2).select("p1", "p2")
+    pn = triangles_per_node(edges, a="p1", b="p2")
+    return pn.select(
+        "node", F.col("d").alias("degree"), "n_tri",
+        F.when(F.col("d") >= 2,
+               F.expr("(2 * n_tri * 1000000) div (d * (d - 1))"))
+         .otherwise(F.lit(0).cast("bigint")).alias("coeff_ppm"))
