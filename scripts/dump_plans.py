@@ -124,6 +124,15 @@ SHOWCASE = [
     ("bloom_decontamination", "Bloom-filter decontamination — "
      "broadcast set-bit table, linear membership scan, exact verify "
      "alongside for FP accounting"),
+    ("pareto_frontier_docs", "Pareto skyline — per-x max collapse, "
+     "distributed prefix-max sweep, broadcast frontier join; no "
+     "O(n^2) dominance join, no single-partition window"),
+    ("group_mad_outliers", "median/MAD outliers — value-histogram "
+     "discrete medians (map-side-combinable aggs + bounded "
+     "distinct-value windows), raw rows never sort"),
+    ("copurchase_clustering_coeff", "per-node triangle census — "
+     "degree-ordered orientation, wedge + closing equi-joins, "
+     "3-corner credit aggregate"),
 ]
 
 
