@@ -44,3 +44,19 @@ def test_matches_bruteforce_model(spark, raw):
     r = row[0]
     assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"],
             r["clustering"]) == _model(raw)
+
+
+def test_triangles_per_node_hand_graph(spark):
+    """Hand-computed fixture: K4 plus a pendant vertex and a disjoint
+    edge. K4 members sit in C(3,2)=3 triangles each; the pendant and
+    the disjoint pair sit in none."""
+    from us_flight_delay_data_pipeline_spark.operators.graph import (
+        triangles_per_node)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5),                                          # pendant
+             (8, 9)]                                          # disjoint
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["node"]: (r["d"], r["n_tri"])
+           for r in triangles_per_node(df).collect()}
+    assert out == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3),
+                   5: (1, 0), 8: (1, 0), 9: (1, 0)}
