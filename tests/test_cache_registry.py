@@ -41,3 +41,19 @@ def test_knn_edges_registers_with_tracker(spark):
     edges = _knn_edges(spark, "/root/testdata/sf0.001")
     edges.count()
     assert release_tracked() >= 2  # the bucketed table + the edge table
+
+
+def test_triangle_builders_register_with_tracker(spark):
+    """ADVICE r8: triangles_per_node persists three shared frames
+    (canonical edges, degrees, oriented edges); all must be releasable
+    via release_tracked() — not only by a global clearCache."""
+    from us_flight_delay_data_pipeline_spark.operators.graph import (
+        triangles_per_node)
+
+    release_tracked()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a bigint, b bigint")
+    out = triangles_per_node(edges).collect()
+    assert {(r["node"], r["n_tri"]) for r in out} \
+        == {(1, 1), (2, 1), (3, 1), (4, 0)}
+    assert release_tracked() >= 3

@@ -387,3 +387,50 @@ def test_clustering_coeff_matches_adjacency_bruteforce(spark, sf_dir):
         t = sum(len(adj[u] & nbrs) for u in nbrs) // 2
         cp = (2 * t * 1_000_000) // (d * (d - 1)) if d >= 2 else 0
         assert (r["degree"], r["n_tri"], r["coeff_ppm"]) == (d, t, cp)
+
+
+def test_pps_tiny_corpus_stride_clamps_to_one(spark, tmp_path):
+    """ADVICE r8: when total corpus chars < the anchor count the
+    stride floors to 0 — Spark's div-by-zero returns NULL (rows
+    silently unselected) while DuckDB errors. The greatest(stride, 1)
+    clamp makes the degenerate case well-defined: stride 1 puts an
+    anchor on every character, so EVERY doc is selected."""
+    rows = [(i, "t" * (i + 1), "en", f"s{i % 2}", i + 1) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["systematic_pps_sample"].fn(spark, str(tmp_path)) \
+        .collect()
+    # total chars = 21 < 100 anchors -> pre-fix stride would be 0
+    assert sum(r["n_docs"] for r in out) == 6
+    assert all(r["n_selected"] == r["n_docs"] for r in out)
+    assert sum(r["chars_selected"] for r in out) == 21
+
+
+def test_mad_outliers_ignore_null_values(spark, tmp_path):
+    """ADVICE r8: NULL event values must be excluded from the median/
+    MAD population in BOTH engines (Spark's histogram would group NULL
+    as a key and order it first; DuckDB's row_number orders it last —
+    a divergent median pick). Pin the Spark result to a brute-force
+    model over the non-null population only."""
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, None, 3.0, 100.0, None, 4.0]
+    rows = [(i, ts, i, "click", v, "{}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["group_mad_outliers"].fn(spark, str(tmp_path)) \
+        .collect()
+    assert len(out) == 1
+    r = out[0]
+    vs = sorted(int(v * 1_000_000) for v in vals if v is not None)
+    n = len(vs)
+    med = vs[(n + 1) // 2 - 1]
+    ds = sorted(abs(v - med) for v in vs)
+    mad = ds[(n + 1) // 2 - 1]
+    n_out = sum(1 for d in ds if d > 3 * mad)
+    assert (r["n_events"], r["med_us"], r["mad_us"], r["n_outliers"]) \
+        == (n, med, mad, n_out)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import track
 from .ckpt import checkpoint_rdd_ids, release_local_checkpoint
 
 __all__ = ["pagerank", "triangle_count", "triangles_per_node", "PR_QUANT"]
@@ -122,15 +123,17 @@ def pagerank(edges: DataFrame, iterations: int = 3,
 def _canonical_edges_and_degrees(edges: DataFrame, a: str,
                                  b: str) -> tuple[DataFrame, DataFrame]:
     """Canonical (x < y) distinct undirected edge list + per-node
-    degrees, both persisted (each feeds two downstream subtrees)."""
-    e = (edges.select(F.least(F.col(a), F.col(b)).alias("x"),
-                      F.greatest(F.col(a), F.col(b)).alias("y"))
-              .filter(F.col("x") != F.col("y"))
-              .distinct().persist())
-    deg = (e.select(F.col("x").alias("node"))
-            .unionAll(e.select(F.col("y").alias("node")))
-            .groupBy("node").agg(F.count("*").alias("d"))
-            .persist())
+    degrees, both persisted (each feeds two downstream subtrees).
+    Persists are cache.track()ed so library callers can free them via
+    release_tracked() without a global clearCache."""
+    e = track(edges.select(F.least(F.col(a), F.col(b)).alias("x"),
+                           F.greatest(F.col(a), F.col(b)).alias("y"))
+                   .filter(F.col("x") != F.col("y"))
+                   .distinct().persist())
+    deg = track(e.select(F.col("x").alias("node"))
+                 .unionAll(e.select(F.col("y").alias("node")))
+                 .groupBy("node").agg(F.count("*").alias("d"))
+                 .persist())
     return e, deg
 
 
@@ -166,7 +169,7 @@ def triangles_per_node(edges: DataFrame, a: str = "a",
     community features need; cost profile matches the global count
     plus one |triangles|-row aggregate."""
     e, deg = _canonical_edges_and_degrees(edges, a, b)
-    oe = _orient_edges(e, deg).persist()
+    oe = track(_orient_edges(e, deg).persist())
     w1 = oe.select("src", F.col("dst").alias("v"),
                    F.col("dstk").alias("vk"))
     w2 = oe.select(F.col("src").alias("src2"), F.col("dst").alias("w"),
@@ -208,7 +211,7 @@ def triangle_count(edges: DataFrame, a: str = "a",
     double division (clustering) is deterministic.
     """
     e, deg = _canonical_edges_and_degrees(edges, a, b)
-    oe = _orient_edges(e, deg).persist()
+    oe = track(_orient_edges(e, deg).persist())
     w1 = oe.select("src", F.col("dst").alias("v"),
                    F.col("dstk").alias("vk"))
     w2 = oe.select(F.col("src").alias("src2"), F.col("dst").alias("w"),

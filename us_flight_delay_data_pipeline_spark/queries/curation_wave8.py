@@ -186,8 +186,9 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT antecedent, consequent, n_ab,
            (n_ab * 1000000) // ia.n_item AS conf_ab_ppm,
            (n_ab * 1000000) // ib.n_item AS conf_ba_ppm,
-           (n_ab * n_baskets * 1000000) // (ia.n_item * ib.n_item)
-             AS lift_ppm
+           CAST((CAST(n_ab AS HUGEINT) * n_baskets * 1000000)
+                // (CAST(ia.n_item AS HUGEINT) * ib.n_item)
+                AS BIGINT) AS lift_ppm
     FROM pr
     JOIN ic ia ON ia.p_brand = pr.antecedent
     JOIN ic ib ON ib.p_brand = pr.consequent, nb
@@ -198,9 +199,17 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "confidence and lift in exact integer ppm (floor division — "
         "no float ratio in any output). The pair join explodes per "
         "basket (k² pairs for a k-item basket, never corpus²); the "
-        "part dimension broadcasts. int64 headroom: n_ab * n_baskets "
-        "* 1e6 stays under 2^63 up to ~2e9 baskets; beyond that the "
-        "lift numerator routes through DECIMAL(38,0).",
+        "part dimension broadcasts. Overflow contract: with the 1% "
+        "support floor n_ab >= n_baskets/100, the bigint lift "
+        "numerator n_ab*n_baskets*1e6 >= n_baskets²*1e4 crosses 2^63 "
+        "near ~3e7 baskets — far below corpus scale — and Spark's "
+        "non-ANSI bigint multiply would wrap SILENTLY while DuckDB "
+        "throws. So the lift numerator/denominator route through "
+        "DECIMAL(38,0) on Spark (exact to ~1e15 baskets; overflow → "
+        "NULL, never a wrong value) and HUGEINT on the oracle (DuckDB's "
+        "decimal // is float-backed and off-by-one at quotient "
+        "boundaries; int128 is exact), with floor division back to "
+        "BIGINT — verified bit-identical between engines.",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import track
@@ -232,7 +241,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "antecedent", "consequent", "n_ab",
                   F.expr("(n_ab * 1000000) div n_a").alias("conf_ab_ppm"),
                   F.expr("(n_ab * 1000000) div n_b").alias("conf_ba_ppm"),
-                  F.expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)")
+                  F.expr("(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000)"
+                         " div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
                    .alias("lift_ppm")))
 
 
@@ -360,7 +370,7 @@ def scd2_history_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT event_type, event_id,
              CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS v_us
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
     r AS (
@@ -417,7 +427,14 @@ def group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # combinable hash aggs, and raw rows never sort. Same shape as
     # equi_depth_binning's value-consistent quantiles.
     from ..operators.cache import track
-    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # NULL values are excluded up front: Spark's histogram would
+    # otherwise group NULL as a key (and a rank window orders nulls
+    # first) while DuckDB's row_number orders nulls last — shifting
+    # the discrete median pick. Filtering in BOTH engines makes the
+    # median well-defined over the non-null population.
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_type", "value")
+         .where(F.col("value").isNotNull()))
     # persist: the quantized scan feeds the value histogram AND the
     # deviation histogram — one events scan total
     v = track(e.select(
@@ -839,8 +856,8 @@ _PPS_K = 100
     ),
     p AS (
       SELECT source, n_chars, cum,
-             tot // {_PPS_K} AS stride,
-             (tot // {_PPS_K}) // 2 AS u
+             GREATEST(tot // {_PPS_K}, 1) AS stride,
+             GREATEST(tot // {_PPS_K}, 1) // 2 AS u
       FROM w
     )
     SELECT source,
@@ -873,7 +890,13 @@ def systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = with_global_running(docs, order_by=[F.col("doc_id")],
                               sum_col="n_chars", cum_name="cum",
                               totals=True)
-    p = (run.withColumn("stride", F.expr(f"_sum_total div {_PPS_K}"))
+    # greatest(...,1): when total corpus chars < _PPS_K the stride
+    # floors to 0 — Spark div-by-zero returns NULL (rows silently
+    # unselected) while DuckDB errors; clamping to 1 keeps both
+    # engines defined and identical on tiny inputs (stride 1 selects
+    # every doc, the correct degenerate census)
+    p = (run.withColumn("stride",
+                        F.expr(f"greatest(_sum_total div {_PPS_K}, 1)"))
             .withColumn("u", F.expr("stride div 2")))
     sel = (F.expr("(cum - 1 - u + stride) div stride")
            > F.expr("(cum - n_chars - 1 - u + stride) div stride"))
