@@ -26,7 +26,8 @@ from .hashing import band_key, h32, minhash_signature, rolling_fingerprint, simh
 
 __all__ = [
     "dedup_exact", "dedup_fingerprint", "minhash_signatures",
-    "minhash_lsh_duplicate_pairs", "simhash_64", "simhash_duplicate_pairs",
+    "minhash_lsh_duplicate_pairs", "minhash_lsh_duplicate_pairs_hub_capped",
+    "simhash_64", "simhash_duplicate_pairs",
     "ngram_jaccard_pairs", "build_minhash_index", "dedup_against_index",
     "build_jaccard_index", "dedup_against_jaccard_index",
 ]
@@ -125,6 +126,85 @@ def minhash_lsh_duplicate_pairs(df: DataFrame, coeffs: list[tuple[int, int]],
                       F.col("b.hsd").alias("h_b"))
               .dropDuplicates(["doc_a", "doc_b"]))
     return _verified_jaccard_pairs(cands, threshold)
+
+
+def minhash_lsh_duplicate_pairs_hub_capped(
+        df: DataFrame, coeffs: list[tuple[int, int]],
+        text_col: str = "text", id_col: str = "doc_id",
+        bands: int = 4, rows_per_band: int = 4,
+        threshold: float = 0.3, hub_cap: int = 64) -> DataFrame:
+    """Skew-hardened LSH dedup: identical candidates to
+    :func:`minhash_lsh_duplicate_pairs` on healthy data, bounded
+    per-task work under template explosion — SCALE.md's boilerplate
+    hub, where 10^4+ copies of one page land in ONE band bucket and
+    the bucket self-join owes ~n²/2 candidate pairs from a single
+    join key. That skew is CPU-quadratic below one key, which AQE's
+    skew split cannot divide (it splits a partition's keys apart,
+    never one key's matches).
+
+    Mechanism — the same cap discipline ``winnow_candidate_pairs``
+    applies to fingerprint document-frequency, applied to band
+    buckets:
+
+    - one (band, key) count classifies every bucket up front (the
+      mechanical form of the ``dup_degree_histogram`` pre-flight);
+    - buckets with <= ``hub_cap`` members take the normal pair
+      self-join: per-bucket fan-out is capped at C(hub_cap, 2) by
+      construction, so no task can inherit quadratic work;
+    - over-cap buckets are template hubs (members share the band's
+      ``rows_per_band`` consecutive minhashes — boilerplate copies).
+      Each collapses to a STAR: (representative = min id) -> member
+      edges, n-1 rows instead of n(n-1)/2. Every edge still takes
+      exact-Jaccard verification, so a random band collision inside
+      a hub never yields a false pair.
+
+    The star keeps dedup semantics: connected components over star
+    edges equal components over the clique whenever members verify
+    against the representative (true template copies: J = 1). The
+    traded case — a member pair that would verify while its
+    rep-member edges do not — is precisely the boilerplate a dedup
+    pass should not pair on, and the cap makes that trade explicit
+    instead of quadratic.
+
+    Scale shape: candidates carry (doc_a, doc_b) IDs only (16 B/row);
+    shingle sets re-join from the persisted signature table for
+    verification — at corpus scale the band-join shuffle must not
+    carry text-derived arrays (the uncapped variant tolerates it at
+    driver SFs; this is the deploy path).
+    """
+    from .cache import track
+    sig = track(minhash_signatures(df, coeffs, text_col, id_col))
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_key(F.col("sig"), b, rows_per_band).alias("key"))
+            for b in range(bands)])).alias("bk"))
+    deg = (banded.groupBy("bk")
+                 .agg(F.count("*").alias("n"),
+                      F.min(id_col).alias("rep")))
+    # join back on bk: both sides hash-partitioned on bk by the agg —
+    # co-located, no extra exchange on the banded side
+    bd = track(banded.join(deg, "bk").persist())
+    small = bd.filter(F.col("n") <= hub_cap)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                          & (F.col(f"a.{id_col}")
+                             < F.col(f"b.{id_col}")))
+                    .select(F.col(f"a.{id_col}").alias("doc_a"),
+                            F.col(f"b.{id_col}").alias("doc_b")))
+    star_pairs = (bd.filter((F.col("n") > hub_cap)
+                            & (F.col(id_col) != F.col("rep")))
+                    .select(F.col("rep").alias("doc_a"),
+                            F.col(id_col).alias("doc_b")))
+    cands = (small_pairs.unionAll(star_pairs)
+                        .dropDuplicates(["doc_a", "doc_b"]))
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    F.col("hsd").alias("h_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    F.col("hsd").alias("h_b"))
+    return _verified_jaccard_pairs(cands.join(sa, "doc_a")
+                                        .join(sb, "doc_b"), threshold)
 
 
 def simhash_64(df: DataFrame, text_col: str = "text",

@@ -345,6 +345,78 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS, threshold=0.3)
 
 
+_HUB_CAP = 64  # band-bucket size above which a bucket is a template hub
+
+_BANDED_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id, {band} AS band,
+               array_to_string(sig[{band * 4 + 1}:{band * 4 + 4}], ',')
+                 AS key
+        FROM sig"""
+    for band in range(_BANDS))
+
+_JACCARD_SQL = ("len(list_intersect(h_a, h_b))::DOUBLE / (len(h_a) + "
+                "len(h_b) - len(list_intersect(h_a, h_b)))::DOUBLE")
+
+
+@register(
+    "minhash_lsh_pairs_hub_capped",
+    f"""
+    WITH {_sig_cte_sql()},
+    banded AS ({_BANDED_SQL}),
+    deg AS (
+      SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
+      FROM banded GROUP BY band, key
+    ),
+    bd AS (
+      SELECT b.doc_id, b.band, b.key, d.n, d.rep
+      FROM banded b JOIN deg d USING (band, key)
+    ),
+    small_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bd a JOIN bd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE a.n <= {_HUB_CAP}
+    ),
+    star_pairs AS (
+      SELECT rep AS doc_a, doc_id AS doc_b FROM bd
+      WHERE n > {_HUB_CAP} AND doc_id != rep
+    ),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs)
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b, sa.hsd AS h_a, sb.hsd AS h_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, {_JACCARD_SQL} AS jaccard
+    FROM j WHERE {_JACCARD_SQL} >= 0.3
+    """,
+    doc="Skew-hardened MinHash+LSH near-dup pairs — the 100 TB deploy "
+        "path for the boilerplate-hub case (SCALE.md: 10^4+ copies of "
+        "one template put 10^4 rows in ONE band bucket; the bucket "
+        "self-join then owes ~n²/2 pairs from a single join key, "
+        "CPU-quadratic skew AQE cannot split below one key). A "
+        "(band, key) count classifies buckets up front; <= 64-member "
+        "buckets take the normal pair join (per-bucket fan-out capped "
+        "at C(64,2) by construction), over-cap buckets collapse to "
+        "rep->member STAR edges (n-1 rows, not n²/2) — connected "
+        "components over stars equal the clique's whenever members "
+        "verify against the rep (template copies: J = 1). Candidates "
+        "carry IDs only; shingle sets re-join for exact-Jaccard "
+        "verification. Identical output to minhash_lsh_pairs when no "
+        "bucket exceeds the cap (pinned by test_sources_and_skew).",
+)
+def minhash_lsh_pairs_hub_capped(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_duplicate_pairs_hub_capped
+    return minhash_lsh_duplicate_pairs_hub_capped(
+        load_table(spark, sf_dir, "documents"), MINHASH_COEFFS,
+        bands=_BANDS, threshold=0.3, hub_cap=_HUB_CAP)
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
