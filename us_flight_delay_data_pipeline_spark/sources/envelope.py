@@ -10,10 +10,14 @@ Our engine reproduces the *data contract* — a DataFrame with a binary
   body + partition/offset/enqueued_at metadata (what the producers +
   broker did, kafka-eh/produce_to_eventhub.py:73-86).
 - ``write_envelope_bronze`` / ``read_envelope_bronze``: land/scan the
-  envelope frame as parquet; if the spark-avro datasource is on the
-  classpath we use ``format("avro")`` for byte-level bronze parity,
-  else parquet (same columns) — the silver transform is identical
-  either way.
+  envelope frame. ``fmt=None`` picks the PERFORMANCE path: native
+  ``format("avro")`` when the spark-avro jar is on the classpath,
+  else parquet (same columns; the silver transform is identical).
+  An EXPLICIT ``fmt="avro"`` is always honored: native spark-avro
+  when present, else the pure-Python OCF DataSource
+  (``avro_ocf.AvroOcfDataSource``, format ``sg_avro``) — so the
+  reference's actual bronze wire format is readable and exercised in
+  every container, jar or no jar.
 """
 
 from __future__ import annotations
@@ -84,14 +88,31 @@ def csv_to_envelope_batch(spark: SparkSession, csv_path: str,
     return encode_envelope(raw)
 
 
+def _ensure_py_avro(spark: SparkSession) -> None:
+    """Register the pure-Python OCF datasource (idempotent)."""
+    from .avro_ocf import AvroOcfDataSource
+    try:
+        spark.dataSource.register(AvroOcfDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
 def write_envelope_bronze(df: DataFrame, path: str,
                           fmt: str | None = None) -> None:
     spark = df.sparkSession
     fmt = fmt or ("avro" if avro_available(spark) else "parquet")
+    if fmt == "avro" and not avro_available(spark):
+        _ensure_py_avro(spark)
+        (df.write.format("sg_avro").option("path", path)
+           .mode("overwrite").save())
+        return
     df.write.format(fmt).mode("overwrite").save(path)
 
 
 def read_envelope_bronze(spark: SparkSession, path: str,
                          fmt: str | None = None) -> DataFrame:
     fmt = fmt or ("avro" if avro_available(spark) else "parquet")
+    if fmt == "avro" and not avro_available(spark):
+        _ensure_py_avro(spark)
+        return spark.read.format("sg_avro").option("path", path).load()
     return spark.read.format(fmt).load(path)
