@@ -40,7 +40,7 @@ med = {n: round(statistics.median(v), 3) for n, v in times.items()}
 ref = bench.control_reference(); sref = bench.shuffle_control_reference()
 box = statistics.median(med[n] / ref[n] for n in ref)
 sbox = statistics.median(med[n] / sref[n] for n in sref)
-r7b = json.load(open("/root/repo/BENCH_local_r7b.json"))["queries"]
+r7b = json.load(open("/root/repo/records/BENCH_local_r7b.json"))["queries"]
 r8b = json.load(open("/root/repo/BENCH_local_r8b.json"))["queries"]
 out = {"box_factor": round(box, 3), "box_factor_shuffle": round(sbox, 3),
        "controls": {n: med[n] for n in controls}}

@@ -30,8 +30,8 @@ med = {n: round(statistics.median(v), 3) for n, v in times.items()}
 ref = bench.control_reference(); sref = bench.shuffle_control_reference()
 box = statistics.median(med[n] / ref[n] for n in ref)
 sbox = statistics.median(med[n] / sref[n] for n in sref)
-r6c = json.load(open("/root/repo/BENCH_local_r6c.json"))["queries"]
-r7b = json.load(open("/root/repo/BENCH_local_r7b.json"))["queries"]
+r6c = json.load(open("/root/repo/records/BENCH_local_r6c.json"))["queries"]
+r7b = json.load(open("/root/repo/records/BENCH_local_r7b.json"))["queries"]
 a = med["asof_prev_part_shipment"]
 print(json.dumps({
     "asof_median_sec": a, "asof_runs": times["asof_prev_part_shipment"],
