@@ -197,6 +197,37 @@ DRIVER_CHECKED_R01_R04 = frozenset({
 # checked ones), then to the OLDEST-green rows (r01-r04-checked,
 # re-confirmation rotation) — all 228 queries have at least one
 # driver row, so the sample is now re-queue + new + re-confirm.
+# Every name that got a CORRECTNESS_r08 row (all 50 green — the 13
+# former r7 reds, the 21 r8-wave registrations, and the oldest-green
+# re-confirmations that filled the remaining slots). Round stamp 8 in
+# last_checked; with zero red r08 rows there is NO pinned r9 head —
+# the r9 sample self-fills with this round's registrations (never-
+# checked tier) followed by the 50 STALEST green rows, per the r9
+# recipe (git log 456770c).
+DRIVER_CHECKED_R08 = frozenset({
+    'ann_beam_search_topk', 'ann_bruteforce_topk', 'ann_lsh_topk',
+    'asof_latest_order', 'basket_association_rules',
+    'bigram_collocations', 'bitext_margin_pairs', 'bitwise_funcs',
+    'blocking_quality_audit', 'boilerplate_shingles', 'bpe_encode_docs',
+    'bpe_merges', 'chi2_drift_audit', 'chunk_dup_ratio',
+    'cluster_aware_folds', 'consistent_hash_rebalance',
+    'copurchase_clustering_coeff', 'cross_encoder_rerank', 'cube_flags',
+    'customer_order_stats', 'customer_running_total',
+    'customers_with_open_orders', 'customers_without_orders',
+    'cusum_changepoints', 'dedup_effective_size', 'epoch_shuffle_plan',
+    'equi_depth_binning', 'fuzzy_name_blocking', 'group_mad_outliers',
+    'interval_union_coverage', 'largest_remainder_quota', 'map_funcs',
+    'mergeable_partial_aggs', 'multi_touch_attribution',
+    'nucleus_topp_docs', 'pareto_frontier_docs',
+    'priority_linestatus_counts', 'regex_funcs', 'scd2_history_intervals',
+    'score_decile_lift', 'source_ngram_overlap_matrix',
+    'stream_gdpr_tombstones_gated', 'stream_minhash_index_gated',
+    'substring_dup_pairs', 'systematic_pps_sample',
+    'temperature_mixture_weights', 'template_dedup_clusters',
+    'time_decay_user_value', 'zonemap_pruning_audit',
+    'zorder_layout_audit',
+})
+
 DRIVER_SAMPLE_R08 = (
     'mergeable_partial_aggs', 'bitwise_funcs', 'map_funcs',
     'priority_linestatus_counts', 'regex_funcs',
@@ -362,25 +393,23 @@ def load_registry() -> dict[str, QuerySpec]:
         spec = REGISTRY[name]
         if not spec.audit:
             REGISTRY[name] = dataclasses.replace(spec, audit=True)
-    # Sample order for round 8 (all 228 queries now have >=1 driver
-    # row, so the never-checked tier only ever holds THIS round's new
-    # registrations): (1) the pinned r8 head — the 13 r7-red rows,
-    # immovable by late registrations; (2) never-checked new
-    # registrations; (3) checked names, OLDEST driver evidence first
-    # (r01-r04 before r05 before r06 before r07), so the remaining
-    # slots re-confirm the stalest green rows.
-    r08_rank = {n: i for i, n in enumerate(DRIVER_SAMPLE_R08)}
+    # Sample order for round 9 (VERDICT r8 task #7: with all 249
+    # ever-green, staleness is the only driver-side risk): no pinned
+    # head (zero red r08 rows to re-queue); (1) never-checked new r9
+    # registrations first; (2) checked names, OLDEST driver evidence
+    # first (r01-r04, then r05..r08 stamps), so the 50-slot sample
+    # re-checks the 50 least-recently-driver-checked queries.
     last_checked: dict[str, int] = {}
     for rnd, grp in ((4, DRIVER_CHECKED_R01_R04),
                      (5, DRIVER_SAMPLE_R05),
                      (6, DRIVER_SAMPLE_R06),
-                     (7, DRIVER_CHECKED_R07)):
+                     (7, DRIVER_CHECKED_R07),
+                     (8, DRIVER_CHECKED_R08)):
         for n in grp:
             last_checked[n] = rnd
     ordered = sorted(
         REGISTRY,
-        key=lambda n: (r08_rank.get(n, len(r08_rank)),
-                       n in last_checked,
+        key=lambda n: (n in last_checked,
                        last_checked.get(n, 0),
                        n))
     reordered = {n: REGISTRY[n] for n in ordered}
