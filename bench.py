@@ -84,8 +84,12 @@ def main() -> None:
     # JVM / codegen warmup on the flagship query
     materialize(reg["monthly_trend"].fn(spark, sf_dir))
 
+    only = {n for n in os.environ.get(
+        "SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
     timings: dict[str, float] = {}
     for name, spec in sorted(reg.items()):
+        if only and name not in only:
+            continue
         runs = []
         for _ in range(N_RUNS):
             t0 = time.time()
@@ -151,6 +155,38 @@ def main() -> None:
         "queries_box_normalized": normalized,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+    # The driver records only the LAST ~2 KB of stdout; with 250+
+    # queries the full line above is ~8 KB, so every round since r5
+    # the driver artifact ended "parsed: null" with a mid-line tail
+    # (VERDICT r8 "what's wrong" #2). Persist the full record to a
+    # file, then END stdout with a compact line that always fits the
+    # captured tail: aggregate stats + the 25 most expensive queries
+    # (the perf-review signal) + the path of the full record.
+    sfv = float(sf) if sf.replace(".", "").isdigit() else sf
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full_latest.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump({"metric": "total_query_wall_sec", "value": total,
+                       "unit": "sec", "queries": timings,
+                       "queries_box_normalized": normalized,
+                       "box_factor": box_factor,
+                       "box_factor_shuffle": box_factor_shuffle,
+                       "sf": sfv}, fh)
+    except OSError:
+        full_path = None
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    sys.stdout.flush()
+    print(json.dumps({
+        "metric": "total_query_wall_sec", "value": total, "unit": "sec",
+        "sf": sfv, "n_queries": len(timings),
+        "median_query_sec": round(statistics.median(timings.values()), 3)
+            if timings else None,
+        "box_factor": box_factor,
+        "box_factor_shuffle": box_factor_shuffle,
+        "queries": top, "queries_note": "top-25 by sec; full record at",
+        "full_record": full_path,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":
