@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from .cache import track
 from .ckpt import checkpoint_rdd_ids, release_local_checkpoint
 
-__all__ = ["pagerank", "triangle_count", "triangles_per_node", "PR_QUANT"]
+__all__ = ["pagerank", "triangle_count", "triangles_per_node",
+           "label_propagation", "kcore_peel", "PR_QUANT"]
 
 PR_QUANT = 1e12  # contribution quantum: floor(c * PR_QUANT) units
 
@@ -235,3 +236,101 @@ def triangle_count(edges: DataFrame, a: str = "a",
                                / F.col("n_wedges").cast("double"))
                          .alias("clustering")))
     return out
+
+
+def _bidirectional(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonical distinct undirected edges as BOTH directions
+    (src, dst) — the adjacency every per-node neighborhood aggregate
+    consumes. Persisted + tracked (re-read every round)."""
+    e, _deg = _canonical_edges_and_degrees(edges, a, b)
+    return track(e.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+                  .unionAll(e.select(F.col("y").alias("src"),
+                                     F.col("x").alias("dst")))
+                  .persist())
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      a: str = "a", b: str = "b") -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    UNDIRECTED edge list, made fully deterministic: every node starts
+    labeled with its own id; each round EVERY node simultaneously
+    adopts the most frequent label among its NEIGHBORS (pure-neighbor
+    variant — no self-vote), ties broken by the SMALLEST label. After
+    ``rounds`` rounds, returns (node, label): nodes sharing a label
+    are one community.
+
+    Determinism is the whole design: asynchronous LPA (the common
+    formulation) is order-dependent and the frequency argmax tie is
+    usually random — neither survives an engine-differential. The
+    synchronous schedule plus min-label ties make the result a pure
+    function of the graph, so an unrolled-SQL oracle reproduces it
+    bit-for-bit. (Sync LPA can two-cycle on bipartite-ish structure;
+    a FIXED round count is therefore part of the operator contract,
+    not a convergence heuristic.)
+
+    Scale shape: one hash join (adjacency x label vector, both keyed
+    on node) + two hash aggregates per round — the Pregel message
+    round expressed relationally, same skeleton as :func:`pagerank`.
+    The argmax is max(struct(count, -label)) — a partial-aggregable
+    hash agg, NOT a rank window, so no per-node sort and no
+    single-task group serialization. Per-round shuffle carries
+    (node, label, count) rows bounded by the DISTINCT neighbor-label
+    count per node, <= degree.
+    """
+    bi = _bidirectional(edges, a, b)
+    labels = bi.select("src").distinct()                .select(F.col("src").alias("node"),
+                       F.col("src").alias("label"))
+    for _ in range(rounds):
+        cnt = (bi.join(labels, bi.dst == labels.node)
+                 .groupBy(F.col("src"), F.col("label"))
+                 .agg(F.count("*").alias("c")))
+        labels = (cnt.groupBy("src")
+                     .agg(F.max(F.struct(F.col("c"),
+                                         (-F.col("label")).alias("nl")))
+                           .alias("m"))
+                     .select(F.col("src").alias("node"),
+                             (-F.col("m.nl")).alias("label")))
+    return labels
+
+
+def kcore_peel(edges: DataFrame, k: int = 3,
+               rounds: int = 4, a: str = "a", b: str = "b") -> DataFrame:
+    """Bounded k-core peel over an UNDIRECTED edge list: ``rounds``
+    synchronous rounds of "drop every node whose CURRENT degree is
+    < k (with its edges), recompute degrees". Returns the surviving
+    (node, d) with d the node's degree in the surviving subgraph.
+
+    When the peel reaches fixpoint within ``rounds`` (it does on the
+    co-purchase graph — pinned by the property test), the survivors
+    ARE the k-core: the maximal subgraph with minimum degree >= k,
+    the standard graph-curation denoiser (drop leaf/tendril structure
+    before community detection; keep only well-embedded nodes). The
+    FIXED round count keeps the operator a pure function of the graph
+    — same contract as :func:`label_propagation` — so the oracle is
+    the same peel unrolled in SQL.
+
+    Scale shape per round: two semi-joins restricting the CACHED
+    full adjacency to the current survivor set + one degree hash-agg.
+    The survivor set shrinks monotonically, so restricting the
+    original adjacency to keep_r equals restricting the previous
+    round's live edges — the chain collapses, and the only state
+    carried between rounds is the (tiny) survivor node set, persisted
+    and materialized per round to cut lineage replay (an unpersisted
+    round chain re-executes the upstream edge build per CONSUMER —
+    2^rounds scans; measured 18 s -> 2.4 s at sf0.1). The adjacency
+    is scanned once per round from cache; a many-round variant on a
+    fast-shrinking graph would persist the shrinking edge list
+    instead — at 4 bounded rounds the cached-scan trade wins.
+    """
+    bi = _bidirectional(edges, a, b)
+    deg = bi.groupBy("src").agg(F.count("*").alias("d"))
+    for _ in range(rounds):
+        keep = track(deg.filter(F.col("d") >= k).select("src")
+                        .persist())
+        keep.count()  # materialize: keep_r has two consumers below
+        live = (bi.join(keep, "src", "leftsemi")
+                  .join(keep.select(F.col("src").alias("dst")),
+                        "dst", "leftsemi"))
+        deg = live.groupBy("src").agg(F.count("*").alias("d"))
+    return deg.select(F.col("src").alias("node"),
+                      F.col("d").cast("bigint").alias("d"))

@@ -372,6 +372,7 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import curation_wave6  # noqa: F401
     from . import curation_wave7  # noqa: F401
     from . import curation_wave8  # noqa: F401
+    from . import curation_wave9  # noqa: F401
     from . import graph_and_index  # noqa: F401
     from . import data_quality  # noqa: F401
     from . import transactions  # noqa: F401

@@ -26,9 +26,9 @@ primitives a 100 TB training-data platform runs daily:
 - **Association rules** — brand co-occurrence over order baskets with
   integer ppm confidence/lift. The pair join is per-basket (bounded
   by basket size k → k² candidate pairs per order, never corpus²);
-  the dimension join broadcasts. Scale contract: counts stay in
-  int64 up to ~2e9 baskets (note in the lift expression); beyond
-  that route the product through DECIMAL.
+  the dimension join broadcasts. Scale contract: the lift product
+  routes through DECIMAL(38,0)/HUGEINT floor division (with the 1%
+  support floor, bare int64 would wrap near ~3e7 baskets).
 - **Interval-union coverage** — per-user union length of overlapping
   activity intervals (sweep-line via running max of interval end over
   a user-partitioned window). The standard "how much wall-clock was
