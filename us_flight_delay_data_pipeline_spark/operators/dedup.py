@@ -270,8 +270,14 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str,
     false negatives; every candidate is then verified on the full
     sets. (The quadratic fallback for tiny corpora is
     :func:`all_pairs_within_block`.)"""
-    toks = word_tokens(F.lower(F.col(text_col)))
-    sh = (_spread(df.filter(F.size(toks) >= ngram))
+    # No tokenizing pre-filter: docs shorter than the shingle width get
+    # an EMPTY hsd (n=0, prefix slice empty), so the explode below drops
+    # them from the inverted index — same pairs either way. The filter
+    # version re-tokenized every doc inside the 1-2-task scan stage
+    # (Catalyst pushes deterministic filters below the repartition),
+    # serializing a full regex pass that the post-rebalance projection
+    # then repeats 32-wide.
+    sh = (_spread(df)
             .select(F.col(id_col), F.col(block_col),
                     F.sort_array(_shingle_hashes(F.col(text_col), ngram))
                      .alias("hsd"))

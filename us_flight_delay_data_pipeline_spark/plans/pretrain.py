@@ -63,11 +63,14 @@ _STAGES = ["base", "quality", "exact_dedup", "fuzzy_dedup",
 
 def _shingle_hashes(df: DataFrame) -> DataFrame:
     """(doc_id, h) for every distinct word-5-gram hash of lowercased
-    text; docs shorter than the shingle width emit nothing."""
+    text; docs shorter than the shingle width emit nothing (their
+    ngram array is empty, so the explode drops them — no pre-filter
+    needed: a size(word_tokens(...)) predicate would re-tokenize every
+    doc inside the 1-2-task scan stage, serializing a full regex pass
+    the post-rebalance projection then repeats 32-wide)."""
     from ..functions.core import rebalance
 
-    toks = word_tokens(F.lower(F.col("text")))
-    return (rebalance(df.filter(F.size(toks) >= DECON_NGRAM))
+    return (rebalance(df)
               .select("doc_id",
                       F.explode(F.array_distinct(F.transform(
                           word_ngrams(F.col("text"), DECON_NGRAM), h32)))

@@ -556,8 +556,10 @@ def _src_sig_match_sql() -> str:
 )
 def source_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    sh = (rebalance(d.filter(F.size(toks) >= 3))
+    # no tokenizing pre-filter: sub-shingle-width docs explode to zero
+    # rows anyway, and the filter serialized a full regex pass in the
+    # 1-2-task scan stage (filters push below the repartition)
+    sh = (rebalance(d)
           .select("source",
                   F.explode(F.array_distinct(
                       F.transform(word_ngrams(F.col("text"), 3), h32)))
@@ -668,8 +670,9 @@ def _bloom_bits_sql(hvar: str) -> str:
 )
 def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    sh = (rebalance(d.filter(F.size(toks) >= _BLOOM_N))
+    # no tokenizing pre-filter: sub-shingle-width docs explode to zero
+    # rows anyway (see source_overlap_audit note)
+    sh = (rebalance(d)
           .select("doc_id", "source",
                   F.explode(F.array_distinct(
                       F.transform(word_ngrams(F.col("text"), _BLOOM_N), h32)))

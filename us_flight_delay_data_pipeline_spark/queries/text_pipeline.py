@@ -265,8 +265,11 @@ def stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.core import rebalance
     d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    sh = (rebalance(d.filter(F.size(toks) >= 3))
+    # no tokenizing pre-filter: short docs have an empty ngram array and
+    # the explode drops them — the filter re-tokenized every doc in the
+    # 1-2-task scan stage (deterministic filters push below the
+    # repartition), serializing a regex pass the wide stage repeats
+    sh = (rebalance(d)
            .select(F.explode(F.array_distinct(word_ngrams(F.col("text"), 3)))
                     .alias("shingle")))
     df = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
@@ -324,8 +327,9 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.core import rebalance
     from ..operators.hashing import h32
     d = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    sh = (rebalance(d.filter(F.size(toks) >= _DECON_N))
+    # no tokenizing pre-filter: sub-shingle-width docs explode to zero
+    # rows anyway (see boilerplate_shingles note)
+    sh = (rebalance(d)
           .select("doc_id", "source",
                   F.explode(F.array_distinct(
                       F.transform(word_ngrams(F.col("text"), _DECON_N), h32)))
