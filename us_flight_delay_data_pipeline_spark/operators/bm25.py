@@ -104,7 +104,13 @@ def _tf_dl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # pins the collect_list order — positions are per-(doc, term)
     # unique, so the sorted array is deterministic under any
     # partitioning. tf == size(positions) by construction.
-    toks = (docs.filter(F.length(F.trim(text_col)) > 0)
+    # rebalance first: index builds arrive as 1-2 byte-split scan (or
+    # micro-batch) partitions, and the tokenize+posexplode below is
+    # CPU-bound per row — one cheap shuffle of raw rows buys full
+    # cluster width for the postings build (same policy as
+    # minhash_signatures / _normed_vectors)
+    from ..functions.core import rebalance
+    toks = (rebalance(docs.filter(F.length(F.trim(text_col)) > 0))
                 .select(F.col(id_col).alias("doc_id"),
                         F.posexplode(word_tokens(F.lower(F.col(text_col))))
                          .alias("pos", "term")))

@@ -790,6 +790,11 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_score
     from ..operators.classifier import classify_docs
 
+    # NOT rebalanced (tried r09, reverted): the labeled frame feeds
+    # fit AND score subtrees, so a round-robin exchange of full text
+    # executes per consumer and costs more than the narrow-stage
+    # explode it parallelizes — the 1024-bucket partial agg already
+    # keeps the single-task map side cheap here
     d = load_table(spark, sf_dir, "documents")
     labeled = d.withColumn("label_high",
                            quality_score(F.col("text")) >= 0.5)
@@ -879,6 +884,8 @@ def classifier_crossshard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_score
     from ..operators.classifier import hashed_logodds_weights, score_docs
 
+    # NOT rebalanced — see quality_classifier_scores (tried r09,
+    # reverted: labeled feeds 3+ subtrees)
     d = load_table(spark, sf_dir, "documents")
     labeled = d.withColumn("label_high",
                            quality_score(F.col("text")) >= 0.5) \

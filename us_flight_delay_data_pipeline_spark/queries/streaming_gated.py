@@ -434,6 +434,9 @@ def stream_classifier_scores_gated(spark: SparkSession,
     from ..operators.hashing import h32
     from ..sources.registry import load_table
 
+    # fit side NOT rebalanced — see quality_classifier_scores (the
+    # labeled frame feeds two fit subtrees; the exchange costs more
+    # than the narrow explode it widens)
     d = load_table(spark, sf_dir, "documents")
     labeled = d.withColumn("label_high",
                            quality_score(F.col("text")) >= 0.5)
@@ -445,7 +448,13 @@ def stream_classifier_scores_gated(spark: SparkSession,
         F.lit(str(model.get(b, 0))).cast("decimal(38,0)")
         for b in range(N_BUCKETS)])
 
-    src = _stream_source(spark, sf_dir, "documents")
+    # serve side: each micro-batch of the file stream plans 1-2 scan
+    # tasks (byte-split), so the per-doc scoring (quality_score + one
+    # hash/add per token) would serialize — a stateless repartition
+    # inside the streaming query widens the map stage; the complete-
+    # mode rollup after it is unchanged (counts are order-free)
+    src = _stream_source(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     toks = word_tokens(F.lower(F.col("text")))
     contribs = F.transform(
         toks,
