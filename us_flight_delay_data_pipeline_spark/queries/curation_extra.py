@@ -488,9 +488,14 @@ def knn_graph_mutual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                      _pair_cosine("_qv", "_cv", "_qnrm", "_cnrm")
                      .alias("cosine")))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    edges = (sims.withColumn("rank", F.row_number().over(w))
-                 .filter(F.col("rank") <= _KNN_K)
-                 .select("src", "dst", "rank", "cosine"))
+    # persisted like _knn_edges: the mutuality check reads the edge
+    # table twice (forward + reversed), and without the pin each side
+    # re-runs the N x cap scoring join over the cached e — the edge
+    # table is <= k rows x 20 bytes per vector, the cheap thing to pin
+    edges = track(sims.withColumn("rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= _KNN_K)
+                      .select("src", "dst", "rank", "cosine")
+                      .persist())
     rev = edges.select(F.col("src").alias("_rsrc"),
                        F.col("dst").alias("_rdst"))
     out = edges.join(rev, (F.col("_rsrc") == F.col("dst"))
