@@ -1405,10 +1405,19 @@ def ann_beam_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one bounded driver pull: the entry node id (a scalar)
     entry = (e.filter(F.col("vec_id") >= _BEAM_NQ)
               .agg(F.min("vec_id")).first()[0])
+    from ..operators.cache import track
     w = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("node"))
     beam = qs.select("q_id", F.lit(entry).cast("long").alias("node"))
     ranked = None
     for _ in range(_BEAM_H):
+        # each hop reads the previous beam TWICE (frontier carry +
+        # neighbor expansion), so without a pin hop h re-executes hop
+        # h-1's whole subtree 2x — 2^hops total (the chained-lineage
+        # iterative failure mode; same fix as copurchase_kcore). The
+        # pinned frame is the (n_queries x beam_width) frontier —
+        # bytes, not data-scale; released by the harness clearCache
+        # or a library caller's release_tracked().
+        beam = track(beam.persist())
         cand = (beam.unionByName(
                     beam.join(edges, beam.node == edges.src)
                         .select("q_id", F.col("dst").alias("node")))
