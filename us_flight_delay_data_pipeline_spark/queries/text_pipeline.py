@@ -943,11 +943,19 @@ def _bpe_one_merge(sym: DataFrame) -> DataFrame:
         "applying it (monotonically decreasing).".format(k=_BPE_ITERS),
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import track
     words = _bpe_word_table(spark, sf_dir)
     sym = _bpe_sym0(words)
     out_rows = []
     for i in range(1, _BPE_ITERS + 1):
-        sym = _bpe_one_merge(sym)
+        # pin each step's symbol table: the per-step stat AND the next
+        # step's pair count both read it, and each _bpe_one_merge
+        # additionally reads its input twice (pair count + argmax
+        # broadcast build) — unpinned, step i re-executed steps 1..i-1
+        # ~2x each (chained-lineage iterative failure mode, the
+        # ann_beam_search_topk fix). The pinned frame is the
+        # vocabulary-sized symbol table, not corpus data.
+        sym = track(_bpe_one_merge(sym).persist())
         stat = (sym.agg(
                     F.sum(F.col("cnt") * F.size(F.split("s", "%")))
                      .cast("bigint").alias("corpus_symbols_after"),
@@ -957,7 +965,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "merged_symbol", "pair_count",
                         "corpus_symbols_after"))
         out_rows.append(stat)
-        sym = sym.drop("_pat", "_repl", "_merged", "_n")
+        sym = sym.drop("_pat", "_repl", "_merged", "_n")  # cache-backed
     out = out_rows[0]
     for r in out_rows[1:]:
         out = out.unionByName(r)
@@ -1032,9 +1040,13 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .persist())
     words = dwords.groupBy("w").agg(F.sum("cnt").cast("bigint")
                                      .alias("cnt"))
+    from ..operators.cache import track
     sym = _bpe_sym0(words)
     for _ in range(_BPE_ITERS):
-        sym = _bpe_one_merge(sym).drop("_pat", "_repl", "_merged", "_n")
+        # pin per step — _bpe_one_merge reads its input twice (pair
+        # count + argmax broadcast build); see bpe_merges
+        sym = track(_bpe_one_merge(sym)
+                    .drop("_pat", "_repl", "_merged", "_n").persist())
     enc = sym.select("w", F.size(F.split("s", "%")).cast("bigint")
                           .alias("n_sym"))
     return (dwords.join(enc, "w")
