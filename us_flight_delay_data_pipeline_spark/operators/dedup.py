@@ -471,15 +471,19 @@ def build_jaccard_index(df: DataFrame, path: str, block_col: str,
     double-appending (the matview.py idempotency pattern); pair with
     ``dedup_against_jaccard_index(..., exclude_batch_id=N)`` so a
     replay does not probe against its own rows."""
-    toks = word_tokens(F.lower(F.col(text_col)))
-    sh = (_spread(df.filter(F.size(toks) >= ngram))
+    # No tokenizing pre-filter (ngram_jaccard_pairs note): short docs
+    # get an empty hsd. The sketch keeps the exact on-disk contract by
+    # filtering n > 0 ABOVE the persist — the cache boundary stops
+    # predicate pushdown, so the cheap filter runs on the cached rows,
+    # not as a second serial tokenize pass in the scan stage.
+    sh = (_spread(df)
             .select(F.col(id_col).alias("doc_id"),
                     F.col(block_col).alias("block"),
                     F.sort_array(_shingle_hashes(F.col(text_col), ngram))
                      .alias("hsd"))
             .withColumn("n", F.size("hsd"))
             .persist())
-    sketch = sh.select("doc_id", "block", "n", "hsd")
+    sketch = sh.filter(F.col("n") > 0).select("doc_id", "block", "n", "hsd")
     prefix_len = _prefix_len(F.col("n"), threshold)
     inverted = sh.select(
         "doc_id", "block",
@@ -525,8 +529,10 @@ def dedup_against_jaccard_index(new_docs: DataFrame, path: str,
     if exclude_batch_id is not None and "batch_id" in inverted.columns:
         inverted = inverted.filter(F.col("batch_id") != exclude_batch_id)
         sketch = sketch.filter(F.col("batch_id") != exclude_batch_id)
-    toks = word_tokens(F.lower(F.col(text_col)))
-    sh = (_spread(new_docs.filter(F.size(toks) >= ngram))
+    # no tokenizing pre-filter: empty-hsd docs emit no prefix shingles
+    # (never become candidates) and the broadcast side joins inner on
+    # new_id, so the extra rows are inert — see ngram_jaccard_pairs
+    sh = (_spread(new_docs)
             .select(F.col(id_col).alias("new_id"),
                     F.col(block_col).alias("block"),
                     F.sort_array(_shingle_hashes(F.col(text_col), ngram))

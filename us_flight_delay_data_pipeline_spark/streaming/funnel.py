@@ -73,9 +73,9 @@ def prepare_benchmark_shingles(bench_docs: DataFrame, path: str,
     The benchmark corpus is fixed, so this runs at stream start, not
     per batch; the output is shingle-vocabulary-sized and broadcasts
     into every batch's decontamination join."""
-    toks = word_tokens(F.lower(F.col("text")))
-    (bench_docs.filter(F.size(toks) >= ngram)
-               .select(F.explode(F.array_distinct(F.transform(
+    # no tokenizing pre-filter: sub-shingle-width docs explode to zero
+    # rows anyway (plans/pretrain.py::_shingle_hashes note)
+    (bench_docs.select(F.explode(F.array_distinct(F.transform(
                    word_ngrams(F.col("text"), ngram), h32))).alias("h"))
                .distinct()
                .write.mode("overwrite").parquet(path))
@@ -186,9 +186,8 @@ def _run_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int, *,
     bench = _read_or_none(spark, bench_path)
     train = fuzzy.filter(F.col("source") != "src0")
     if bench is not None:
-        toks = word_tokens(F.lower(F.col("text")))
+        # no tokenizing pre-filter — short docs explode to zero rows
         contaminated = (train
-                        .filter(F.size(toks) >= DECON_NGRAM)
                         .select("doc_id", F.explode(F.array_distinct(
                             F.transform(word_ngrams(F.col("text"),
                                                     DECON_NGRAM), h32)))
