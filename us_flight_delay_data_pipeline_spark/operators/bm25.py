@@ -152,14 +152,23 @@ def write_bm25_batch(docs: DataFrame, path: str, batch_id: int = 0,
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        # repartition by the partition columns before the write: the
+        # build side is deliberately wide (the rebalance in _tf_dl),
+        # so a direct write would emit one file per (task, bucket) —
+        # 32x the files, and probes pay the per-file open cost (guide
+        # §6 small-files). Hash-partitioning on (batch_id, term_bucket)
+        # lands each bucket dir in one task → one file per partition;
+        # no explicit count, so AQE still right-sizes the task count.
         (tfdl.withColumn("term_bucket",
                          (h32(F.col("term")) % N_TERM_BUCKETS).cast("int"))
              .withColumn("batch_id", bid)
+             .repartition("batch_id", "term_bucket")
              .write.mode("overwrite").partitionBy("batch_id", "term_bucket")
              .parquet(os.path.join(path, "postings")))
         # tfdl is distinct per (doc_id, term): df partial = COUNT(*)
         (tfdl.groupBy("term").agg(F.count("*").alias("df"))
              .withColumn("batch_id", bid)
+             .repartition("batch_id")
              .write.mode("overwrite").partitionBy("batch_id")
              .parquet(os.path.join(path, "df")))
         (tfdl.select("doc_id", "dl").distinct()
