@@ -334,7 +334,16 @@ def build_minhash_index(df: DataFrame, path: str,
         .select("corpus_id", *keep, "hsd",
                 F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
-    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    # repartition on the partition column before the write: the
+    # signature build is _spread wide, so a direct write emits one
+    # file per (task, band) — 32x the files, and every probe pays the
+    # per-file open cost (guide §6; same fix as write_bm25_batch).
+    # Hash on (band, key) rather than band alone so a band's rows can
+    # still spread over multiple write tasks at corpus scale — the
+    # file count per band dir is bounded by the AQE-coalesced task
+    # count that actually holds that band, not by the build width.
+    banded.repartition("band", "key") \
+          .write.mode("overwrite").partitionBy("band").parquet(path)
     sig.unpersist()
 
 
@@ -368,7 +377,11 @@ def write_minhash_batch(docs: DataFrame, path: str, batch_id: int,
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        banded.write.mode("overwrite").partitionBy("batch_id", "band")               .parquet(path)
+        # size-adaptive file count per partition dir — see
+        # build_minhash_index
+        banded.repartition("band", "key") \
+              .write.mode("overwrite").partitionBy("batch_id", "band") \
+              .parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         sig.unpersist()
