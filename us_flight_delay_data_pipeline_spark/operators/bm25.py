@@ -152,31 +152,61 @@ def write_bm25_batch(docs: DataFrame, path: str, batch_id: int = 0,
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # repartition by the partition columns before the write: the
-        # build side is deliberately wide (the rebalance in _tf_dl),
-        # so a direct write would emit one file per (task, bucket) —
-        # 32x the files, and probes pay the per-file open cost (guide
-        # §6 small-files). Hash-partitioning on (batch_id, term_bucket)
-        # lands each bucket dir in one task → one file per partition;
-        # no explicit count, so AQE still right-sizes the task count.
-        (tfdl.withColumn("term_bucket",
-                         (h32(F.col("term")) % N_TERM_BUCKETS).cast("int"))
-             .withColumn("batch_id", bid)
-             .repartition("batch_id", "term_bucket")
-             .write.mode("overwrite").partitionBy("batch_id", "term_bucket")
-             .parquet(os.path.join(path, "postings")))
-        # tfdl is distinct per (doc_id, term): df partial = COUNT(*)
-        (tfdl.groupBy("term").agg(F.count("*").alias("df"))
-             .withColumn("batch_id", bid)
-             .repartition("batch_id")
-             .write.mode("overwrite").partitionBy("batch_id")
-             .parquet(os.path.join(path, "df")))
-        (tfdl.select("doc_id", "dl").distinct()
-             .agg(F.count("*").alias("n_docs"),
-                  F.sum("dl").alias("total_tokens"))
-             .withColumn("batch_id", bid)
-             .write.mode("overwrite").partitionBy("batch_id")
-             .parquet(os.path.join(path, "stats")))
+        # repartition before the write: the build side is deliberately
+        # wide (the rebalance in _tf_dl), so a direct write would emit
+        # one file per (task, bucket) — 32x the files, and probes pay
+        # the per-file open cost (guide §6 small-files). Hash on
+        # (term_bucket, term) rather than the partition columns alone:
+        # hashing on term_bucket only would bound the write to
+        # N_TERM_BUCKETS tasks forever (corpus/32 through ONE writer at
+        # scale — AQE coalesces small partitions, it never splits a
+        # hash repartition), while the finer (bucket, term) key lets a
+        # bucket spread over many writer tasks at corpus scale and AQE
+        # still coalesces to few files per dir at small scale (the
+        # dedup.py::build_minhash_index (band, key) pattern).
+        def _write_postings() -> None:
+            (tfdl.withColumn("term_bucket",
+                             (h32(F.col("term"))
+                              % N_TERM_BUCKETS).cast("int"))
+                 .withColumn("batch_id", bid)
+                 .repartition("term_bucket", "term")
+                 .write.mode("overwrite")
+                 .partitionBy("batch_id", "term_bucket")
+                 .parquet(os.path.join(path, "postings")))
+
+        # tfdl is distinct per (doc_id, term): df partial = COUNT(*).
+        # Hash on (batch_id, term), not batch_id alone — one batch_id
+        # value would funnel the whole vocabulary through one task.
+        def _write_df() -> None:
+            (tfdl.groupBy("term").agg(F.count("*").alias("df"))
+                 .withColumn("batch_id", bid)
+                 .repartition("batch_id", "term")
+                 .write.mode("overwrite").partitionBy("batch_id")
+                 .parquet(os.path.join(path, "df")))
+
+        def _write_stats() -> None:
+            (tfdl.select("doc_id", "dl").distinct()
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("dl").alias("total_tokens"))
+                 .withColumn("batch_id", bid)
+                 .write.mode("overwrite").partitionBy("batch_id")
+                 .parquet(os.path.join(path, "stats")))
+
+        # The three writes are independent once tfdl is materialized,
+        # and Spark schedules concurrent jobs FIFO with back-fill
+        # (guide §2.6) — overlapping them hides the df/stats jobs
+        # behind the postings write instead of paying three sequential
+        # job launches per ingested batch (stream_bm25_index_gated
+        # pays this per micro-batch). The persisted tfdl is computed
+        # once regardless of which job reaches it first (block-level
+        # cache locks). Results and on-disk layout are identical to
+        # the sequential writes.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [pool.submit(f) for f in
+                       (_write_postings, _write_df, _write_stats)]
+            for fut in futures:
+                fut.result()
     finally:
         # unpersist inside the finally: a failed write must not leak
         # the persisted tf/dl frame (ADVICE r6)
