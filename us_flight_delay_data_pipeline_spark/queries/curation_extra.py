@@ -779,9 +779,15 @@ def nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     # h32(vec_id) ring (distributed prefix rank) and connect each to
     # its 3 successors modulo n — geometry-blind, hence cross-bucket
     ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    ranked = with_global_running(
+    # pinned: the rank table feeds BOTH sides of the ring join (a/b),
+    # so the prefix-rank machinery (partitioned window + offsets fold
+    # + broadcast join over with_global_running's cached range frame)
+    # would execute once per side; the frame is 3 longs per vector.
+    # track()ed like _knn_edges for library-caller release.
+    from ..operators.cache import track
+    ranked = track(with_global_running(
         ids, [h32(F.col("vec_id").cast("string")), F.col("vec_id")],
-        rank="rnk", totals=True)
+        rank="rnk", totals=True).persist())
     a = ranked.select(F.col("vec_id").alias("src"),
                       F.col("rnk").alias("_ra"),
                       F.col("_n_total").alias("_n"))
