@@ -74,8 +74,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # (src, dst, deg) — reused every iteration; the degree table is
     # |nodes|-sized, so it broadcasts into the edge list map-side
     small = n_total <= 5_000_000
+    # lazy persist: adj is consumed exactly once per iteration, so the
+    # first iteration's checkpoint job materializes the cache in-line —
+    # an explicit adj.count() here was one whole extra pass (r10 audit:
+    # actions per pagerank call = 1 setup count + iterations, nothing
+    # per-round beyond the checkpoint itself)
     adj = e.join(F.broadcast(deg) if small else deg, "src").persist()
-    adj.count()
 
     teleport = (1.0 - damping) / n_total
     # the rank vector is |nodes|-sized — when it fits a broadcast,
