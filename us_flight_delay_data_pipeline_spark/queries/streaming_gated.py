@@ -25,6 +25,7 @@ watermark+append pair (the funnel and matview modules show both).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -64,9 +65,6 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return normalize_event_ts(src)
 
 
-import contextlib
-
-
 @contextlib.contextmanager
 def _state_sized_shuffle(spark: SparkSession):
     """Scope ``spark.sql.shuffle.partitions`` to the state volume for
@@ -81,7 +79,17 @@ def _state_sized_shuffle(spark: SparkSession):
     single-threaded — a concurrent caller in the same session should
     run under spark.newSession() to scope the override.
     """
-    parts = os.environ.get("SPARK_GRAFT_STATE_PARTS", "8")
+    raw = os.environ.get("SPARK_GRAFT_STATE_PARTS", "8")
+    try:
+        parts = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_PARTS must be a positive integer, "
+            f"got {raw!r}") from None
+    if parts <= 0:
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_PARTS must be a positive integer, "
+            f"got {raw!r}")
     conf = spark.conf
     old = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", parts)
