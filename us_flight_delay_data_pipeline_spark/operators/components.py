@@ -90,63 +90,39 @@ def connected_components(edges: DataFrame, src: str = "src",
     :func:`connected_components_auto` falls back to it.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym0 = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # Self-loops make one propagation hop a SINGLE join+agg — the
-    # neighbor-min over Γ(u) ∪ {u} is min(component) straight off the
-    # grouped join, no left-join carry — which is what lets hops chain
-    # inside one job below. repartition("b") pins the cached adjacency
-    # on the per-hop join key: InMemoryRelation keeps the child's
-    # outputPartitioning, so every hop's join reuses it and only the
-    # (node, label)-sized labels side shuffles — the edge list never
-    # re-shuffles per round (guide §2.4 "share one exchange").
-    sym = (sym0.union(sym0.select("a", F.col("a").alias("b")))
-               .distinct()
-               .repartition("b")
-               .persist())
+    sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .persist())
     # Round 1 needs no join: every node's first label is
-    # min(self, neighbors), computable straight off the edge list
-    # (the self-loop contributes min(..., self) — same least()).
+    # min(self, neighbors), computable straight off the edge list.
     labels = (sym.groupBy(F.col("a").alias("node"))
                  .agg(F.min("b").alias("nmin"))
                  .select("node", F.least("node", "nmin").alias("component"))
                  .localCheckpoint(eager=True))
     labels_ids = checkpoint_rdd_ids(labels)
-
-    def _hop(cur: DataFrame) -> DataFrame:
-        # one synchronous min-label hop: every node adopts
-        # min(component) over Γ(u) ∪ {u} (self-loop included in sym)
-        return (sym.join(cur, sym["b"] == cur["node"])
-                   .groupBy(F.col("a").alias("node"))
-                   .agg(F.min("component").alias("component")))
-
     converged = False
-    # TWO hops per checkpointed job (VERDICT r9 #4): per-round cost at
-    # small scale is job launch + checkpoint, so halving the job count
-    # halves the fixed overhead; the chained second hop consumes the
-    # first hop's output exactly once (no duplicated subtree — the
-    # self-loop formulation has a single consumer per hop), so per-
-    # round compute at 100 TB is unchanged. Convergence is still
-    # detected exactly: labels are monotone non-increasing, so "no
-    # change across the pair" == fixpoint (a changed hop 1 followed by
-    # an unchanged hop 2 cannot happen... if hop 2 changed nothing,
-    # hop 1's output was already the fixpoint and the pair output
-    # equals it). The observe() rides the checkpoint materialization
-    # as before — one job per pair, zero extra actions.
-    for i in range(0, max_iter, 2):
-        hops = min(2, max_iter - i)
-        cur = labels
-        for _ in range(hops):
-            cur = _hop(cur)
-        old = labels.select(F.col("node").alias("_onode"),
-                            F.col("component").alias("_ocomp"))
+    for i in range(max_iter):
+        neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
+                           .groupBy(F.col("a").alias("node"))
+                           .agg(F.min("component").alias("neighbor_min")))
+        # Fold the neighbor minimum in with a left join and carry a
+        # per-node `changed` flag. Convergence detection rides the
+        # checkpoint materialization itself via observe() metrics —
+        # zero extra job per round (a separate .count(), even over
+        # checkpointed blocks, paid one full job-scheduling round
+        # trip per iteration).
         obs = Observation(f"cc_round_{i}_{next(_OBS_ID)}")
-        new_state = (cur.join(old, cur["node"] == old["_onode"])
-                        .select("node", "component",
-                                (F.col("component")
-                                 < F.col("_ocomp")).alias("changed"))
-                        .observe(obs, F.sum(F.col("changed").cast("int"))
-                                       .alias("n_changed"))
-                        .localCheckpoint(eager=True))
+        new_state = (labels.join(neighbor_min, "node", "left")
+                           .select("node",
+                                   F.least("component",
+                                           F.coalesce("neighbor_min",
+                                                      "component"))
+                                    .alias("component"),
+                                   (F.col("neighbor_min")
+                                    < F.col("component")).alias("changed"))
+                           .observe(obs, F.sum(F.col("changed").cast("int"))
+                                          .alias("n_changed"))
+                           .localCheckpoint(eager=True))
         new_ids = checkpoint_rdd_ids(new_state)
         # new_state is materialized (eager); round N-1's checkpoint
         # blocks are dead — free them now instead of waiting for GC
