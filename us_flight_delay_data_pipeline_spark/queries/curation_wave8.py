@@ -798,9 +798,18 @@ def source_ngram_overlap_matrix(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from ..functions.text import word_ngrams
     from ..operators.hashing import h32
+    from ..functions.core import rebalance
     docs = load_table(spark, sf_dir, "documents")
-    toks = word_tokens(F.lower(F.col("text")))
-    base = (docs.where(F.size(toks) >= 3)
+    # no tokenizing pre-filter + rebalance first (the r9 change-1
+    # pattern, missed here because warm medians hid it): sub-3-token
+    # docs explode to ZERO rows anyway, so the size(word_tokens(...))
+    # predicate was inert — but it pushed below any exchange into the
+    # 1-2-task byte-split scan stage and serialized a full regex
+    # tokenize of the corpus; the shingle+md5 projection then also ran
+    # serial because nothing widened the scan. One cheap shuffle of
+    # (doc_id, source, text) buys full-width compute (measured 8.5 s →
+    # ~2 s cold at sf0.1).
+    base = (rebalance(docs.select("doc_id", "source", "text"))
                 .select("doc_id", "source",
                         F.explode(F.array_distinct(
                             word_ngrams(F.col("text"), 3))).alias("sgl")))
