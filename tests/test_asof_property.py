@@ -10,6 +10,8 @@ model."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings
@@ -36,6 +38,7 @@ RIGHT = st.lists(st.tuples(KEYS, TIMES, st.integers(0, 99)),
 
 @settings(max_examples=12, deadline=None,
           suppress_health_check=list(HealthCheck))
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 @given(left=LEFT, right=RIGHT)
 def test_matches_bruteforce_model(spark, left, right):
     ldf = spark.createDataFrame(

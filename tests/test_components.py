@@ -16,6 +16,7 @@ def _cc(spark, edges, **kw):
     return {r.node: r.component for r in rows}
 
 
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 def test_path_graph_worst_case_diameter(spark):
     """A 20-node path: min label must walk the full diameter — the
     worst case for min-label propagation."""

@@ -6,6 +6,8 @@ rewiring bug shows as a merged or split component."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -44,6 +46,7 @@ def _model(edges):
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=list(HealthCheck))
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 @given(edges=EDGES)
 def test_both_operators_match_union_find(spark, edges):
     expected = _model(edges)

@@ -96,6 +96,7 @@ def _spark_type_ok(t) -> bool:
     return False
 
 
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 def test_every_spark_result_schema_is_portable(spark, sf_dir):
     """The Spark half of the same gate: no scale-0 DecimalType (or
     other exotic type) may reach a gated query's output schema."""

@@ -22,8 +22,18 @@ def plan(df, mode: str = "formatted") -> str:
 
 @pytest.fixture(scope="module")
 def q(spark, sf_dir):
+    # Memoized per module: four registry-wide audits below each walk
+    # all ~253 queries, and building a query's DataFrame is the
+    # expensive part (iterative queries run their loops inside fn()).
+    # One build per query serves every audit — 648 s -> ~200 s for the
+    # file — and explainString reuses QueryExecution's memoized plan
+    # on repeat calls against the same DataFrame.
+    cache: dict = {}
+
     def run(name):
-        return REGISTRY[name].fn(spark, sf_dir)
+        if name not in cache:
+            cache[name] = REGISTRY[name].fn(spark, sf_dir)
+        return cache[name]
     return run
 
 

@@ -88,6 +88,7 @@ def test_kpi_bounds_and_pct_normalization(spark, rows):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 @given(rows=flight_rows())
 def test_cross_grain_reaggregation_consistency(spark, rows):
     """sum over GOLD_CARRIER groups == GOLD_MONTHLY totals == silver
@@ -106,6 +107,7 @@ def test_cross_grain_reaggregation_consistency(spark, rows):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 @given(rows=flight_rows(), parts=st.integers(min_value=1, max_value=7))
 def test_gold_invariant_under_repartitioning(spark, rows, parts):
     """The physical partitioning must never change gold results."""

@@ -2,7 +2,15 @@
 registered query runs on Spark and, where an oracle exists, on DuckDB
 over the same parquet — row count, sorted columns, and order-
 insensitive values must match. Runs at sf0.001 for speed; the driver
-repeats this at sf0.01."""
+repeats this at sf0.01.
+
+Fast default profile (r10): the full 255-query block is ~15 min and
+duplicates scripts/check_oracle.py (the canonical full differential,
+run as a per-round closing gate) — the default pytest run keeps a
+deterministic hash sample (~20 %) plus a pinned high-machinery set
+(streaming gated, index probes, iterative graph/dedup) and marks the
+rest `slow`. Full coverage: SPARK_GRAFT_ORACLE_TESTS=all and/or
+`-m ""` (see pytest.ini)."""
 
 from __future__ import annotations
 
@@ -33,7 +41,47 @@ def duck(sf_dir):
     return con
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+# Always in the default sample: the operator families with the most
+# internal machinery (streaming drains, on-disk index build+probe,
+# iterative graph/dedup, the prefix/window primitives) — the places a
+# regression is least likely to be caught by a unit test alone.
+_PINNED = {
+    "nn_descent_round", "knn_semantic_clusters", "knn_graph_mutual",
+    "dedup_clusters", "dedup_clusters_star", "pretrain_funnel",
+    "pagerank_trade_graph", "copurchase_kcore",
+    "copurchase_lpa_communities",
+    "bm25_index_probe", "bm25_index_compaction_probe",
+    "jaccard_index_probe", "ann_ivf_index_probe",
+    "user_value_trend", "monthly_trend", "interval_overlap_pairs",
+    "negative_sampling_table", "pack_sequences",
+    "ann_beam_search_topk", "bpe_encode_docs",
+}
+
+
+def _default_oracle_sample() -> set[str]:
+    """Deterministic ~20 % hash sample + pinned set + every rows-only
+    (oracle-less) query and every gated streaming query (cheap and
+    high-risk). SPARK_GRAFT_ORACLE_TESTS=all keeps everything."""
+    import hashlib
+    names = set(REGISTRY)
+    if os.environ.get("SPARK_GRAFT_ORACLE_TESTS", "sample") == "all":
+        return names
+    keep = {n for n in names
+            if int(hashlib.md5(n.encode()).hexdigest(), 16) % 5 == 0}
+    keep |= _PINNED & names
+    keep |= {n for n in names if REGISTRY[n].oracle is None}
+    keep |= {n for n in names if n.startswith("stream_")}
+    return keep
+
+
+_ORACLE_SAMPLE = _default_oracle_sample()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n if n in _ORACLE_SAMPLE
+     else pytest.param(n, marks=pytest.mark.slow)
+     for n in sorted(REGISTRY)])
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)

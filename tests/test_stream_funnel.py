@@ -94,6 +94,7 @@ def test_stream_stats_funnel_shape(streamed):
     assert out.count() == total_sampled
 
 
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 def test_cross_batch_duplicate_dropped(spark, sf_dir, replay, tmp_path):
     """An exact copy arriving in a LATER batch must be dropped by the
     persisted seen-hash state."""
@@ -115,6 +116,7 @@ def test_cross_batch_duplicate_dropped(spark, sf_dir, replay, tmp_path):
     assert second == 0
 
 
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 def test_replay_is_idempotent(spark, sf_dir, tmp_path):
     """Crash-replay safety: running the SAME batch twice (what
     foreachBatch does when a failure lands between the state writes

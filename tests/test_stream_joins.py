@@ -62,6 +62,7 @@ def _select(joined, views, purchases):
         purchases["event_id"].alias("purchase_id"))
 
 
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 def test_stream_stream_join_matches_batch(spark, dirs, tmp_path):
     vdir, pdir = dirs
     vs = spark.readStream.schema(_SCHEMA).parquet(vdir)

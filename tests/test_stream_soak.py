@@ -21,6 +21,10 @@ import time
 from datetime import datetime, timedelta, timezone
 
 import pytest
+
+# Long-running state-soak / backend-equivalence integration tests:
+# excluded from the fast default profile (see pytest.ini); run with -m "".
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 from pyspark.sql.types import (StringType, StructField, StructType,
                                TimestampType)

@@ -85,6 +85,7 @@ def test_windowed_kpis(spark, bronze_dir, tmp_path):
         ["window_start", "carrier", "total_arr_flights", "total_arr_del15"])
 
 
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 def test_stream_dedup_drops_replays(spark, tmp_path):
     """At-least-once redelivery: the same bodies arrive twice across
     micro-batches; the watermarked dedup emits each exactly once."""

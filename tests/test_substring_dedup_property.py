@@ -6,6 +6,8 @@ never flagged, and coverage accounting is internally consistent."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -27,6 +29,7 @@ def _uniq(prefix: str, n: int, start: int = 0) -> list[str]:
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 @given(sc=SCENARIO)
 def test_planted_copy_fully_covered(spark, tmp_path_factory, sc):
     pad_a, pad_mid, copy_len, pad_b = sc

@@ -479,6 +479,7 @@ def test_changes_after_restore_shows_reinserts(spark, tmp_path):
     assert rows == [(1, "insert", 2), (2, "delete", 2)]
 
 
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 def test_long_log_checkpoints_vacuum_restore_chain(spark, tmp_path):
     """Long-log stress: 40 commits across 4 checkpoints, mixed
     appends/overwrites/deletes, then restore to a mid-chain version,

@@ -13,6 +13,8 @@ frames."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -78,6 +80,7 @@ def _flatten(dirs: list) -> dict:
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))
+@pytest.mark.slow  # fast-profile exclusion (see pytest.ini)
 @given(ops=OPS)
 def test_random_commit_sequences_match_model(spark, tmp_path_factory, ops):
     path = str(tmp_path_factory.mktemp("txprop"))
