@@ -488,7 +488,14 @@ def stream_classifier_scores_gated(spark: SparkSession,
         (score > 0).alias("pred_high"))
     agg = scored.groupBy("source", "label_high", "pred_high").agg(
         F.count("*").alias("n_docs"))
-    return _drain_to_memory(agg, "complete")
+    # state-store sizing (the one stateful drain r9's sweep missed):
+    # the complete-mode rollup keeps its handful of groups in a state
+    # store whose partition count pins to shuffle.partitions at the
+    # first checkpoint — 32 stores are pure per-batch overhead for a
+    # <=#sources*4-row state. The explicit repartition above keeps the
+    # per-doc scoring map stage at full width regardless.
+    with _state_sized_shuffle(spark):
+        return _drain_to_memory(agg, "complete")
 
 
 def _patch_stream_classifier_oracle() -> None:
