@@ -245,11 +245,24 @@ def triangle_count(edges: DataFrame, a: str = "a",
 def _bidirectional(edges: DataFrame, a: str, b: str) -> DataFrame:
     """Canonical distinct undirected edges as BOTH directions
     (src, dst) — the adjacency every per-node neighborhood aggregate
-    consumes. Persisted + tracked (re-read every round)."""
+    consumes. Persisted + tracked (re-read every round).
+
+    repartition("dst") before the persist: every consumer joins the
+    label/survivor vector on dst each round, and a cached
+    InMemoryRelation keeps its child's outputPartitioning — so the
+    (big) adjacency is shuffled ONCE here and only the node-sized
+    vector moves per round (guide §2.4 "share one exchange"; the
+    union's partitioning is useless to the planner, so without this
+    every round re-shuffled the full edge list — measured 9.5 → 6.5 s
+    on copurchase LPA at sf0.1, every interleaved pair consistent).
+    kcore's src-side semi-join shuffles either way (the union
+    satisfied nothing), so this is neutral there and removes its
+    dst-side exchange."""
     e, _deg = _canonical_edges_and_degrees(edges, a, b)
     return track(e.select(F.col("x").alias("src"), F.col("y").alias("dst"))
                   .unionAll(e.select(F.col("y").alias("src"),
                                      F.col("x").alias("dst")))
+                  .repartition("dst")
                   .persist())
 
 
